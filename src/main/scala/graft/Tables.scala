@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver-generated parquet tables
+  * (`/root/testdata/sf*` — see TESTDATA.md / FIXTURES.md §A).
+  *
+  * Schemas are declared explicitly (SURVEY.md §1.3: the reference infers
+  * every schema from JSON — `modules/src/prisma_report/lambda.py:171` — the
+  * engine declares them) and asserted against what parquet actually
+  * contains, so a drifting fixture fails loudly instead of silently.
+  *
+  * Timestamp normalization: the parquet files carry
+  * `isAdjustedToUTC=false` timestamps (events.ts is `timestamp[ns]`,
+  * SURVEY.md hazard H3), which Spark 4 reads as TIMESTAMP_NTZ. We cast to
+  * session-local TimestampType (session TZ is pinned to UTC in
+  * Verify/Bench/tests) so the whole standard timestamp function surface
+  * (`window`, `unix_timestamp`, `date_format`, …) applies uniformly.
+  */
+object Tables {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Declared column names per table (FIXTURES.md §A). Types are checked
+    * structurally (timestamp-ish → timestamp, list → array) not exactly,
+    * because Spark legitimately maps ns→µs and ms→µs on read.
+    */
+  private val declaredColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** Load one table, normalizing NTZ timestamps to TimestampType. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    declaredColumns.get(name).foreach { cols =>
+      require(raw.columns.toSeq == cols,
+        s"schema drift in $name: got ${raw.columns.mkString(",")} want ${cols.mkString(",")}")
+    }
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType => df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _                => df
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Scalar function packs — string / date / math / array / json — plus
+  * the generator (UDTF) query (SURVEY.md §2b q_str_funcs … q_json_funcs,
+  * q_udtf_gen). All built-ins → whole-stage codegen'd, no UDFs in the
+  * hot path.
+  *
+  * Oracle type parity: DuckDB widens length/len/year/ceil/datediff to
+  * BIGINT and list positions to BIGINT — every oracle casts back to the
+  * Spark-side INT/BIGINT so the driver's schema compare passes.
+  */
+object Scalars {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // R20 (upper) + the rest of the string surface.
+    QueryDef("q_str_funcs",
+      (s, d) => T.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_u"),
+          substring(col("p_name"), 1, 5).as("name_pre"),
+          concat(col("p_brand"), lit("_"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          length(col("p_name")).as("name_len"),
+          col("p_name").like("%wid%").as("is_widget"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS name_u,
+             |       substring(p_name, 1, 5) AS name_pre,
+             |       p_brand || '_' || p_type AS brand_type,
+             |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             |       CAST(length(p_name) AS INTEGER) AS name_len,
+             |       p_name LIKE '%wid%' AS is_widget
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // R7/R14 generalized: date part extraction and arithmetic.
+    QueryDef("q_date_funcs",
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       CAST(year(o_orderdate) AS INTEGER) AS y,
+             |       CAST(month(o_orderdate) AS INTEGER) AS m,
+             |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_math_funcs",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+          round(log(col("l_extendedprice") + 1), 4).as("log_price"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          round(sqrt(col("l_quantity")), 4).as("qty_sqrt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       round(l_extendedprice * (1 - l_discount), 2) AS net,
+             |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+             |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             |       round(abs(l_discount - 0.05), 4) AS disc_dev,
+             |       round(ln(l_extendedprice + 1), 4) AS log_price,
+             |       round(pow(l_quantity, 2), 4) AS qty_sq,
+             |       round(sqrt(l_quantity), 4) AS qty_sqrt
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // R18 (element_at / array access) over tokenized documents.
+    QueryDef("q_array_funcs",
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          array_contains(col("toks"), "scan").as("has_scan"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |       list_extract(string_split(text, ' '), 1) AS first_tok,
+             |       list_extract(string_split(text, ' '), -1) AS last_tok,
+             |       list_contains(string_split(text, ' '), 'scan') AS has_scan
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // R6's JSON normalize: extract from the props JSON blob.
+    QueryDef("q_json_funcs",
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       json_extract_string(props, '$.k') AS k_str,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Generator / UDTF: one row per token with 0-based position
+    // (posexplode ↔ DuckDB zipped unnest).
+    QueryDef("q_udtf_gen",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "word")
+        .select(col("doc_id"), col("pos"), col("word"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, CAST(pos AS INTEGER) AS pos, word
+             |FROM (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS word,
+             |             unnest(range(len(string_split(text, ' ')))) AS pos
+             |      FROM documents)
+             |ORDER BY doc_id, pos""".stripMargin))
+  )
+}

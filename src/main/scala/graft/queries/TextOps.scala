@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / training-data-pipeline operators over `documents`
+  * (north-star: dedup, token counting, quality scoring, language ID,
+  * fingerprinting). All are shuffle-based groupBy/explode plans that
+  * scale horizontally; nothing is collected to the driver.
+  */
+object TextOps {
+
+  /** Exact n-gram Jaccard similarity pairs (token 3-grams), computed as
+    * shingle-set self-join — the exact counterpart the MinHash estimate
+    * (Similarity.q_dedup_near) is validated against.
+    */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "word")
+    val shingles = toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .join(toks.as("c"), col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+      .select(col("a.doc_id").as("doc_id"),
+        concat_ws(" ", col("a.word"), col("b.word"), col("c.word")).as("shingle"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = shingles.as("x").join(shingles.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup on normalized text: keep min doc_id per group.
+    QueryDef("q_dedup_exact",
+      (s, d) => T.documents(s, d)
+        .groupBy(lower(trim(col("text"))).as("norm_text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"), col("norm_text"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS n_dups,
+             |       lower(trim(text)) AS norm_text
+             |FROM documents GROUP BY lower(trim(text))
+             |ORDER BY keep_id""".stripMargin)),
+
+    // Token statistics + top term per language (tokenize→explode→agg).
+    QueryDef("q_text_stats",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        val perWord = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
+        val top = perWord.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("lang"), col("word").as("top_word"), col("cnt").as("top_word_n"))
+        toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_distinct"))
+          .join(top, "lang")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+             |per_word AS (SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word),
+             |top AS (SELECT lang, word AS top_word, CAST(cnt AS BIGINT) AS top_word_n,
+             |               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+             |        FROM per_word)
+             |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+             |       top.top_word, top.top_word_n
+             |FROM toks t JOIN top ON t.lang = top.lang AND top.rn = 1
+             |GROUP BY t.lang, top.top_word, top.top_word_n
+             |ORDER BY t.lang""".stripMargin)),
+
+    // Per-document quality scoring: length, token count, stopword ratio,
+    // mean word length (north-star quality filters).
+    QueryDef("q_text_quality",
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          size(col("toks")).as("n_words"),
+          round(size(filter(col("toks"), w => w.isin("the", "a")))
+            .cast("double") / size(col("toks")), 4).as("stop_ratio"),
+          round(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / size(col("toks")), 4).as("mean_word_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS INTEGER) AS len_chars,
+             |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             |       round(CAST(len(list_filter(string_split(text, ' '),
+             |                    w -> w IN ('the', 'a'))) AS DOUBLE)
+             |             / len(string_split(text, ' ')), 4) AS stop_ratio,
+             |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |             / len(string_split(text, ' ')), 4) AS mean_word_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + a BPE-ish subword estimate
+    // (ceil(len/4) per word — ~4 chars/token heuristic).
+    QueryDef("q_token_count",
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("ws_tokens"),
+          aggregate(transform(col("toks"), w => ceil(length(w) / lit(4.0))),
+            lit(0L), (acc, x) => acc + x).as("bpe_est"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             |       CAST(list_sum(list_transform(string_split(text, ' '),
+             |            w -> ceil(length(w) / 4.0))) AS BIGINT) AS bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the exact
+    // baseline for MinHash. O(pairs-sharing-a-shingle), not O(n²).
+    QueryDef("q_dedup_ngram", jaccardPairs, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shingles x JOIN shingles y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Language ID by stopword-lexicon vote (n-gram heuristic surface —
+    // the fixture text shares one vocabulary across langs, so this
+    // verifies the *pipeline*: broadcast lexicon join → per-doc argmax).
+    QueryDef("q_lang_id",
+      (s, d) => {
+        val lexicon = s.createDataFrame(Seq(
+          ("the", "en"), ("a", "en"), ("of", "en"),
+          ("el", "es"), ("la", "es"), ("de", "es"),
+          ("der", "de"), ("die", "de"), ("das", "de")))
+          .toDF("word", "cand_lang")
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val votes = toks.join(broadcast(lexicon), "word")
+          .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("cand_lang"))
+        val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("votes"))
+        T.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+          .na.fill("und", Seq("pred_lang")).na.fill(0, Seq("votes"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // Document fingerprinting: full-text hash + MinHash-of-shingles
+    // content fingerprint (rolling-hash style). Engine-specific hash fn
+    // (xxhash64) → not oracle-comparable; scalatest asserts duplicate
+    // texts collide and distinct texts (almost surely) don't.
+    QueryDef("q_fingerprint",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "word")
+        val sh = toks.as("a")
+          .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+          .select(col("a.doc_id").as("doc_id"),
+            xxhash64(concat_ws(" ", col("a.word"), col("b.word"))).as("h"))
+        val contentFp = sh.groupBy("doc_id").agg(min(col("h")).as("content_fp"))
+        docs.select(col("doc_id"), xxhash64(lower(trim(col("text")))).as("exact_fp"))
+          .join(contentFp, Seq("doc_id"), "left")
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregations — the batch `window()` / `session_window()`
+  * forms of the q_stream_* queries (SURVEY.md §2b). The streaming
+  * variants run the *same* aggregation as a file-source Structured
+  * Stream and are asserted equal in scalatest (batch/stream parity,
+  * SURVEY.md §5.2.4); the batch form is the declared oracle query.
+  */
+object TimeWindows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1h window × event_type. Spark window() starts are
+    // epoch-aligned, exactly DuckDB's time_bucket.
+    QueryDef("q_stream_tumble",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       event_type, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // Sliding 1h window every 30min: each event lands in exactly two
+    // windows, starting at floor30(ts) and floor30(ts)-30min.
+    QueryDef("q_stream_slide",
+      (s, d) => T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM (
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type, value FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w,
+             |         event_type, value FROM events)
+             |GROUP BY w, event_type ORDER BY w_start, event_type""".stripMargin)),
+
+    // Session windows, 30-minute gap, per user. Spark merges events whose
+    // [ts, ts+gap) windows overlap → a session breaks when the gap to the
+    // previous event is >= 30 minutes; session end = last ts + gap. The
+    // oracle reproduces exactly that with lag() + a running break count.
+    QueryDef("q_stream_session",
+      (s, d) => T.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          date_format(date_trunc("second", col("session_window.start")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(date_trunc("second", col("session_window.end")), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts, 1) OVER w IS NULL
+             |                OR ts - lag(ts, 1) OVER w >= INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sessions AS (
+             |  SELECT user_id, ts, value,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id,
+             |       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+             |       strftime(date_trunc('second', max(ts) + INTERVAL '30 minutes'),
+             |                '%Y-%m-%d %H:%M:%S') AS sess_end,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // Exact-once dedup on event_id — the batch form of
+    // dropDuplicatesWithinWatermark (streaming variant + late-data drop
+    // verified in scalatest; temporal semantics aren't SQL-expressible).
+    QueryDef("q_stream_dedup_late",
+      (s, d) => T.events(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None)
+  )
+}

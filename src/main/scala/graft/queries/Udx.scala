@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.WeightedMean
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** User-defined function surface (SURVEY.md §2b q_udf_scalar,
+  * q_udaf_typed) and the CSV round-trip sink check (q_csv_roundtrip,
+  * R22/R23).
+  *
+  * Both UDF queries ship oracles: the scalar UDF re-expressed as CASE,
+  * the typed Aggregator as sum(v·w)/sum(w) — deterministic modulo the
+  * round(…, 4) float guard (hazard H1).
+  */
+object Udx {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Scalar UDF (severity-bucket style, R19's lit("fail") generalized):
+    // registered for both DataFrame and SQL use. Note: a CASE expression
+    // would codegen better — the UDF exists to cover the declared surface.
+    QueryDef("q_udf_scalar",
+      (s, d) => {
+        val bucket = udf((v: Double) =>
+          if (v < 50) "low" else if (v < 150) "medium" else "high")
+        s.udf.register("sev_bucket", bucket)
+        T.events(s, d)
+          .select(col("event_id"), bucket(col("value")).as("bucket"),
+            round(col("value"), 4).as("value_r"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CASE WHEN value < 50 THEN 'low'
+             |            WHEN value < 150 THEN 'medium'
+             |            ELSE 'high' END AS bucket,
+             |       round(value, 4) AS value_r
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Typed Aggregator via udaf(): weighted mean of value, weight
+    // 1 + user_id % 5 (data-derived, deterministic).
+    QueryDef("q_udaf_typed",
+      (s, d) => {
+        val wmean = udaf(WeightedMean)
+        s.udf.register("wmean", wmean)
+        T.events(s, d)
+          .withColumn("w", (col("user_id") % 5 + 1).cast("double"))
+          .groupBy(col("event_type"))
+          .agg(round(wmean(col("value"), col("w")), 4).as("wmean_value"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |       round(sum(value * (1 + user_id % 5)) / sum(1 + user_id % 5), 4)
+             |         AS wmean_value,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // R22/R23: header'd, quoted CSV sink + schema'd read-back. The write
+    // goes through Spark's commit protocol (no hand-rolled rollback, R24).
+    QueryDef("q_csv_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_csv_roundtrip").toString
+        val slice = T.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 4).as("value_r"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        slice.write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .csv(out)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("event_type", StringType),
+          StructField("value_r", DoubleType), StructField("ts_s", StringType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .orderBy(col("event_id"))
+      },
+      None)
+  )
+}

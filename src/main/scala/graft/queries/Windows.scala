@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, top-k, and the as-of join (SURVEY.md §2b
+  * q_window_* / q_topk_* / q_join_asof).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak key
+  * (event_id / o_orderkey) so rank/lag/frame results are stable across
+  * engines and partitionings (FIXTURES.md edge case: identical ts per
+  * user).
+  */
+object Windows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // R15's sortBy as a window: rank + dense_rank per event_type.
+    QueryDef("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+        T.events(s, d)
+          .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value_r"),
+            rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          .orderBy(col("event_type"), col("rnk"), col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, round(value, 4) AS value_r,
+             |       CAST(rank() OVER w AS INTEGER) AS rnk,
+             |       CAST(dense_rank() OVER w AS INTEGER) AS drnk
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)
+             |ORDER BY event_type, rnk, event_id""".stripMargin)),
+
+    // Per-user inter-event gap via lag(ts), in whole seconds.
+    QueryDef("q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        T.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .select(col("event_id"), col("user_id"),
+            date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))).as("gap_s"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             |         - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_s
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Explicit frame spec: 3-row moving sum per user.
+    QueryDef("q_window_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 4).as("moving_sum"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_sum
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Top-3 orders by totalprice per priority (row_number + filter —
+    // plans as a windowed scan, no global sort of the fact table).
+    QueryDef("q_topk_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey,
+             |       round(o_totalprice, 4) AS price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Global top-10: plans as TakeOrderedAndProject (no full sort/shuffle
+    // of all rows — each partition keeps 10, driver merges).
+    QueryDef("q_topk_global",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 4).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+             |FROM lineitem
+             |ORDER BY price DESC, l_orderkey, l_linenumber
+             |LIMIT 10""".stripMargin)),
+
+    // As-of join (SURVEY.md §7.4): each purchase ↔ the same user's latest
+    // prior-or-equal signup. Spark has no batch ASOF JOIN; composed as a
+    // range join + row_number()=1. The oracle uses the ANSI correlated
+    // max() form both engines agree on. Purchases with no prior signup
+    // are kept with NULL (left semantics).
+    QueryDef("q_join_asof",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+        val w = Window.partitionBy(col("event_id")).orderBy(col("s_ts").desc_nulls_last)
+        purchases
+          .join(signups,
+            col("user_id") === col("s_user_id") && col("s_ts") <= col("ts"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(date_trunc("second", col("s_ts")), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |       strftime(date_trunc('second', e.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             |       strftime(date_trunc('second',
+             |         (SELECT max(s.ts) FROM events s
+             |          WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             |            AND s.ts <= e.ts)), '%Y-%m-%d %H:%M:%S') AS signup_ts
+             |FROM events e
+             |WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id""".stripMargin))
+  )
+}

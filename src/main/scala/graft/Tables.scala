@@ -42,8 +42,19 @@ object Tables {
     "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
-  /** Load one table, normalizing NTZ timestamps to TimestampType. */
+  /** Load one table, normalizing timestamps to TimestampType.
+    *
+    * `events.ts` is parquet `TIMESTAMP(NANOS)` which Spark 4 rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it reads as LongType
+    * epoch-nanos, which we truncate to µs (Spark's native precision —
+    * hazard H3: every declared query further truncates to seconds before
+    * comparing against DuckDB's ns values). The conf is set here, not
+    * only in the mains, so every entry point (driver harness, scalatest)
+    * reads consistently.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     declaredColumns.get(name).foreach { cols =>
       require(raw.columns.toSeq == cols,
@@ -52,7 +63,9 @@ object Tables {
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
         case TimestampNTZType => df.withColumn(f.name, col(f.name).cast(TimestampType))
-        case _                => df
+        case LongType if name == "events" && f.name == "ts" =>
+          df.withColumn(f.name, expr("timestamp_micros(ts div 1000)"))
+        case _ => df
       }
     }
   }

@@ -58,7 +58,11 @@ object Scalars {
     QueryDef("q_math_funcs",
       (s, d) => T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"),
+          // round to 4, not 2: the true product of 2dp×2dp has exactly 4
+          // decimal digits, so 4dp rounding never sits on a half-way edge
+          // (2dp does: Spark HALF_UPs the shortest repr, DuckDB rounds the
+          // binary value → 1222.745 split 1222.75 vs 1222.74).
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"),
           ceil(col("l_extendedprice")).as("price_ceil"),
           floor(col("l_extendedprice")).as("price_floor"),
           round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
@@ -67,7 +71,7 @@ object Scalars {
           round(sqrt(col("l_quantity")), 4).as("qty_sqrt"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber,
-             |       round(l_extendedprice * (1 - l_discount), 2) AS net,
+             |       round(l_extendedprice * (1 - l_discount), 4) AS net,
              |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
              |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
              |       round(abs(l_discount - 0.05), 4) AS disc_dev,

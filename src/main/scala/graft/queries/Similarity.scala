@@ -20,8 +20,11 @@ object Similarity {
   val NumPerms = 32  // MinHash permutations
   val BandSize = 4   // → 8 bands of 4 rows: catches Jaccard ≳ 0.5 w.h.p.
 
-  /** Token-3-gram shingles per doc (distinct). */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  /** Token-3-gram shingles per doc (distinct). Shared with
+    * TextOps.jaccardPairs so the MinHash estimate and the exact Jaccard
+    * baseline are computed over the identical shingle set.
+    */
+  def shingles(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "word")
@@ -74,15 +77,18 @@ object Similarity {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
+    // Scala shiftright/shiftleft require a literal Int bit count; the SQL
+    // forms accept a column, so the per-bit extraction goes through expr().
     val bitVotes = tokCnt
       .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("vote",
-        when(shiftright(col("h"), col("bit").cast("int")).bitwiseAND(1) === 1, col("cnt"))
+        when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(1) === 1, col("cnt"))
           .otherwise(-col("cnt")))
       .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("v"))
     bitVotes
       .withColumn("bitval",
-        when(col("v") > 0, shiftleft(lit(1L), col("bit").cast("int"))).otherwise(lit(0L)))
+        when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(lit(0L)))
       .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
       .orderBy(col("doc_id"))
   }

@@ -16,15 +16,7 @@ object TextOps {
     * (Similarity.q_dedup_near) is validated against.
     */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "word")
-    val shingles = toks.as("a")
-      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .join(toks.as("c"), col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
-      .select(col("a.doc_id").as("doc_id"),
-        concat_ws(" ", col("a.word"), col("b.word"), col("c.word")).as("shingle"))
-      .distinct()
+    val shingles = Similarity.shingles(s, d) // one shared shingle definition
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = shingles.as("x").join(shingles.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))

@@ -60,8 +60,10 @@ object Udx {
     // goes through Spark's commit protocol (no hand-rolled rollback, R24).
     QueryDef("q_csv_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_csv_roundtrip").toString
+        // Fixed per-JVM path + overwrite: repeated bench/verify iterations
+        // rewrite the same directory instead of leaking temp dirs.
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_csv_roundtrip").toString
         val slice = T.events(s, d)
           .select(col("event_id"), col("event_type"),
             round(col("value"), 4).as("value_r"),

@@ -20,32 +20,42 @@ object Similarity {
   val NumPerms = 32  // MinHash permutations
   val BandSize = 4   // → 8 bands of 4 rows: catches Jaccard ≳ 0.5 w.h.p.
 
-  /** Token-3-gram shingles per doc (distinct). Shared with
-    * TextOps.jaccardPairs so the MinHash estimate and the exact Jaccard
-    * baseline are computed over the identical shingle set.
+  /** Token-3-gram shingle set per doc as an array column — computed
+    * map-side with higher-order functions (transform over a position
+    * sequence), NO self-join and NO shuffle. At 100 TB this keeps
+    * shingling inside the scan stage; the old formulation (two
+    * positional self-joins of the exploded token table) shuffled the
+    * whole token corpus three times.
     */
-  def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "word")
-    toks.as("a")
-      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .join(toks.as("c"), col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
-      .select(col("a.doc_id").as("doc_id"),
-        concat_ws(" ", col("a.word"), col("b.word"), col("c.word")).as("shingle"))
-      .distinct()
-  }
+  def shingleArrays(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks) - 3),
+          |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |  ELSE array() END)""".stripMargin).as("shingles"))
 
-  /** MinHash signature: one min-aggregated hash per permutation, single
-    * groupBy pass (no per-permutation shuffle).
+  /** Exploded (doc_id, shingle) rows — distinct per doc by construction.
+    * Shared with TextOps.jaccardPairs so the MinHash estimate and the
+    * exact Jaccard baseline use the identical shingle definition.
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val perms: Seq[Column] = (0 until NumPerms)
-      .map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
-    shingles(s, d).groupBy("doc_id")
-      .agg(perms.head, perms.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig"))
-  }
+  def shingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** MinHash signature, fully map-only: per row, min over the shingle
+    * array of xxhash64(perm, shingle) for each permutation. No explode,
+    * no groupBy — signature computation runs inside the scan stage.
+    * Docs with no shingles (< 3 tokens) are excluded, matching the old
+    * aggregate-over-zero-rows semantics.
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${NumPerms - 1}),
+           |          p -> array_min(transform(shingles, sh -> xxhash64(p, sh))))""".stripMargin)
+        .as("sig"))
 
   /** Candidate pairs via LSH banding + estimated Jaccard from signature
     * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
@@ -71,27 +81,24 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document from token-frequency-weighted bit votes. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tokCnt = T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
-    // Scala shiftright/shiftleft require a literal Int bit count; the SQL
-    // forms accept a column, so the per-bit extraction goes through expr().
-    val bitVotes = tokCnt
-      .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(1) === 1, col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("v"))
-    bitVotes
-      .withColumn("bitval",
-        when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+  /** 64-bit SimHash per document from per-occurrence bit votes.
+    *
+    * Fully map-only: token hashes and the 64 bit-vote sums are computed
+    * with nested higher-order functions inside the scan stage — no
+    * explode (the old version blew each word up ×64) and no shuffle.
+    * Per-occurrence votes sum to the same totals as the old
+    * count-per-word formulation, so results are identical.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc +
+          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a +
+          |         CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |       THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming ≤ maxDist. */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame = {
@@ -138,36 +145,50 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  /** Sign-random-projection LSH buckets: deterministic hyperplanes
-    * (seeded), 12-bit bucket key. At scale, neighbor search becomes a
-    * bucket-equi-join instead of a cross join.
+  val LshTables = 8       // OR-amplification: candidate if ANY table agrees
+  val LshBitsPerTable = 6 // 64 buckets/table — tune to corpus density
+
+  /** Sign-random-projection LSH, multi-table: deterministic seeded
+    * hyperplanes, `LshTables` independent bucket ids per vector
+    * (OR-amplified — one 12-bit table has near-zero recall on a
+    * gaussian corpus; 8×6-bit tables give usable candidate sets).
+    * At scale, neighbor search becomes a bucket equi-join, never a
+    * cross join.
     */
-  def lshBuckets(s: SparkSession, d: String, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+  def lshBuckets(s: SparkSession, d: String, nTables: Int = LshTables,
+      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
-      Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian()))
+      Array.fill(nTables * bitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
     val c = corpus(s, d)
-    val bucketBits = (0 until nPlanes).map { p =>
-      val plane = array(planes(p).map(v => lit(v)): _*)
-      val dot = aggregate(zip_with(col("emb"), plane, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-      when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    val tableBuckets: Seq[Column] = (0 until nTables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        val plane = array(planes(t * bitsPerTable + b).map(v => lit(v)): _*)
+        val dot = aggregate(zip_with(col("emb"), plane, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        when(dot >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce(_ + _)
     }
-    c.withColumn("bucket", bucketBits.reduce(_ + _))
+    c.withColumn("buckets", array(tableBuckets: _*))
   }
 
-  /** ANN top-k: probes compared only against vectors in the same LSH
-    * bucket (plus exact cosine re-rank). Recall < 1 by construction;
-    * scalatest checks overlap with the brute-force baseline.
+  /** ANN top-k: probes compared only against vectors sharing an LSH
+    * bucket in at least one table, then exact cosine re-rank. Recall < 1
+    * by construction; scalatest checks overlap with the brute-force
+    * baseline.
     */
   def lshTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame = {
-    val b = lshBuckets(s, d)
-    val probes = b.filter(col("vec_id").isin(probeIds: _*))
+    val exploded = lshBuckets(s, d)
+      .select(col("vec_id"), col("emb"), col("norm"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val probes = exploded.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-        col("norm").as("p_norm"), col("bucket").as("p_bucket"))
-    val scored = b.join(broadcast(probes),
-        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
+        col("norm").as("p_norm"), col("tbl").as("p_tbl"), col("bucket").as("p_bucket"))
+    val cands = exploded.join(broadcast(probes),
+        col("tbl") === col("p_tbl") && col("bucket") === col("p_bucket") &&
+          col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id") // union of per-table matches
+    val scored = cands.select(col("probe_id"), col("vec_id"),
+      cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))

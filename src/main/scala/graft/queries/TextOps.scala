@@ -167,19 +167,18 @@ object TextOps {
     // (xxhash64) → not oracle-comparable; scalatest asserts duplicate
     // texts collide and distinct texts (almost surely) don't.
     QueryDef("q_fingerprint",
-      (s, d) => {
-        val docs = T.documents(s, d)
-        val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .withColumnRenamed("col", "word")
-        val sh = toks.as("a")
-          .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-          .select(col("a.doc_id").as("doc_id"),
-            xxhash64(concat_ws(" ", col("a.word"), col("b.word"))).as("h"))
-        val contentFp = sh.groupBy("doc_id").agg(min(col("h")).as("content_fp"))
-        docs.select(col("doc_id"), xxhash64(lower(trim(col("text")))).as("exact_fp"))
-          .join(contentFp, Seq("doc_id"), "left")
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        // content fp = min 2-gram hash, computed map-side over the token
+        // array (no explode/self-join/groupBy — scan-stage only).
+        .select(col("doc_id"),
+          xxhash64(lower(trim(col("text")))).as("exact_fp"),
+          expr(
+            """CASE WHEN size(toks) >= 2
+              |  THEN array_min(transform(sequence(0, size(toks) - 2),
+              |                 i -> xxhash64(concat_ws(' ', toks[i], toks[i+1]))))
+              |  ELSE NULL END""".stripMargin).as("content_fp"))
+        .orderBy(col("doc_id")),
       None)
   )
 }

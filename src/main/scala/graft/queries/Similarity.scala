@@ -27,14 +27,17 @@ object Similarity {
     * positional self-joins of the exploded token table) shuffled the
     * whole token corpus three times.
     */
-  def shingleArrays(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+  def shingleArraysOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(
         """array_distinct(CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(0, size(toks) - 3),
           |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
           |  ELSE array() END)""".stripMargin).as("shingles"))
+
+  def shingleArrays(s: SparkSession, d: String): DataFrame =
+    shingleArraysOf(T.documents(s, d))
 
   /** Exploded (doc_id, shingle) rows — distinct per doc by construction.
     * Shared with TextOps.jaccardPairs so the MinHash estimate and the
@@ -49,13 +52,16 @@ object Similarity {
     * Docs with no shingles (< 3 tokens) are excluded, matching the old
     * aggregate-over-zero-rows semantics.
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    shingleArrays(s, d)
+  def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    shingleArraysOf(docs)
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, ${NumPerms - 1}),
            |          p -> array_min(transform(shingles, sh -> xxhash64(p, sh))))""".stripMargin)
         .as("sig"))
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(T.documents(s, d))
 
   /** Candidate pairs via LSH banding + estimated Jaccard from signature
     * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
@@ -89,8 +95,8 @@ object Similarity {
     * Per-occurrence votes sum to the same totals as the old
     * count-per-word formulation, so results are identical.
     */
-  def simhash(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
       .select(col("doc_id"), expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc +
@@ -98,11 +104,13 @@ object Similarity {
           |         CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
           |       THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
           .stripMargin).as("simhash"))
-      .orderBy(col("doc_id"))
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(T.documents(s, d)).orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming ≤ maxDist. */
-  def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame = {
-    val sh = simhash(s, d)
+  def simhashPairsOf(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sh = simhashOf(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -117,11 +125,17 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame =
+    simhashPairsOf(T.documents(s, d), maxDist)
+
   /** Cast float embedding to double + precompute L2 norm. */
-  private def corpus(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d)
+  def corpusOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
       .withColumn("norm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    corpusOf(T.embeddings(s, d))
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -132,8 +146,8 @@ object Similarity {
     * once against broadcast probes — correctness baseline; the scale path
     * is [[lshTopK]].
     */
-  def bruteForceTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame = {
-    val c = corpus(s, d)
+  def bruteForceTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val c = corpusOf(embeddings)
     val probes = c.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("norm").as("p_norm"))
     val scored = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -144,6 +158,9 @@ object Similarity {
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  def bruteForceTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame =
+    bruteForceTopKOf(T.embeddings(s, d), probeIds, k)
 
   val LshTables = 8       // OR-amplification: candidate if ANY table agrees
   val LshBitsPerTable = 6 // 64 buckets/table — tune to corpus density

@@ -1,41 +1,66 @@
 package graft.queries
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Time-window aggregations — the batch `window()` / `session_window()`
-  * forms of the q_stream_* queries (SURVEY.md §2b). The streaming
-  * variants run the *same* aggregation as a file-source Structured
-  * Stream and are asserted equal in scalatest (batch/stream parity,
-  * SURVEY.md §5.2.4); the batch form is the declared oracle query.
+  * forms of the q_stream_* queries (SURVEY.md §2b).
+  *
+  * The aggregation cores (`tumbleAgg`/`slideAgg`/`sessionAgg`/`dedupAgg`)
+  * take a plain DataFrame so the *same* plan runs in batch (below, as
+  * the declared oracle queries) and as a file-source Structured Stream
+  * (graft.streaming.StreamOps + StreamingParitySpec assert batch≡stream,
+  * SURVEY.md §5.2.4).
   */
 object TimeWindows {
 
+  /** Tumbling 1h window × event_type. Spark window() starts are
+    * epoch-aligned, exactly DuckDB's time_bucket.
+    */
+  def tumbleAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Sliding 1h window every 30min: each event lands in exactly two
+    * windows.
+    */
+  def slideAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Per-user session windows, 30-minute gap: a session breaks when the
+    * gap to the previous event is >= 30 minutes; session end = last ts
+    * + gap.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Exactly-once dedup on event_id, then count per type — the batch
+    * form of dropDuplicatesWithinWatermark.
+    */
+  def dedupAgg(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  private def fmtWindow(df: DataFrame): DataFrame =
+    df.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   val defs: Seq[QueryDef] = Seq(
 
-    // Tumbling 1h window × event_type. Spark window() starts are
-    // epoch-aligned, exactly DuckDB's time_bucket.
     QueryDef("q_stream_tumble",
-      (s, d) => T.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("w_start"), col("event_type")),
+      (s, d) => fmtWindow(tumbleAgg(T.events(s, d))),
       Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
              |       event_type, CAST(count(*) AS BIGINT) AS n,
              |       round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
-    // Sliding 1h window every 30min: each event lands in exactly two
-    // windows, starting at floor30(ts) and floor30(ts)-30min.
     QueryDef("q_stream_slide",
-      (s, d) => T.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("w_start"), col("event_type")),
+      (s, d) => fmtWindow(slideAgg(T.events(s, d))),
       Some("""SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM (
@@ -45,14 +70,10 @@ object TimeWindows {
              |         event_type, value FROM events)
              |GROUP BY w, event_type ORDER BY w_start, event_type""".stripMargin)),
 
-    // Session windows, 30-minute gap, per user. Spark merges events whose
-    // [ts, ts+gap) windows overlap → a session breaks when the gap to the
-    // previous event is >= 30 minutes; session end = last ts + gap. The
-    // oracle reproduces exactly that with lag() + a running break count.
+    // The oracle reproduces Spark's session merge exactly with lag() + a
+    // running break count.
     QueryDef("q_stream_session",
-      (s, d) => T.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      (s, d) => sessionAgg(T.events(s, d))
         .select(col("user_id"),
           date_format(date_trunc("second", col("session_window.start")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
           date_format(date_trunc("second", col("session_window.end")), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
@@ -78,15 +99,8 @@ object TimeWindows {
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
 
-    // Exact-once dedup on event_id — the batch form of
-    // dropDuplicatesWithinWatermark (streaming variant + late-data drop
-    // verified in scalatest; temporal semantics aren't SQL-expressible).
     QueryDef("q_stream_dedup_late",
-      (s, d) => T.events(s, d)
-        .dropDuplicates("event_id")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("event_type")),
+      (s, d) => dedupAgg(T.events(s, d)).orderBy(col("event_type")),
       None)
   )
 }

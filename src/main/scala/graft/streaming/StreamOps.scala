@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2b q_stream_*): file-source
+  * streams over the events schema, watermarked windowed aggregations,
+  * and watermark-scoped dedup.
+  *
+  * Design (100 TB / production shape): `readStream` file source with a
+  * declared schema (no inference on the hot path), event-time watermarks
+  * bounding all state, and the SAME aggregation cores as the batch
+  * queries (graft.queries.TimeWindows) — batch/stream parity is a test
+  * invariant, not an aspiration. State stores stay bounded because every
+  * stateful op (window agg, session window, dedup) is watermark-scoped.
+  */
+object StreamOps {
+
+  /** File-source stream of events-shaped parquet under `dir`. */
+  def eventsStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling 1h count+sum per event_type with a watermark. */
+  def tumbling(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    graft.queries.TimeWindows.tumbleAgg(events.withWatermark("ts", watermark))
+
+  /** Sliding 1h/30min counts with a watermark. */
+  def sliding(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    graft.queries.TimeWindows.slideAgg(events.withWatermark("ts", watermark))
+
+  /** Per-user 30-min-gap session windows with a watermark. */
+  def sessions(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    graft.queries.TimeWindows.sessionAgg(events.withWatermark("ts", watermark))
+
+  /** Watermark-scoped exactly-once dedup on event_id: duplicates within
+    * the watermark horizon are dropped; rows older than the watermark
+    * are late and dropped entirely. State is bounded by the watermark
+    * (vs unbounded dropDuplicates).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming DataFrame into an in-memory table and block until
+    * all currently-available input is processed. Used by parity tests
+    * and as the reference pattern for a real sink (`format("parquet")`
+    * + checkpointLocation in production).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String,
+      checkpoint: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Verifies the non-oracle similarity surface (SURVEY.md §2b: these are
+  * engine-hash-specific or probabilistic, so they're checked against
+  * exact computations instead of DuckDB).
+  */
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("identical texts get identical minhash signatures and simhash, hamming 0") {
+    val docs = docsDf(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "an entirely different document about spark engines")
+    val sigs = Similarity.minhashSignaturesOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(2L))
+    val sh = Similarity.simhashOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 0)
+  }
+
+  test("short documents (<3 tokens) produce no shingles and are excluded from signatures") {
+    val docs = docsDf(0L -> "one two", 1L -> "a b c d")
+    val arrs = Similarity.shingleArraysOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(arrs(0L).isEmpty)
+    assert(arrs(1L) == Seq("a b c", "b c d"))
+    assert(Similarity.minhashSignaturesOf(docs).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("minhash estimate tracks exact jaccard on sf0.001; high-sim pairs are recalled") {
+    // exact jaccard per pair from the shared shingle definition
+    val sh = Similarity.shingles(spark, sf).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val exact = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "fixture should contain near-duplicate docs")
+
+    val est = Similarity.minhashPairs(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: every exact pair >= 0.8 must be found by LSH banding
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"pair $pair (jaccard $j) missed by MinHash LSH")
+      assert(math.abs(est(pair) - j) <= 0.3, s"pair $pair est ${est(pair)} vs exact $j")
+    }
+    sh.unpersist()
+  }
+
+  test("simhash band blocking finds duplicate and near-duplicate pairs, not distinct ones") {
+    val docs = docsDf(
+      0L -> "spark shuffles data between stages when a wide dependency appears in the plan",
+      1L -> "spark shuffles data between stages when a wide dependency appears in the plan",
+      2L -> "spark shuffles data between stages when a wide dependency shows in the plan",
+      3L -> "completely unrelated text about cooking pasta with plenty of fresh basil leaves")
+    val found = Similarity.simhashPairsOf(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L)), "exact duplicate pair missed")
+    assert(found.contains((0L, 2L)) && found.contains((1L, 2L)), "near-dup pair missed")
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc matched")
+  }
+
+  test("cosine guard: zero vectors score 0.0, never NaN") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = Seq(
+      Row(0L, Array.fill(4)(0.0f), 0),          // zero probe
+      Row(1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      Row(2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0))
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Similarity.bruteForceTopKOf(emb, Seq(0L), 2).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.getDouble(3).isNaN))
+    assert(out.forall(r => r.getDouble(3) == 0.0))
+  }
+
+  test("lsh ANN top-k overlaps brute-force top-k on sf0.001") {
+    val probes = Seq(0L, 1L, 2L)
+    val bf = Similarity.bruteForceTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty, "LSH candidate generation must not be empty")
+    val overlap = bf.intersect(lsh).size.toDouble / bf.size
+    assert(overlap >= 0.4, s"LSH/brute-force overlap too low: $overlap")
+  }
+
+  test("fingerprints collide exactly for duplicate texts") {
+    val docs = docsDf(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma epsilon")
+    val byId = Similarity.simhashOf(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(1L))
+  }
+}

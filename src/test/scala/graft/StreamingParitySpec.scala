@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.TimeWindows
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch ≡ stream parity (SURVEY.md §5.2.4): each windowed aggregation
+  * runs once as a batch plan and once as a file-source Structured Stream
+  * over the same rows; results must be identical. Also exercises
+  * watermark semantics: dropDuplicatesWithinWatermark drops late rows.
+  */
+class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAfterAll {
+
+  private var eventsDir: String = _
+  private var ckBase: String = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Re-land events as Spark-written (µs) parquet so the file stream
+    // reads the exact same rows as the batch side.
+    eventsDir = Files.createTempDirectory("graft_stream_events").toString
+    ckBase = Files.createTempDirectory("graft_stream_ck").toString
+    Tables.events(spark, sf).coalesce(1).write.mode("overwrite").parquet(eventsDir)
+  }
+
+  private def batchEvents: DataFrame = spark.read.parquet(eventsDir)
+
+  private def parity(name: String, agg: DataFrame => DataFrame): Unit = {
+    val batch = agg(batchEvents)
+    val stream = agg(StreamOps.eventsStream(
+      spark, eventsDir, batchEvents.schema, maxFilesPerTrigger = 10))
+    val q = StreamOps.runToMemory(stream, name, "complete", s"$ckBase/$name")
+    try {
+      val got = spark.table(name)
+      assert(got.count() == batch.count(), s"$name row count batch≠stream")
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        s"$name rows differ batch vs stream")
+    } finally q.stop()
+  }
+
+  test("tumbling window: batch == stream")(parity("p_tumble", TimeWindows.tumbleAgg))
+  test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
+  test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
+
+  test("dropDuplicatesWithinWatermark dedups in-horizon and drops late rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup_in").toString
+    val ck = Files.createTempDirectory("graft_dedup_ck").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    // batch 1: two distinct events + one in-horizon duplicate of id 1
+    write(Seq(
+      (1L, ts(10), 1L, "click", 1.0, "{}"),
+      (1L, ts(10), 1L, "click", 1.0, "{}"),
+      (2L, ts(12), 1L, "view", 2.0, "{}")))
+    val stream = StreamOps.dedupWithinWatermark(
+      StreamOps.eventsStream(spark, dir, batchEvents.schema, maxFilesPerTrigger = 10),
+      watermark = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("p_dedup")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // watermark is now 12:00 - 1h = 11:00
+      // batch 2: id 3 fresh (ok), id 1 again at 10:00 — older than the
+      // watermark → dropped as late, NOT re-emitted or deduped state hit
+      write(Seq(
+        (3L, ts(12), 2L, "click", 3.0, "{}"),
+        (1L, ts(10), 1L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val ids = spark.table("p_dedup").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected late+dup rows dropped, got $ids")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.WeightedMean
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UdxSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("WeightedMean == sum(v*w)/sum(w); zero total weight yields 0.0") {
+    val wmean = udaf(WeightedMean)
+    val df = Seq((1.0, 2.0), (3.0, 1.0), (5.0, 1.0)).toDF("v", "w")
+    val got = df.agg(wmean(col("v"), col("w"))).as[Double].head()
+    assert(math.abs(got - (1.0 * 2 + 3 + 5) / 4.0) < 1e-12)
+    val zero = Seq((1.0, 0.0), (2.0, 0.0)).toDF("v", "w")
+    assert(zero.agg(wmean(col("v"), col("w"))).as[Double].head() == 0.0)
+  }
+
+  test("csv roundtrip preserves rows and types (R22/R23)") {
+    val fn = SparkEntry.queries("q_csv_roundtrip")
+    val back = fn(spark, sf)
+    val orig = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      orig.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("scalar udf matches its CASE re-expression (oracle form)") {
+    val fn = SparkEntry.queries("q_udf_scalar")
+    val viaUdf = fn(spark, sf).select("event_id", "bucket")
+    val viaCase = Tables.events(spark, sf).select(col("event_id"),
+      when(col("value") < 50, "low").when(col("value") < 150, "medium")
+        .otherwise("high").as("bucket"))
+    assert(viaUdf.exceptAll(viaCase).isEmpty && viaCase.exceptAll(viaUdf).isEmpty)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks (SURVEY.md §5.2.3) against naive recomputation
+  * on seeded random data.
+  */
+class WindowPropSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("3-row moving sum over window frame == naive O(n²) recompute") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextDouble() * 10))
+    val df = rows.toDF("id", "user", "v")
+    val w = Window.partitionBy("user").orderBy("id").rowsBetween(-2, Window.currentRow)
+    val got = df.withColumn("ms", sum("v").over(w))
+      .select("user", "id", "ms").as[(Long, Long, Double)].collect()
+      .map { case (u, i, m) => (u, i) -> m }.toMap
+    // naive recompute
+    val byUser = rows.groupBy(_._2)
+    byUser.foreach { case (u, rs) =>
+      val sortedRs = rs.sortBy(_._1)
+      sortedRs.zipWithIndex.foreach { case ((id, _, _), idx) =>
+        val expect = sortedRs.slice(math.max(0, idx - 2), idx + 1).map(_._3).sum
+        assert(math.abs(got((u, id)) - expect) < 1e-9, s"user $u id $id")
+      }
+    }
+  }
+
+  test("rank/dense_rank are deterministic under unique tiebreak and match scala sort") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(i => (i.toLong, s"t${rnd.nextInt(3)}", rnd.nextInt(20).toDouble))
+    val df = rows.toDF("id", "typ", "v")
+    val w = Window.partitionBy("typ").orderBy(col("v").desc, col("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+      .as[(Long, String, Double, Int)].collect()
+      .map { case (id, _, _, rn) => id -> rn }.toMap
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).zipWithIndex.foreach { case ((id, _, _), i) =>
+        assert(got(id) == i + 1, s"row $id")
+      }
+    }
+  }
+
+  test("approx_count_distinct is within 10% of exact on events") {
+    val e = Tables.events(spark, sf)
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("x"))
+      .as[(String, Long)].collect().toMap
+    val approx = e.groupBy("event_type").agg(approx_count_distinct("user_id").as("a"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, x) =>
+      assert(math.abs(approx(k) - x).toDouble / x <= 0.10, s"$k: approx ${approx(k)} vs $x")
+    }
+  }
+}

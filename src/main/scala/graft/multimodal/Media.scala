@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north star): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The container has no codec libraries, so the DECODE step is a
+  * clearly-marked deterministic STUB (`FakeCodec`): it fabricates pixel
+  * dimensions / durations from a fixed-layout fake header. Everything
+  * around it — the schema, the `Dataset[MediaRecord]` encoder surface,
+  * the per-partition batch processing (`mapPartitions`, the Scala
+  * analogue of Python's `mapInPandas` batch shape), partitioning, and
+  * the handoff of extracted features into the similarity/ANN operators —
+  * is real and tested. Swapping `FakeCodec` for javacv/ffmpeg bindings
+  * changes no plan shape.
+  *
+  * 100 TB design: media blobs stay columnar in parquet; decode/resize/
+  * feature-extract are narrow map stages (no shuffle); only the
+  * downstream analytics (dedup by content hash, ANN) shuffle, and they
+  * shuffle the small derived columns — never the blobs.
+  */
+object Media {
+
+  /** Typed metadata carried next to the opaque payload. */
+  final case class MediaMeta(
+      kind: String,          // image | audio | video
+      format: String,        // fake container tag
+      width: Int, height: Int,
+      durationMs: Long, sampleRate: Int)
+
+  final case class MediaRecord(media_id: Long, meta: MediaMeta, content: Array[Byte])
+
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      brightness: Double, embedding: Array[Float])
+
+  final case class Frame(media_id: Long, frame_no: Int, offsetMs: Long,
+      content: Array[Byte])
+
+  /** ----- STUB codec (deterministic fake; see object scaladoc) -----
+    * Fake container layout: byte 0 = kind tag, bytes 1-4 = width,
+    * bytes 5-8 = height, rest = "pixels" (hash-expanded).
+    */
+  object FakeCodec {
+    def encode(kind: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+      val header = Array[Byte](kindTag(kind),
+        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte)
+      val rnd = new scala.util.Random(seed)
+      val body = Array.fill(math.min(w * h, 4096))(rnd.nextInt(256).toByte)
+      header ++ body
+    }
+    def kindTag(kind: String): Byte = kind match {
+      case "image" => 1; case "audio" => 2; case "video" => 3; case _ => 0
+    }
+    /** Decode = parse the fake header. A real codec goes here. */
+    def decodeDims(content: Array[Byte]): (Int, Int) =
+      (((content(1) & 0xff) << 8) | (content(2) & 0xff),
+        ((content(3) & 0xff) << 8) | (content(4) & 0xff))
+    def body(content: Array[Byte]): Array[Byte] = content.drop(5)
+  }
+
+  /** Deterministic synthetic media corpus derived from the documents
+    * table (the driver fixtures carry no binary columns; blobs are
+    * fabricated per doc_id — STUB input, real schema).
+    */
+  def corpus(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        val w = 64 + (id % 8).toInt * 16
+        val h = 48 + (id % 5).toInt * 16
+        MediaRecord(id,
+          MediaMeta(kind, "fake0", w, h, durationMs = n * 10, sampleRate = 16000),
+          FakeCodec.encode(kind, w, h, seed = id))
+      }
+  }
+
+  /** Decode + feature-extract, batched per partition (mapPartitions —
+    * one iterator pass per partition, the batch shape a vectorized
+    * decoder wants). Features: true dims re-parsed from the payload,
+    * mean byte brightness, and a 64-d embedding pooled from the body
+    * bytes.
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = FakeCodec.decodeDims(r.content)
+        val body = FakeCodec.body(r.content)
+        val bright =
+          if (body.isEmpty) 0.0 else body.map(b => (b & 0xff).toDouble).sum / body.length
+        val emb = new Array[Float](64)
+        var i = 0
+        while (i < body.length) { emb(i % 64) += (body(i) & 0xff) / 255.0f; i += 1 }
+        ImageFeatures(r.media_id, w, h, bright, emb)
+      }
+    }
+  }
+
+  /** Resize: recompute metadata + deterministically re-encode the
+    * payload at the new dimensions. Narrow map stage; no shuffle.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      r.copy(
+        meta = r.meta.copy(width = w, height = h),
+        content = FakeCodec.encode(r.meta.kind, w, h, seed = r.media_id))
+    })
+  }
+
+  /** Frame sampling for video records: n evenly-spaced frames, each a
+    * slice of the payload with its timestamp offset — one output row per
+    * frame (generator shape).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "video").flatMap { r =>
+      val body = FakeCodec.body(r.content)
+      val step = math.max(1, body.length / n)
+      (0 until n).map { i =>
+        Frame(r.media_id, i, i * (r.meta.durationMs / math.max(1, n)),
+          body.slice(i * step, math.min(body.length, (i + 1) * step)))
+      }
+    }
+  }
+
+  /** Exact dedup by content hash — blobs are hashed where they live
+    * (map-side sha2 over the binary column); only the 64-char digest
+    * shuffles, never the payload.
+    */
+  def dedupByContent(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .groupBy("content_sha")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_dups"))
+}

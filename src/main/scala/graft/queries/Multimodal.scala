@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+
+/** Multimodal pipeline queries (north star). Non-oracle: the payloads
+  * are engine-synthesized binaries (no DuckDB counterpart) — verified in
+  * MediaSpec (schema, batch shape, determinism, feature handoff).
+  */
+object Multimodal {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // decode + feature extraction over the binary corpus
+    QueryDef("q_media_features",
+      (s, d) => Media.extractImageFeatures(Media.corpus(s, d)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("brightness"), 4).as("brightness"))
+        .orderBy(col("media_id")),
+      None),
+
+    // video frame sampling: 4 frames per video record
+    QueryDef("q_media_frames",
+      (s, d) => Media.sampleFrames(Media.corpus(s, d), 4).toDF()
+        .select(col("media_id"), col("frame_no"), col("offsetMs"),
+          length(col("content")).as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_no")),
+      None),
+
+    // exact media dedup on content digest (blob never shuffles)
+    QueryDef("q_media_dedup",
+      (s, d) => Media.dedupByContent(Media.corpus(s, d))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id")),
+      None),
+
+    // ANN over media-derived embeddings: binary → features → cosine
+    // top-k through the same similarity operator as q_sim_topk
+    QueryDef("q_media_sim",
+      (s, d) => {
+        val feats = Media.extractImageFeatures(Media.corpus(s, d)).toDF()
+          .select(col("media_id").as("vec_id"), col("embedding"), lit(0).as("label"))
+        Similarity.bruteForceTopKOf(feats, Seq(0L, 1L, 2L), 3)
+      },
+      None)
+  )
+}

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Offline connector layer (SURVEY.md §7.1 step 4): consumes JSON
+  * payloads shaped exactly like the reference's Prisma Cloud API
+  * responses (schemas transcribed in FIXTURES.md §B from
+  * `/root/reference/modules/src/prisma_report/lambda.py`) and produces
+  * the three reports the reference uploads — re-expressed as declarative
+  * Spark plans.
+  *
+  * Reference-semantics mapping (SURVEY.md §2a), with its bugs fixed
+  * (§7.5): JSON→table normalize (R6) = `from_json` + explode; timestamp
+  * enrichment (R7/R8) is data-derived, never ambient globals (bug B2);
+  * null fill (R9) = `na.fill(0)`; the per-service fan-out loop (R11) is
+  * a single groupBy/join; the per-account dict aggregation (R17) groups
+  * by accountId, not display name (bug B3); report projection+rename
+  * (R19/R20); partitioned CSV sink (R22/R23) through Spark's commit
+  * protocol instead of hand-rolled rollback (R24, bug B5). No
+  * credentials anywhere (config comes from the environment; the
+  * reference hard-codes them — SURVEY.md §0 security note).
+  *
+  * 100 TB design: payload parsing is a map-only `from_json` over
+  * whatever partitioning the landed JSON files have; the only shuffles
+  * are the declared aggregations; the policy side of the alert join is
+  * dimension-sized and broadcast.
+  */
+object PrismaConnector {
+
+  val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ---- payload schemas (FIXTURES.md §B1-B3) ----
+
+  private def aggregatesSchema(groupField: String) = StructType(Seq(
+    StructField(groupField, StringType),
+    StructField("criticalSeverityFailedResources", LongType),
+    StructField("highSeverityFailedResources", LongType),
+    StructField("mediumSeverityFailedResources", LongType),
+    StructField("lowSeverityFailedResources", LongType),
+    StructField("informationalSeverityFailedResources", LongType),
+    StructField("passedResources", LongType),
+    StructField("failedResources", LongType),
+    StructField("totalResources", LongType)))
+
+  def inventorySchema(groupField: String = "serviceName"): StructType = StructType(Seq(
+    StructField("timestamp", LongType),
+    StructField("requestedTimestamp", LongType),
+    StructField("groupedAggregates", ArrayType(aggregatesSchema(groupField)))))
+
+  val policySchema: StructType = StructType(Seq(
+    StructField("policies", ArrayType(StructType(Seq(
+      StructField("policyId", StringType), StructField("policyName", StringType),
+      StructField("policyType", StringType), StructField("severity", StringType),
+      StructField("alertCount", LongType)))))))
+
+  val alertPageSchema: StructType = StructType(Seq(
+    StructField("policyId", StringType), // page is fetched per policy (R16)
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("resource", StructType(Seq(
+        StructField("account", StringType), StructField("accountId", StringType),
+        StructField("cloudType", StringType),
+        StructField("cloudAccountGroups", ArrayType(StringType))))))))),
+    StructField("nextPageToken", StringType)))
+
+  // ---- R6: JSON → table normalize ----
+
+  /** One inventory payload (JSON lines of responses) → flat aggregate
+    * rows + R7/R8 enrichment + R9 null fill. `groupField` selects the
+    * by-service vs by-resource-type variant.
+    */
+  def inventoryReport(spark: SparkSession, payloads: DataFrame,
+      groupField: String = "serviceName"): DataFrame = {
+    val parsed = payloads
+      .select(from_json(col("json"), inventorySchema(groupField)).as("p"))
+      .select(col("p.timestamp").as("ts_ms"),
+        col("p.requestedTimestamp").as("req_ms"),
+        explode_outer(col("p.groupedAggregates")).as("g"))
+    parsed
+      .select(col("g.*"),
+        // R7: epoch-millis → formatted string, derived from the payload
+        // (never wall clock / module globals — bugs B2/B4)
+        date_format(timestamp_millis(col("ts_ms")), TsFmt).as("timestamp"),
+        date_format(timestamp_millis(col("req_ms")), TsFmt).as("requestedTimestamp"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("transaction_date"))
+      .na.fill(0) // R9
+  }
+
+  /** Per-service resource-type fan-out (R11) — the reference's
+    * sequential per-service GET loop becomes one payload set carrying a
+    * `service` lineage column (→ `resourceIdentity`); no driver-side
+    * loop, one declarative plan.
+    */
+  def resourceTypeReport(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    val parsed = payloads
+      .select(col("service").as("resourceIdentity"),
+        from_json(col("json"), inventorySchema("resourceTypeName")).as("p"))
+      .select(col("resourceIdentity"),
+        col("p.timestamp").as("ts_ms"), col("p.requestedTimestamp").as("req_ms"),
+        explode_outer(col("p.groupedAggregates")).as("g"))
+    parsed
+      .select(col("g.*"),
+        date_format(timestamp_millis(col("ts_ms")), TsFmt).as("timestamp"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("transaction_date"),
+        col("resourceIdentity"))
+      .na.fill(0)
+  }
+
+  /** Alert report (R16/R17/R19/R20): policies ⋈ alert pages on policyId
+    * (broadcast — policy list is dimension-sized), per-account hash
+    * aggregation keyed by accountId (bug B3 fixed: the reference keys by
+    * display name and merges distinct accounts), projected/renamed to
+    * the reference's report schema.
+    */
+  def alertReport(spark: SparkSession, policyPayload: DataFrame,
+      alertPages: DataFrame): DataFrame = {
+    val policies = policyPayload
+      .select(from_json(col("json"), policySchema).as("p"))
+      .select(explode(col("p.policies")).as("pol"))
+      .select(col("pol.policyId"), col("pol.policyName"),
+        col("pol.policyType"), col("pol.severity"))
+    val alerts = alertPages
+      .select(from_json(col("json"), alertPageSchema).as("a"))
+      .select(col("a.policyId").as("alert_policyId"), explode_outer(col("a.items")).as("item"))
+      .filter(col("item").isNotNull) // R21: empty pages contribute nothing
+      .select(col("alert_policyId"),
+        col("item.resource.account").as("account"),
+        col("item.resource.accountId").as("accountId"),
+        col("item.resource.cloudType").as("cloudType"),
+        element_at(col("item.resource.cloudAccountGroups"), 1).as("accountGroup")) // R18
+    val perAccount = alerts
+      .groupBy(col("alert_policyId"), col("accountId")) // B3: key by id
+      .agg(count(lit(1)).as("failedCount"),
+        min(col("account")).as("account"), // deterministic "first"
+        min(col("cloudType")).as("cloudType"),
+        min(col("accountGroup")).as("accountGroup"))
+    perAccount
+      .join(broadcast(policies), col("alert_policyId") === col("policyId"))
+      .select( // R19 projection + R20 upper
+        col("policyName").as("Policy Name"),
+        col("policyType").as("Policy Type"),
+        upper(col("severity")).as("Policy Severity"),
+        upper(col("cloudType")).as("Cloud Type"),
+        col("account").as("Cloud Account Name"),
+        col("accountId").as("Cloud Account Id"),
+        col("accountGroup").as("Cloud Account Group"),
+        lit("fail").as("Status"),
+        col("failedCount").as("Failed Resource Count"))
+  }
+
+  /** R22/R23: header'd, quoted CSV under a hive-partitioned date layout
+    * (`transaction_date=YYYY-MM-DD/`) — strictly better than the
+    * reference's hand-built `{yyyy}/{MonthName}/{d}` key — written
+    * through Spark's commit protocol (atomic publish; replaces R24's
+    * delete-based rollback).
+    */
+  def writeReport(df: DataFrame, path: String): Unit = {
+    val out = if (df.columns.contains("transaction_date")) df
+      else df.withColumn("transaction_date",
+        date_format(current_date(), "yyyy-MM-dd"))
+    out.write.mode("overwrite")
+      .partitionBy("transaction_date")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(path)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.PrismaConnector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector-layer semantics vs the reference pipeline (SURVEY.md §2a),
+  * including the §7.5 bug fixes and the FIXTURES.md §B edge cases:
+  * empty payloads (R21), missing metric fields (R12 NaN-fill path),
+  * duplicate account names with distinct ids (bug B3).
+  */
+class ConnectorSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val invPayload =
+    """{"timestamp": 1712500000000, "requestedTimestamp": 1712500000000,
+      | "summary": {"x": 1},
+      | "groupedAggregates": [
+      |  {"serviceName": "Amazon EC2", "criticalSeverityFailedResources": 1,
+      |   "highSeverityFailedResources": 2, "passedResources": 10,
+      |   "failedResources": 3, "totalResources": 13},
+      |  {"serviceName": "Amazon S3", "passedResources": 5,
+      |   "failedResources": 0, "totalResources": 5}
+      | ]}""".stripMargin.replace("\n", " ")
+
+  test("inventory report: normalize + enrich + fill (R6/R7/R8/R9)") {
+    val out = PrismaConnector.inventoryReport(spark, Seq(invPayload).toDF("json"))
+    assert(out.count() == 2)
+    val ec2 = out.filter(col("serviceName") === "Amazon EC2").head()
+    assert(ec2.getAs[Long]("criticalSeverityFailedResources") == 1)
+    // missing metric fields fill to 0, not null (R9)
+    val s3 = out.filter(col("serviceName") === "Amazon S3").head()
+    assert(s3.getAs[Long]("criticalSeverityFailedResources") == 0)
+    assert(out.filter(col("timestamp").isNull).count() == 0)
+    // timestamp derived from payload epoch-millis, formatted (R7)
+    assert(ec2.getAs[String]("timestamp") == "2024-04-07 14:26:40")
+    assert(ec2.getAs[String]("transaction_date") == "2024-04-07")
+  }
+
+  test("empty groupedAggregates → 0-row report with full schema (R21)") {
+    val empty =
+      """{"timestamp": 1712500000000, "requestedTimestamp": 1712500000000,
+        | "groupedAggregates": []}""".stripMargin.replace("\n", " ")
+    val out = PrismaConnector.inventoryReport(spark, Seq(empty).toDF("json"))
+    assert(out.count() == 0 ||
+      out.filter(col("serviceName").isNotNull).count() == 0)
+    assert(out.columns.contains("timestamp") && out.columns.contains("transaction_date"))
+  }
+
+  test("resource-type fan-out carries resourceIdentity lineage (R11)") {
+    val payload =
+      """{"timestamp": 1712500000000, "requestedTimestamp": 1712500000000,
+        | "groupedAggregates": [
+        |  {"resourceTypeName": "EC2 Instance", "failedResources": 1,
+        |   "passedResources": 2, "totalResources": 3}]}"""
+        .stripMargin.replace("\n", " ")
+    val out = PrismaConnector.resourceTypeReport(spark,
+      Seq(("Amazon EC2", payload), ("Amazon EKS", payload)).toDF("service", "json"))
+    assert(out.count() == 2)
+    assert(out.select("resourceIdentity").as[String].collect().sorted.toSeq ==
+      Seq("Amazon EC2", "Amazon EKS"))
+  }
+
+  test("alert report: join + per-accountId agg + projection (R16/R17/R19/R20, bug B3 fixed)") {
+    val policies =
+      """{"policies": [
+        | {"policyId": "p1", "policyName": "Public bucket", "policyType": "config",
+        |  "severity": "high", "alertCount": 3},
+        | {"policyId": "p2", "policyName": "Open SG", "policyType": "network",
+        |  "severity": "critical", "alertCount": 1}]}""".stripMargin.replace("\n", " ")
+    // two distinct accounts SHARING a display name (reference bug B3
+    // would merge them); one alert for p2; one empty page (R21)
+    def alert(id: String, acct: String, acctId: String) =
+      s"""{"id": "$id", "resource": {"account": "$acct", "accountId": "$acctId",
+         | "cloudType": "aws", "cloudAccountGroups": ["g1", "g2"]}}""".stripMargin.replace("\n", " ")
+    val pages = Seq(
+      ("p1", s"""{"policyId": "p1", "items": [${alert("a1", "prod", "111")},
+                |${alert("a2", "prod", "111")}, ${alert("a3", "prod", "222")}],
+                | "nextPageToken": null}""".stripMargin.replace("\n", " ")),
+      ("p2", s"""{"policyId": "p2", "items": [${alert("a4", "dev", "333")}]}"""),
+      ("p2", """{"policyId": "p2", "items": []}"""))
+      .toDF("pid", "json").select("json")
+    val out = PrismaConnector.alertReport(spark, Seq(policies).toDF("json"), pages)
+    assert(out.columns.toSeq == Seq("Policy Name", "Policy Type", "Policy Severity",
+      "Cloud Type", "Cloud Account Name", "Cloud Account Id", "Cloud Account Group",
+      "Status", "Failed Resource Count"))
+    val rows = out.orderBy(col("Cloud Account Id")).collect()
+    assert(rows.length == 3) // 111 and 222 stay distinct despite same name
+    val r111 = rows.find(_.getAs[String]("Cloud Account Id") == "111").get
+    assert(r111.getAs[Long]("Failed Resource Count") == 2)
+    assert(r111.getAs[String]("Policy Severity") == "HIGH") // R20 upper
+    assert(r111.getAs[String]("Cloud Type") == "AWS")
+    assert(r111.getAs[String]("Cloud Account Group") == "g1") // R18 element 1
+    assert(rows.forall(_.getAs[String]("Status") == "fail"))
+  }
+
+  test("report sink: hive-partitioned quoted CSV roundtrip (R22/R23)") {
+    val dir = Files.createTempDirectory("graft_report_sink").toString
+    val report = PrismaConnector.inventoryReport(spark, Seq(invPayload).toDF("json"))
+    PrismaConnector.writeReport(report, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+    // hive partition column materialized from the path
+    assert(back.columns.contains("transaction_date"))
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("transaction_date=")))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing (north star): schema, per-partition batch shape,
+  * determinism of the stubbed codec, frame sampling, and the
+  * features→ANN handoff.
+  */
+class MediaSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("corpus is deterministic and schema'd: binary payload + typed metadata") {
+    val a = Media.corpus(spark, sf)
+    val df = a.toDF()
+    assert(df.schema("content").dataType.typeName == "binary")
+    assert(df.schema("meta").dataType.typeName == "struct")
+    val r1 = a.filter(_.media_id == 0L).head()
+    val r2 = Media.corpus(spark, sf).filter(_.media_id == 0L).head()
+    assert(r1.content.toSeq == r2.content.toSeq, "stub payloads must be deterministic")
+    assert(Set("image", "audio", "video")(r1.meta.kind))
+  }
+
+  test("decode parses the dims that were encoded (header roundtrip)") {
+    val feats = Media.extractImageFeatures(Media.corpus(spark, sf))
+    val metas = Media.corpus(spark, sf).collect().map(r => r.media_id -> r.meta).toMap
+    feats.collect().foreach { f =>
+      assert(f.width == metas(f.media_id).width, s"media ${f.media_id} width")
+      assert(f.height == metas(f.media_id).height)
+      assert(f.embedding.length == 64)
+      assert(!f.brightness.isNaN && f.brightness >= 0 && f.brightness <= 255)
+    }
+  }
+
+  test("feature extraction preserves partitioning (narrow map, no shuffle)") {
+    val media = Media.corpus(spark, sf).repartition(5)
+    val feats = Media.extractImageFeatures(media)
+    assert(feats.rdd.getNumPartitions == 5)
+    val plan = feats.queryExecution.executedPlan.toString
+    // exactly one Exchange: the explicit repartition(5) above — the
+    // decode/extract stage itself must add none
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"decode stage must not add a shuffle:\n$plan")
+  }
+
+  test("resize rewrites metadata and payload dims") {
+    val resized = Media.resize(Media.corpus(spark, sf), 32, 24)
+    val r = resized.head()
+    assert(r.meta.width == 32 && r.meta.height == 24)
+    assert(Media.FakeCodec.decodeDims(r.content) == ((32, 24)))
+  }
+
+  test("frame sampling emits n frames per video with monotonic offsets") {
+    val frames = Media.sampleFrames(Media.corpus(spark, sf), 4)
+    val byId = frames.collect().groupBy(_.media_id)
+    assert(byId.nonEmpty)
+    byId.foreach { case (_, fs) =>
+      assert(fs.length == 4)
+      assert(fs.sortBy(_.frame_no).map(_.offsetMs).toSeq ==
+        fs.map(_.offsetMs).sorted.toSeq)
+    }
+    val vids = Media.corpus(spark, sf).filter(_.meta.kind == "video").count()
+    assert(byId.size.toLong == vids)
+  }
+
+  test("content dedup groups identical payloads only") {
+    val d = Media.dedupByContent(Media.corpus(spark, sf))
+    // payloads are seeded per media_id → all distinct in the fixture
+    assert(d.filter(col("n_dups") > 1).count() == 0)
+    assert(d.count() == Media.corpus(spark, sf).count())
+  }
+
+  test("media features flow into the ANN operator (q_media_sim)") {
+    val out = SparkEntry.queries("q_media_sim")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
+}

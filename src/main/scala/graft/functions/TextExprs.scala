@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions for the text-similarity hot
+  * path (SURVEY.md §4.2: "a native Catalyst Expression beats a Scala
+  * UDF").
+  *
+  * Why not higher-order functions: `transform`/`aggregate` lambdas are
+  * interpreted per element — shingling 5k docs (~260k shingles) costs
+  * ~9 s and MinHash/SimHash multiply that by perms/bits. These kernels
+  * run as a single generated-code call per row into tight JVM loops
+  * (whole-stage codegen keeps the scan→project pipeline fused): the
+  * same work runs in well under a second.
+  *
+  * Hashing uses Catalyst's XXH64 (the engine behind Spark's `xxhash64`)
+  * with the permutation index as seed, so `simhash64` is bit-identical
+  * to the xxhash64-based formulation it replaced.
+  */
+object TextKernels {
+
+  /** Distinct space-delimited token n-gram shingles, first-occurrence
+    * order (matches array_distinct(transform(...)) semantics).
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: per permutation p, min over shingles of
+    * XXH64(shingle bytes, seed = p). Empty input → all-Long.MaxValue
+    * signature (callers filter empty shingle sets first).
+    */
+  def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val m = shingles.numElements()
+    var i = 0
+    while (i < m) {
+      val s = shingles.getUTF8String(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-occurrence ±1 bit votes
+    * of XXH64(token, seed 42) — seed 42 = Spark's xxhash64 default, so
+    * results match the previous formulation exactly.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) r |= 1L << b; b += 1 }
+    r
+  }
+}
+
+case class TokenShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhashSig($c, $numPerms)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the custom expressions. */
+object TextExprs {
+  def tokenShingles(c: Column, n: Int = 3): Column =
+    ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
+  def minhashSig(c: Column, numPerms: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numPerms))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}

@@ -20,21 +20,13 @@ object Similarity {
   val NumPerms = 32  // MinHash permutations
   val BandSize = 4   // → 8 bands of 4 rows: catches Jaccard ≳ 0.5 w.h.p.
 
-  /** Token-3-gram shingle set per doc as an array column — computed
-    * map-side with higher-order functions (transform over a position
-    * sequence), NO self-join and NO shuffle. At 100 TB this keeps
-    * shingling inside the scan stage; the old formulation (two
-    * positional self-joins of the exploded token table) shuffled the
-    * whole token corpus three times.
+  /** Token-3-gram shingle set per doc as an array column — one
+    * codegen'd expression (functions.TokenShingles) inside the scan
+    * stage: no self-join, no shuffle, no interpreted lambda per element.
     */
   def shingleArraysOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(0, size(toks) - 3),
-          |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-          |  ELSE array() END)""".stripMargin).as("shingles"))
+    docs.select(col("doc_id"),
+      graft.functions.TextExprs.tokenShingles(col("text"), 3).as("shingles"))
 
   def shingleArrays(s: SparkSession, d: String): DataFrame =
     shingleArraysOf(T.documents(s, d))
@@ -46,19 +38,16 @@ object Similarity {
   def shingles(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
-  /** MinHash signature, fully map-only: per row, min over the shingle
-    * array of xxhash64(perm, shingle) for each permutation. No explode,
-    * no groupBy — signature computation runs inside the scan stage.
-    * Docs with no shingles (< 3 tokens) are excluded, matching the old
-    * aggregate-over-zero-rows semantics.
+  /** MinHash signature, fully map-only via the codegen'd
+    * functions.MinHashSig kernel (XXH64 seeded by permutation index).
+    * No explode, no groupBy — signatures come out of the scan stage.
+    * Docs with no shingles (< 3 tokens) are excluded.
     */
   def minhashSignaturesOf(docs: DataFrame): DataFrame =
     shingleArraysOf(docs)
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${NumPerms - 1}),
-           |          p -> array_min(transform(shingles, sh -> xxhash64(p, sh))))""".stripMargin)
-        .as("sig"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(col("shingles"), NumPerms).as("sig"))
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(T.documents(s, d))
@@ -87,23 +76,14 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document from per-occurrence bit votes.
-    *
-    * Fully map-only: token hashes and the 64 bit-vote sums are computed
-    * with nested higher-order functions inside the scan stage — no
-    * explode (the old version blew each word up ×64) and no shuffle.
-    * Per-occurrence votes sum to the same totals as the old
-    * count-per-word formulation, so results are identical.
+  /** 64-bit SimHash per document from per-occurrence bit votes — one
+    * codegen'd kernel call per row (functions.SimHash64, XXH64 seed 42 =
+    * Spark's xxhash64, so values match the expression formulation it
+    * replaced).
     */
   def simhashOf(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc +
-          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a +
-          |         CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |       THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
-          .stripMargin).as("simhash"))
+    docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhash64(col("text")).as("simhash"))
 
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashOf(T.documents(s, d)).orderBy(col("doc_id"))

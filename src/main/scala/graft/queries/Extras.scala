@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional relational surface beyond the core §2b set: outer joins,
+  * statistical aggregates, pivot, SQL-entry-point queries (temp views +
+  * `spark.sql`), ordered string aggregation, distinct-union, and the
+  * remaining window analytics. All oracle-checked.
+  */
+object Extras {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Full outer join: coalesced keys keep the total order engine-neutral.
+    QueryDef("q_join_outer",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), lit(-1)).as("custkey"),
+            coalesce(col("o_orderkey"), lit(-1)).as("orderkey"),
+            round(coalesce(col("o_totalprice"), lit(0)), 4).as("price"))
+          .orderBy(col("custkey"), col("orderkey"))
+      },
+      Some("""SELECT CAST(COALESCE(c_custkey, -1) AS BIGINT) AS custkey,
+             |       CAST(COALESCE(o_orderkey, -1) AS BIGINT) AS orderkey,
+             |       round(COALESCE(o_totalprice, 0), 4) AS price
+             |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+             |ORDER BY custkey, orderkey""".stripMargin)),
+
+    // Statistical aggregates.
+    QueryDef("q_agg_stats",
+      (s, d) => T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("vr"),
+          round(min(col("value")), 4).as("mn"),
+          round(max(col("value")), 4).as("mx"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       round(stddev_samp(value), 4) AS sd,
+             |       round(var_samp(value), 4) AS vr,
+             |       round(min(value), 4) AS mn,
+             |       round(max(value), 4) AS mx,
+             |       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS cr
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont).
+    QueryDef("q_agg_percentile",
+      (s, d) => T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.9), 4) AS p90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Pivot ≡ conditional aggregation.
+    QueryDef("q_pivot",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(round(sum(col("value")), 4))
+        .na.fill(0.0)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |       round(COALESCE(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click,
+             |       round(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+             |       round(COALESCE(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error,
+             |       round(COALESCE(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup,
+             |       round(COALESCE(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // SQL entry point: scalar subquery (decorrelated by Catalyst).
+    QueryDef("q_subquery_scalar",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, round(o_totalprice, 4) AS price
+                |FROM orders
+                |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 4) AS price
+             |FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SQL entry point: GROUP BY + HAVING.
+    QueryDef("q_having",
+      (s, d) => {
+        T.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                |       round(sum(l_quantity), 4) AS qty
+                |FROM lineitem GROUP BY l_orderkey
+                |HAVING count(*) >= 6
+                |ORDER BY l_orderkey""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_quantity), 4) AS qty
+             |FROM lineitem GROUP BY l_orderkey
+             |HAVING count(*) >= 6
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // Ordered string aggregation.
+    QueryDef("q_string_agg",
+      (s, d) => {
+        val n = T.nation(s, d)
+        val r = T.region(s, d)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // UNION (distinct) vs UNION ALL distinction.
+    QueryDef("q_union_distinct",
+      (s, d) => {
+        val n = T.nation(s, d)
+        val custN = T.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === n("n_nationkey")).select("n_name")
+        val suppN = T.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === n("n_nationkey")).select("n_name")
+        custN.union(suppN).distinct().orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |UNION
+             |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY n_name""".stripMargin)),
+
+    // Remaining window analytics: ntile / percent_rank / cume_dist.
+    QueryDef("q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |       round(percent_rank() OVER w, 4) AS pr,
+             |       round(cume_dist() OVER w, 4) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // first_value / last_value / nth_value with explicit full frame.
+    QueryDef("q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("last_type"),
+            nth_value(col("event_type"), 2).over(w).as("second_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       first_value(event_type) OVER w AS first_type,
+             |       last_value(event_type) OVER w AS last_type,
+             |       nth_value(event_type, 2) OVER w AS second_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.queries.Similarity
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY.md: ".explain the plan and iterate until
+  * it's the plan you'd want"): these lock in the scale-critical plan
+  * properties so a regression (lost pushdown, surprise shuffle, dropped
+  * broadcast) fails CI instead of surfacing as a 100-TB incident.
+  */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+
+  private def formattedPlan(df: DataFrame): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out)(df.explain("formatted"))
+    out.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q_scan_project prunes the scan to the selected columns") {
+    val plan = formattedPlan(q("q_scan_project"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val plan = formattedPlan(q("q_filter_pred"))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(o_orderpriority") || pushed.contains("o_orderpriority"),
+      s"expected pushed filters, got: $pushed")
+    assert(!pushed.contains("PushedFilters: []"))
+  }
+
+  test("q_join_bcast broadcasts the dimension side (no fact shuffle)") {
+    val plan = formattedPlan(q("q_join_bcast"))
+    assert(plan.contains("BroadcastHashJoin"), "dimension join must broadcast")
+  }
+
+  test("q_join_smj uses sort-merge for the big-big join") {
+    val plan = formattedPlan(q("q_join_smj"))
+    assert(plan.contains("SortMergeJoin"), "big-big join must sort-merge")
+  }
+
+  test("q_topk_global plans as TakeOrderedAndProject (no full sort)") {
+    val plan = formattedPlan(q("q_topk_global"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must not globally sort all rows")
+  }
+
+  test("q_agg_q1 aggregates in two phases (map-side partial)") {
+    val plan = formattedPlan(q("q_agg_q1"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("simhash and minhash signatures are computed without any shuffle") {
+    val sim = Similarity.simhashOf(Tables.documents(spark, sf))
+    assert(!sim.queryExecution.executedPlan.toString.contains("Exchange"),
+      "simhash must be map-only")
+    val sig = Similarity.minhashSignaturesOf(Tables.documents(spark, sf))
+    assert(!sig.queryExecution.executedPlan.toString.contains("Exchange"),
+      "minhash signatures must be map-only")
+  }
+
+  test("custom text kernels participate in whole-stage codegen") {
+    val sim = Similarity.simhashOf(Tables.documents(spark, sf))
+    // codegen'd operators carry the `*` prefix in the executed plan
+    val plan = sim.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("* Project"),
+      s"custom expressions must not break codegen:\n$plan")
+  }
+
+  test("q_month_range broadcasts the 1-row aggregate, not the fact side") {
+    val plan = formattedPlan(q("q_month_range"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "data-derived 'now' must broadcast")
+  }
+}

@@ -176,6 +176,37 @@ object Extras {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Typed Dataset API: case-class rows, groupByKey + typed Aggregator
+    // (partial aggregation still applies — same two-phase plan).
+    QueryDef("q_typed_agg",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d).as[graft.Schemas.Event]
+          .groupByKey(_.event_type)
+          .agg(graft.functions.TypedAggs.avgValue.name("avg_value"))
+          .toDF("event_type", "avg_value")
+          .select(col("event_type"), round(col("avg_value"), 4).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Skew mitigation: salted two-phase aggregation — phase 1 spreads a
+    // hot key over 8 salt shards, phase 2 combines shard partials. Must
+    // equal the plain single-phase oracle. (At 100 TB this is the manual
+    // fallback where AQE skew handling doesn't apply, e.g. aggregations.)
+    QueryDef("q_skew_salted",
+      (s, d) => T.events(s, d)
+        .withColumn("salt", pmod(hash(col("event_id")), lit(8)))
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("ps"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("pn")).as("n"), round(sum(col("ps")), 4).as("sum_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

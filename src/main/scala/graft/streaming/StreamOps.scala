@@ -1,8 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import graft.Schemas.{Event, UserStats}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
+
+/** Buffer for [[StreamOps.userRunningStats]] — top-level so the encoder's
+  * generated code can construct it.
+  */
+final case class StatsState(n: Long, sum: Double, max: Double)
 
 /** Structured Streaming surface (SURVEY.md §2b q_stream_*): file-source
   * streams over the events schema, watermarked windowed aggregations,
@@ -45,6 +51,31 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful aggregation via flatMapGroupsWithState: running
+    * per-user event count / mean / max maintained across micro-batches,
+    * emitting the updated stats every batch (OutputMode.Update).
+    *
+    * This is the escape hatch for state machines watermark-windowed aggs
+    * can't express; state here is tiny (3 numbers per user) and keyed by
+    * user_id, so it shards across executors with the shuffle. A real
+    * deployment adds `GroupStateTimeout.EventTimeTimeout` + watermark to
+    * retire idle users; the no-timeout form keeps the test deterministic.
+    */
+  def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StatsState, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[StatsState]) =>
+          var s = state.getOption.getOrElse(StatsState(0L, 0.0, Double.MinValue))
+          rows.foreach { e =>
+            s = StatsState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+          }
+          state.update(s)
+          Iterator.single(UserStats(uid, s.n, s.sum / s.n, s.max))
+      }
+  }
 
   /** Run a streaming DataFrame into an in-memory table and block until
     * all currently-available input is processed. Used by parity tests

@@ -47,6 +47,36 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 
+  test("flatMapGroupsWithState maintains per-user running stats across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state_in").toString
+    val ck = Files.createTempDirectory("graft_state_ck").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    write(Seq((1L, ts(1), 7L, "click", 10.0, "{}"), (2L, ts(2), 7L, "view", 20.0, "{}")))
+    val stream = StreamOps.userRunningStats(
+      StreamOps.eventsStream(spark, dir, batchEvents.schema, maxFilesPerTrigger = 10)
+        .as[Schemas.Event])
+    val q = stream.toDF().writeStream.format("memory").queryName("p_state")
+      .outputMode("update").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("p_state").as[Schemas.UserStats].collect()
+        .filter(_.user_id == 7L).maxBy(_.n)
+      assert(b1.n == 2 && math.abs(b1.mean - 15.0) < 1e-9 && b1.max == 20.0)
+      // second micro-batch: state must carry over, not reset
+      write(Seq((3L, ts(3), 7L, "click", 60.0, "{}")))
+      q.processAllAvailable()
+      val b2 = spark.table("p_state").as[Schemas.UserStats].collect()
+        .filter(_.user_id == 7L).maxBy(_.n)
+      assert(b2.n == 3 && math.abs(b2.mean - 30.0) < 1e-9 && b2.max == 60.0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups in-horizon and drops late rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup_in").toString

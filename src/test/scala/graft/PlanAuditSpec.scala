@@ -76,6 +76,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"custom expressions must not break codegen:\n$plan")
   }
 
+  test("hive-partitioned sink enables partition pruning on read-back") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val pf = formattedPlan(back).linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"), s"expected partition filter, got: $pf")
+    assert(back.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+  }
+
   test("q_month_range broadcasts the 1-row aggregate, not the fact side") {
     val plan = formattedPlan(q("q_month_range"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

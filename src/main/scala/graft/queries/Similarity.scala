@@ -192,10 +192,71 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 6
+
+  /** Deterministic data-sampled centroids (every ⌊N/k⌋-th vector by
+    * vec_id, L2-normalized) — centroids drawn from the corpus
+    * distribution give far better list locality than random gaussians.
+    * Bounded driver-side collect (k rows), the IVF "training" step; a
+    * full build would run k-means via the same assign+groupBy plan.
+    */
+  private def sampleCentroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
+    val c = corpus(s, d).select(col("vec_id"), col("emb"), col("norm"))
+    val n = c.count()
+    val step = math.max(1L, n / k)
+    c.filter(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(k)
+      .select(transform(col("emb"), x => x / col("norm")).as("unit"))
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** IVF-Flat list assignment: nearest (max-dot, centroids normalized)
+    * of K data-sampled centroids, computed map-side against the
+    * broadcast centroid matrix — the inverted-file partitioning step.
+    * At 100 TB the corpus would be written partitioned by `cid` so a
+    * probe reads only its lists.
+    */
+  def ivfAssign(s: SparkSession, d: String, k: Int = IvfCentroids): DataFrame = {
+    val cents = sampleCentroids(s, d, k)
+    val c = corpus(s, d)
+    val dots = (0 until k).map { i =>
+      val plane = array(cents(i).map(v => lit(v)): _*)
+      aggregate(zip_with(col("emb"), plane, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    }
+    c.withColumn("dots", array(dots: _*))
+      .withColumn("cid", expr("array_position(dots, array_max(dots)) - 1"))
+  }
+
+  /** IVF ANN top-k: each probe searches only its `nprobe` nearest
+    * centroid lists (equi-join on cid), then exact cosine re-rank.
+    */
+  def ivfTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
+      nprobe: Int = IvfProbes): DataFrame = {
+    val assigned = ivfAssign(s, d)
+    val probeCids = assigned.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("norm").as("p_norm"), posexplode(col("dots")))
+      .withColumnRenamed("pos", "p_cid").withColumnRenamed("col", "p_dot")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("p_norm"), col("p_cid"))
+    val scored = assigned.join(broadcast(probeCids),
+        col("cid") === col("p_cid") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
+      .dropDuplicates("probe_id", "vec_id")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_near", (s, d) => minhashPairs(s, d, 0.5), None),
     QueryDef("q_dedup_simhash", (s, d) => simhashPairs(s, d, 3), None),
     QueryDef("q_sim_topk", (s, d) => bruteForceTopK(s, d, Seq(0L, 1L, 2L), 5), None),
-    QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None)
+    QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
+    QueryDef("q_sim_ivf", (s, d) => ivfTopK(s, d, Seq(0L, 1L, 2L), 5), None)
   )
 }

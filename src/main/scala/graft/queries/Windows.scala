@@ -100,23 +100,28 @@ object Windows {
              |LIMIT 10""".stripMargin)),
 
     // As-of join (SURVEY.md §7.4): each purchase ↔ the same user's latest
-    // prior-or-equal signup. Spark has no batch ASOF JOIN; composed as a
-    // range join + row_number()=1. The oracle uses the ANSI correlated
-    // max() form both engines agree on. Purchases with no prior signup
-    // are kept with NULL (left semantics).
+    // prior-or-equal signup. Spark has no batch ASOF JOIN; composed as
+    // union + per-user running last-signup (ONE shuffle on user_id, no
+    // purchase×signup pair blow-up — the range-join + row_number
+    // formulation is quadratic for hot users at 100 TB). Tie rule:
+    // signup at exactly the purchase ts counts (kind orders signups
+    // first). Purchases with no prior signup keep NULL (left semantics).
+    // The oracle uses the ANSI correlated max() form.
     QueryDef("q_join_asof",
       (s, d) => {
         val e = T.events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("kind"))
         val signups = e.filter(col("event_type") === "signup")
-          .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
-        val w = Window.partitionBy(col("event_id")).orderBy(col("s_ts").desc_nulls_last)
-        purchases
-          .join(signups,
-            col("user_id") === col("s_user_id") && col("s_ts") <= col("ts"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .select(lit(null).cast("long").as("event_id"), col("user_id"),
+            col("ts"), lit(0).as("kind"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(signups)
+          .withColumn("s_ts",
+            last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
           .select(col("event_id"), col("user_id"),
             date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
             date_format(date_trunc("second", col("s_ts")), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))

@@ -107,6 +107,17 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.4, s"LSH/brute-force overlap too low: $overlap")
   }
 
+  test("ivf ANN top-k overlaps brute-force top-k on sf0.001") {
+    val probes = Seq(0L, 1L, 2L)
+    val bf = Similarity.bruteForceTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty, "IVF candidate generation must not be empty")
+    val overlap = bf.intersect(ivf).size.toDouble / bf.size
+    assert(overlap >= 0.3, s"IVF/brute-force overlap too low: $overlap")
+  }
+
   test("fingerprints collide exactly for duplicate texts") {
     val docs = docsDf(
       0L -> "alpha beta gamma delta",

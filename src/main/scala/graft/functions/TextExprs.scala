@@ -130,6 +130,21 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** SQL registration so `spark.sql` users get the custom expressions too:
+  * `SELECT simhash64(text), token_shingles(text) FROM docs`.
+  */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("token_shingles",
+      exprs => TokenShingles(exprs.head, 3), "built-in")
+    r.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head, 32), "built-in")
+    r.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+  }
+}
+
 /** Column-API surface for the custom expressions. */
 object TextExprs {
   def tokenShingles(c: Column, n: Int = 3): Column =

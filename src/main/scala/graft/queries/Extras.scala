@@ -207,6 +207,66 @@ object Extras {
         .orderBy(col("user_id")),
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
              |       round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Pagination shape: ORDER BY + OFFSET + LIMIT (R2's page window as a
+    // query-level construct).
+    QueryDef("q_limit_offset",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .offset(100).limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber
+             |LIMIT 20 OFFSET 100""".stripMargin)),
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates.
+    QueryDef("q_setops_all",
+      (s, d) => {
+        val n = T.nation(s, d)
+        val custN = T.customer(s, d)
+          .join(broadcast(n), col("c_nationkey") === n("n_nationkey")).select("n_name")
+        val suppN = T.supplier(s, d)
+          .join(broadcast(n), col("s_nationkey") === n("n_nationkey")).select("n_name")
+        custN.intersectAll(suppN).withColumn("tag", lit("intersect_all"))
+          .unionByName(custN.exceptAll(suppN).withColumn("tag", lit("except_all")))
+          .select(col("tag"), col("n_name"))
+          .orderBy(col("tag"), col("n_name"))
+      },
+      Some("""SELECT 'intersect_all' AS tag, n_name FROM
+             |  (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |   INTERSECT ALL
+             |   SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             |UNION ALL
+             |SELECT 'except_all' AS tag, n_name FROM
+             |  (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |   EXCEPT ALL
+             |   SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             |ORDER BY tag, n_name""".stripMargin)),
+
+    // Cross join (explicit cartesian, bounded dims only).
+    QueryDef("q_cross_join",
+      (s, d) => {
+        val r = T.region(s, d)
+        r.select(col("r_name").as("a"))
+          .crossJoin(r.select(col("r_name").as("b")))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1 CROSS JOIN region r2
+             |ORDER BY a, b""".stripMargin)),
+
+    // try_cast: malformed input → NULL instead of ANSI error.
+    QueryDef("q_try_cast",
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_num"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_num"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |       TRY_CAST(event_type AS BIGINT) AS bad_num
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

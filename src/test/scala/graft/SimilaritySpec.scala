@@ -118,6 +118,19 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.3, s"IVF/brute-force overlap too low: $overlap")
   }
 
+  test("custom expressions are SQL-registrable and match the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql("SELECT doc_id, simhash64(text) AS sh FROM docs_sql")
+    val viaCol = Similarity.simhashOf(Tables.documents(spark, sf))
+      .toDF("doc_id", "sh")
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    val shSql = spark.sql(
+      "SELECT size(token_shingles(text)) AS n FROM docs_sql").agg(sum("n")).head().getLong(0)
+    val shCol = Similarity.shingles(spark, sf).count()
+    assert(shSql == shCol, s"SQL vs Column shingle counts differ: $shSql vs $shCol")
+  }
+
   test("fingerprints collide exactly for duplicate texts") {
     val docs = docsDf(
       0L -> "alpha beta gamma delta",

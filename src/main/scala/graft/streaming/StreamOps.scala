@@ -77,6 +77,28 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join with event-time range constraint: each
+    * purchase joins signups of the same user within `horizon` BEFORE the
+    * purchase. Both sides are watermarked, and the time-range predicate
+    * is what lets Spark BOUND the join state (without it, both sides'
+    * state grows forever — the stream-stream analogue of the as-of
+    * join's no-pair-blow-up rule).
+    */
+  def purchaseSignupJoin(events: DataFrame, watermark: String = "1 hour",
+      horizon: String = "24 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val signups = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+  }
+
   /** Run a streaming DataFrame into an in-memory table and block until
     * all currently-available input is processed. Used by parity tests
     * and as the reference pattern for a real sink (`format("parquet")`

@@ -47,6 +47,32 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 
+  test("stream-stream join matches the batch join over the same rows") {
+    val agg = (df: DataFrame) => StreamOps.purchaseSignupJoin(df)
+    // batch side: same join shape without watermarks
+    val batch = {
+      import org.apache.spark.sql.functions._
+      val p = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val sg = batchEvents.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      p.join(sg, col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 24 hours"))
+    }
+    val stream = agg(StreamOps.eventsStream(
+      spark, eventsDir, batchEvents.schema, maxFilesPerTrigger = 10))
+    val q = stream.writeStream.format("memory").queryName("p_ssjoin")
+      .outputMode("append").option("checkpointLocation", s"$ckBase/ssjoin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("p_ssjoin")
+      assert(got.count() == batch.count(), "stream-stream join row count differs")
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+      assert(batch.count() > 0, "fixture should produce purchase-signup pairs")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState maintains per-user running stats across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state_in").toString

@@ -12,9 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM, codegen, parquet reader paths) so the first
-    // timed query doesn't absorb one-time startup cost.
-    SparkEntry.entry(spark).count()
+    // Warm the session (JVM, codegen, parquet reader paths) on the bench
+    // dataset so the first timed query doesn't absorb one-time startup
+    // cost; a warm-up failure must not abort the whole bench.
+    try SparkEntry.queries("q_agg_q1")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -134,14 +134,20 @@ case class SimHash64(child: Expression)
   * `SELECT simhash64(text), token_shingles(text) FROM docs`.
   */
 object GraftFunctions {
+  private def arity1(name: String)(
+      build: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => build(e)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${exprs.length}")
+  }
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("token_shingles",
-      exprs => TokenShingles(exprs.head, 3), "built-in")
+      arity1("token_shingles")(TokenShingles(_, 3)), "built-in")
     r.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head, 32), "built-in")
+      arity1("minhash_sig")(MinHashSig(_, 32)), "built-in")
     r.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+      arity1("simhash64")(SimHash64(_)), "built-in")
   }
 }
 

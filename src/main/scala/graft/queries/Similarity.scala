@@ -44,10 +44,16 @@ object Similarity {
     * Docs with no shingles (< 3 tokens) are excluded.
     */
   def minhashSignaturesOf(docs: DataFrame): DataFrame =
-    shingleArraysOf(docs)
-      .filter(size(col("shingles")) > 0)
+    docs
+      // Pre-filter on the cheap token-count precondition (<3 tokens ⇔ no
+      // shingles) BEFORE the kernel projection: filtering on
+      // size(shingles) made Catalyst push the predicate below the
+      // project, duplicating the TokenShingles kernel per row. Here the
+      // pushed predicate only duplicates split(), which is cheap.
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
-        graft.functions.TextExprs.minhashSig(col("shingles"), NumPerms).as("sig"))
+        graft.functions.TextExprs.minhashSig(
+          graft.functions.TextExprs.tokenShingles(col("text"), 3), NumPerms).as("sig"))
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(T.documents(s, d))

@@ -60,10 +60,11 @@ object Udx {
     // goes through Spark's commit protocol (no hand-rolled rollback, R24).
     QueryDef("q_csv_roundtrip",
       (s, d) => {
-        // Fixed per-JVM path + overwrite: repeated bench/verify iterations
-        // rewrite the same directory instead of leaking temp dirs.
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_csv_roundtrip").toString
+        // Per-application path + overwrite: repeated iterations in one app
+        // rewrite the same directory (no leak-per-call), while concurrent
+        // JVMs (driver harness vs sbt test) can't race each other's files.
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_csv_roundtrip_${s.sparkContext.applicationId}").toString
         val slice = T.events(s, d)
           .select(col("event_id"), col("event_type"),
             round(col("value"), 4).as("value_r"),

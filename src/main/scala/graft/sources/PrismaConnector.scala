@@ -77,7 +77,10 @@ object PrismaConnector {
       .select(from_json(col("json"), inventorySchema(groupField)).as("p"))
       .select(col("p.timestamp").as("ts_ms"),
         col("p.requestedTimestamp").as("req_ms"),
-        explode_outer(col("p.groupedAggregates")).as("g"))
+        // explode (not _outer): an empty/missing groupedAggregates list
+        // contributes no report rows (R21) — explode_outer would emit a
+        // phantom all-null record that na.fill turns into junk zeros
+        explode(col("p.groupedAggregates")).as("g"))
     parsed
       .select(col("g.*"),
         // R7: epoch-millis → formatted string, derived from the payload
@@ -99,7 +102,7 @@ object PrismaConnector {
         from_json(col("json"), inventorySchema("resourceTypeName")).as("p"))
       .select(col("resourceIdentity"),
         col("p.timestamp").as("ts_ms"), col("p.requestedTimestamp").as("req_ms"),
-        explode_outer(col("p.groupedAggregates")).as("g"))
+        explode(col("p.groupedAggregates")).as("g"))
     parsed
       .select(col("g.*"),
         date_format(timestamp_millis(col("ts_ms")), TsFmt).as("timestamp"),
@@ -123,13 +126,16 @@ object PrismaConnector {
         col("pol.policyType"), col("pol.severity"))
     val alerts = alertPages
       .select(from_json(col("json"), alertPageSchema).as("a"))
-      .select(col("a.policyId").as("alert_policyId"), explode_outer(col("a.items")).as("item"))
-      .filter(col("item").isNotNull) // R21: empty pages contribute nothing
+      // explode drops empty pages: R21, nothing to report
+      .select(col("a.policyId").as("alert_policyId"), explode(col("a.items")).as("item"))
       .select(col("alert_policyId"),
         col("item.resource.account").as("account"),
         col("item.resource.accountId").as("accountId"),
         col("item.resource.cloudType").as("cloudType"),
-        element_at(col("item.resource.cloudAccountGroups"), 1).as("accountGroup")) // R18
+        // try_element_at: an EMPTY cloudAccountGroups array must yield
+        // NULL, not the INVALID_ARRAY_INDEX error ANSI-mode element_at
+        // raises (R18 + Spark 4 ANSI default)
+        expr("try_element_at(item.resource.cloudAccountGroups, 1)").as("accountGroup"))
     val perAccount = alerts
       .groupBy(col("alert_policyId"), col("accountId")) // B3: key by id
       .agg(count(lit(1)).as("failedCount"),

@@ -61,6 +61,10 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
     extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Int = Int.MaxValue
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // Pages over-deliver up to pageSize-1 rows beyond the limit, so Spark
+  // must keep its Limit operator: partial push, stated explicitly rather
+  // than relying on the interface default.
+  override def isPartiallyPushed: Boolean = true
   override def build(): Scan = {
     val neededPages =
       if (limit == Int.MaxValue) pages

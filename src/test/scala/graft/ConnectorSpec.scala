@@ -44,8 +44,7 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       """{"timestamp": 1712500000000, "requestedTimestamp": 1712500000000,
         | "groupedAggregates": []}""".stripMargin.replace("\n", " ")
     val out = PrismaConnector.inventoryReport(spark, Seq(empty).toDF("json"))
-    assert(out.count() == 0 ||
-      out.filter(col("serviceName").isNotNull).count() == 0)
+    assert(out.count() == 0, "empty groupedAggregates must yield zero report rows")
     assert(out.columns.contains("timestamp") && out.columns.contains("transaction_date"))
   }
 
@@ -75,11 +74,17 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     def alert(id: String, acct: String, acctId: String) =
       s"""{"id": "$id", "resource": {"account": "$acct", "accountId": "$acctId",
          | "cloudType": "aws", "cloudAccountGroups": ["g1", "g2"]}}""".stripMargin.replace("\n", " ")
+    // a5: empty cloudAccountGroups — must yield NULL group, not an ANSI
+    // element_at index error
+    val emptyGroupsAlert =
+      """{"id": "a5", "resource": {"account": "stage", "accountId": "444",
+        | "cloudType": "gcp", "cloudAccountGroups": []}}""".stripMargin.replace("\n", " ")
     val pages = Seq(
       ("p1", s"""{"policyId": "p1", "items": [${alert("a1", "prod", "111")},
                 |${alert("a2", "prod", "111")}, ${alert("a3", "prod", "222")}],
                 | "nextPageToken": null}""".stripMargin.replace("\n", " ")),
       ("p2", s"""{"policyId": "p2", "items": [${alert("a4", "dev", "333")}]}"""),
+      ("p2", s"""{"policyId": "p2", "items": [$emptyGroupsAlert]}"""),
       ("p2", """{"policyId": "p2", "items": []}"""))
       .toDF("pid", "json").select("json")
     val out = PrismaConnector.alertReport(spark, Seq(policies).toDF("json"), pages)
@@ -87,7 +92,10 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       "Cloud Type", "Cloud Account Name", "Cloud Account Id", "Cloud Account Group",
       "Status", "Failed Resource Count"))
     val rows = out.orderBy(col("Cloud Account Id")).collect()
-    assert(rows.length == 3) // 111 and 222 stay distinct despite same name
+    assert(rows.length == 4) // 111 and 222 stay distinct despite same name
+    val r444 = rows.find(_.getAs[String]("Cloud Account Id") == "444").get
+    assert(r444.getAs[String]("Cloud Account Group") == null,
+      "empty cloudAccountGroups must project as NULL")
     val r111 = rows.find(_.getAs[String]("Cloud Account Id") == "111").get
     assert(r111.getAs[Long]("Failed Resource Count") == 2)
     assert(r111.getAs[String]("Policy Severity") == "HIGH") // R20 upper

@@ -109,6 +109,45 @@ object Scalars {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Second string pack: edit distance, padding, translate, reverse,
+    // repeat — the fuzzy-matching / normalization toolkit.
+    QueryDef("q_str_funcs2",
+      (s, d) => T.part(s, d)
+        .withColumn("toks", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          levenshtein(element_at(col("toks"), 1), element_at(col("toks"), -1)).as("edit_dist"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("ab"), 3).as("rep"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |       CAST(levenshtein(list_extract(string_split(p_name, ' '), 1),
+             |                        list_extract(string_split(p_name, ' '), -1)) AS INTEGER) AS edit_dist,
+             |       lpad(p_brand, 12, '_') AS brand_pad,
+             |       translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+             |       reverse(p_brand) AS brand_rev,
+             |       repeat('ab', 3) AS rep
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Null/conditional toolkit: coalesce, nullif, greatest, least, CASE.
+    QueryDef("q_null_funcs",
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"), lit(-1L)).as("k_or_neg1"),
+          nullif(col("event_type"), lit("error")).as("type_no_err"),
+          round(greatest(col("value"), lit(100.0)), 4).as("val_hi"),
+          round(least(col("value"), lit(100.0)), 4).as("val_lo"),
+          when(col("value") >= 100, "big").otherwise("small").as("bucket"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_neg1,
+             |       NULLIF(event_type, 'error') AS type_no_err,
+             |       round(GREATEST(value, 100.0), 4) AS val_hi,
+             |       round(LEAST(value, 100.0), 4) AS val_lo,
+             |       CASE WHEN value >= 100 THEN 'big' ELSE 'small' END AS bucket
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Generator / UDTF: one row per token with 0-based position
     // (posexplode ↔ DuckDB zipped unnest).
     QueryDef("q_udtf_gen",

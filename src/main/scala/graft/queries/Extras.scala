@@ -267,6 +267,40 @@ object Extras {
       Some("""SELECT event_id,
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
              |       TRY_CAST(event_type AS BIGINT) AS bad_num
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Typed join surface: Dataset.joinWith yields typed pairs; flattened
+    // to columns for the oracle compare.
+    QueryDef("q_typed_join",
+      (s, d) => {
+        import s.implicits._
+        val li = T.lineitem(s, d).as[graft.Schemas.Lineitem]
+        val or = T.orders(s, d).as[graft.Schemas.Order]
+        li.joinWith(or, li("l_orderkey") === or("o_orderkey"), "inner")
+          .map { case (l, o) => (l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+            math.rint(l.l_quantity * 10000) / 10000) }
+          .toDF("okey", "lineno", "priority", "qty")
+          .orderBy(col("okey"), col("lineno"))
+      },
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lineno,
+             |       o_orderpriority AS priority, round(l_quantity, 4) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY okey, lineno""".stripMargin)),
+
+    // ANSI FILTER clause on aggregates (selective counts in one pass).
+    QueryDef("q_agg_filter",
+      (s, d) => {
+        T.events(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT event_type,
+                |       CAST(count(*) AS BIGINT) AS n,
+                |       CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_big,
+                |       round(COALESCE(sum(value) FILTER (WHERE user_id % 2 = 0), 0), 4) AS sum_even_users
+                |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_big,
+             |       round(COALESCE(sum(value) FILTER (WHERE user_id % 2 = 0), 0), 4) AS sum_even_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -301,6 +301,28 @@ object Extras {
              |       CAST(count(*) AS BIGINT) AS n,
              |       CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_big,
              |       round(COALESCE(sum(value) FILTER (WHERE user_id % 2 = 0), 0), 4) AS sum_even_users
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Null-safe equality join: NULL keys match each other under <=>
+    // (IS NOT DISTINCT FROM), unlike plain = which drops them.
+    QueryDef("q_null_safe_join",
+      (s, d) => {
+        val a = T.nation(s, d)
+          .select(col("n_nationkey").as("a_key"),
+            nullif(col("n_regionkey"), lit(2)).as("a_r"))
+        val b = T.nation(s, d)
+          .select(col("n_nationkey").as("b_key"),
+            nullif(col("n_regionkey"), lit(2)).as("b_r"))
+        a.join(b, a("a_r") <=> b("b_r") && a("a_key") < b("b_key"))
+          .select(col("a_key"), col("b_key"),
+            coalesce(col("a_r"), lit(-1)).as("rkey"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+             |       CAST(COALESCE(NULLIF(a.n_regionkey, 2), -1) AS INTEGER) AS rkey
+             |FROM nation a JOIN nation b
+             |  ON NULLIF(a.n_regionkey, 2) IS NOT DISTINCT FROM NULLIF(b.n_regionkey, 2)
+             | AND a.n_nationkey < b.n_nationkey
+             |ORDER BY a_key, b_key""".stripMargin))
   )
 }

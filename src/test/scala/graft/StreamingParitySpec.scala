@@ -47,6 +47,25 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 
+  test("foreachBatch sink with Trigger.AvailableNow drains all input then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = Files.createTempDirectory("graft_feb_out").toString
+    val ck = Files.createTempDirectory("graft_feb_ck").toString
+    val stream = StreamOps.eventsStream(spark, eventsDir, batchEvents.schema,
+      maxFilesPerTrigger = 10)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch_$id")
+      }
+      .start()
+    q.awaitTermination(120000)
+    val landed = new java.io.File(outDir).listFiles().map(d =>
+      spark.read.parquet(d.toString).count()).sum
+    assert(landed == batchEvents.count(), "foreachBatch must land every input row")
+  }
+
   test("stream-stream join matches the batch join over the same rows") {
     val agg = (df: DataFrame) => StreamOps.purchaseSignupJoin(df)
     // batch side: same join shape without watermarks

@@ -1,0 +1,68 @@
+package graft.ml
+
+import graft.functions.VecExprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal DataFrame-native Lloyd's k-means over `array<double>` columns
+  * — the IVF training step done properly (SURVEY.md §2b q_sim_ivf notes),
+  * and the house pattern for iterative workloads:
+  *
+  *  - the assignment step is one codegen'd DotProducts kernel call per
+  *    row against the broadcast centroid matrix (argmin ‖x−c‖² ≡
+  *    argmax(x·c − ‖c‖²/2), so dots suffice);
+  *  - the update step is an explode-by-dimension elementwise mean — a
+  *    single shuffle of (cid, dim, value) triples, never of vectors;
+  *  - the input is cached ONCE outside the loop and unpersisted after
+  *    (each iteration re-reads the cache, not the source), and centroids
+  *    travel driver→executors as broadcast literals (k×64 doubles).
+  *
+  * At 100 TB: same plan per iteration, centroid matrix stays tiny, and
+  * the only growing cost is the (cid, dim) shuffle — 64×N rows of 24
+  * bytes, well within shuffle budgets.
+  */
+object KMeansLite {
+
+  /** Assign each vector its nearest centroid id as column `cid`. */
+  def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val adjust = array(cents.map(c => lit(c.map(x => x * x).sum / 2.0)): _*)
+    emb
+      .withColumn("scores", zip_with(
+        VecExprs.dotProducts(col("emb"), cents), adjust, (d, a) => d - a))
+      .withColumn("cid",
+        expr("array_position(scores, array_max(scores)) - 1").cast("int"))
+      .drop("scores")
+  }
+
+  /** Within-cluster sum of squared distances (convergence metric). */
+  def wcss(assigned: DataFrame, cents: Array[Array[Double]]): Double = {
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    assigned
+      .withColumn("c", element_at(centArr, col("cid") + 1))
+      .select(aggregate(zip_with(col("emb"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("d2"))
+      .agg(sum("d2")).head().getDouble(0)
+  }
+
+  /** Lloyd iterations from the given seeds; returns final centroids.
+    * Empty clusters keep their previous centroid.
+    */
+  def fit(emb: DataFrame, seeds: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val cached = emb.select(col("vec_id"), col("emb")).cache()
+    try {
+      var cents = seeds
+      for (_ <- 1 to iters) {
+        val updated = assign(cached, cents)
+          .select(col("cid"), posexplode(col("emb")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pairs"))
+          .select(col("cid"), expr("transform(pairs, p -> p.v)").as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      }
+      cents
+    } finally cached.unpersist()
+  }
+}

@@ -221,16 +221,19 @@ object Similarity {
       }
   }
 
-  /** IVF-Flat list assignment: nearest (max-dot, centroids normalized)
-    * of K data-sampled centroids, computed map-side against the
-    * broadcast centroid matrix — the inverted-file partitioning step.
-    * At 100 TB the corpus would be written partitioned by `cid` so a
-    * probe reads only its lists.
+  /** IVF-Flat list assignment: data-sampled seeds refined by 2 Lloyd
+    * iterations (graft.ml.KMeansLite), then nearest-centroid id computed
+    * map-side against the broadcast centroid matrix (argmin ‖x−c‖² via
+    * adjusted dots) — the inverted-file partitioning step. At 100 TB the
+    * corpus would be written partitioned by `cid` so a probe reads only
+    * its lists.
     */
   def ivfAssign(s: SparkSession, d: String, k: Int = IvfCentroids): DataFrame = {
-    val cents = sampleCentroids(s, d, k)
-    corpus(s, d)
-      .withColumn("dots", graft.functions.VecExprs.dotProducts(col("emb"), cents))
+    val c = corpus(s, d)
+    val cents = graft.ml.KMeansLite.fit(c, sampleCentroids(s, d, k), iters = 2)
+    val adjust = array(cents.map(cc => lit(cc.map(x => x * x).sum / 2.0)): _*)
+    c.withColumn("dots", zip_with(
+        graft.functions.VecExprs.dotProducts(col("emb"), cents), adjust, (dd, a) => dd - a))
       .withColumn("cid", expr("array_position(dots, array_max(dots)) - 1"))
   }
 

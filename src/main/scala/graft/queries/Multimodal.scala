@@ -36,12 +36,20 @@ object Multimodal {
       None),
 
     // ANN over media-derived embeddings: binary → features → cosine
-    // top-k through the same similarity operator as q_sim_topk
+    // top-k through the same similarity operator as q_sim_topk. Probes
+    // are filtered BEFORE feature extraction: mapPartitions is a
+    // pushdown boundary, so filtering afterwards would re-extract the
+    // whole corpus for the 3-row probe side.
     QueryDef("q_media_sim",
       (s, d) => {
-        val feats = Media.extractImageFeatures(Media.corpus(s, d)).toDF()
-          .select(col("media_id").as("vec_id"), col("embedding"), lit(0).as("label"))
-        Similarity.bruteForceTopKOf(feats, Seq(0L, 1L, 2L), 3)
+        val probeIds = Set(0L, 1L, 2L)
+        def feats(m: org.apache.spark.sql.Dataset[graft.multimodal.Media.MediaRecord]) =
+          Media.extractImageFeatures(m).toDF()
+            .select(col("media_id").as("vec_id"), col("embedding"))
+        Similarity.bruteForceTopKWith(
+          feats(Media.corpus(s, d)),
+          feats(Media.corpus(s, d).filter(r => probeIds.contains(r.media_id))),
+          3)
       },
       None)
   )

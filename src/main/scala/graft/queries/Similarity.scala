@@ -131,6 +131,24 @@ object Similarity {
     * once against broadcast probes — correctness baseline; the scale path
     * is [[lshTopK]].
     */
+  /** Variant taking a separately-prepared probe set — callers whose
+    * corpus sits behind a non-pushdown boundary (e.g. a mapPartitions
+    * feature extraction) pass a pre-filtered probe side so the corpus
+    * pipeline isn't computed twice.
+    */
+  def bruteForceTopKWith(corpusDf: DataFrame, probesDf: DataFrame, k: Int): DataFrame = {
+    val c = corpusOf(corpusDf)
+    val probes = corpusOf(probesDf)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val scored = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("emb"), col("p_emb")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   def bruteForceTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
     val c = corpusOf(embeddings)
     val probes = c.filter(col("vec_id").isin(probeIds: _*))

@@ -211,14 +211,17 @@ object Extras {
 
     // Pagination shape: ORDER BY + OFFSET + LIMIT (R2's page window as a
     // query-level construct).
+    // ORDER BY spans every output column: lineitem has duplicate
+    // (okey, lineno) rows, and an offset boundary inside a tie group
+    // is engine-nondeterministic otherwise (caught at sf0.1).
     QueryDef("q_limit_offset",
       (s, d) => T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 4).as("qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"))
         .offset(100).limit(20),
       Some("""SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty
              |LIMIT 20 OFFSET 100""".stripMargin)),
 
     // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates.
@@ -280,12 +283,12 @@ object Extras {
           .map { case (l, o) => (l.l_orderkey, l.l_linenumber, o.o_orderpriority,
             math.rint(l.l_quantity * 10000) / 10000) }
           .toDF("okey", "lineno", "priority", "qty")
-          .orderBy(col("okey"), col("lineno"))
+          .orderBy(col("okey"), col("lineno"), col("qty")) // dup line rows (H2)
       },
       Some("""SELECT l_orderkey AS okey, l_linenumber AS lineno,
              |       o_orderpriority AS priority, round(l_quantity, 4) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |ORDER BY okey, lineno""".stripMargin)),
+             |ORDER BY okey, lineno, qty""".stripMargin)),
 
     // ANSI FILTER clause on aggregates (selective counts in one pass).
     QueryDef("q_agg_filter",

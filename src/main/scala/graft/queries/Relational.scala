@@ -18,13 +18,16 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
 
     // R1/R10: projection must prune the scan (ReadSchema shows 4 cols).
+    // ORDER BY spans every output column: (l_orderkey, l_linenumber) is
+    // NOT unique in the fixture (duplicate line rows), so only a
+    // full-row order makes the output engine-deterministic (hazard H2).
     QueryDef("q_scan_project",
       (s, d) => T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
           round(col("l_quantity"), 4).as("qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("qty")),
       Some("""SELECT l_orderkey, l_partkey, l_linenumber, round(l_quantity, 4) AS qty
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, qty""".stripMargin)),
 
     // R13: the alert filter payload shape (status/severity/timeRange) as
     // isin + between; Catalyst pushes all three predicates to parquet.
@@ -46,16 +49,17 @@ object Relational {
              |ORDER BY o_orderkey""".stripMargin)),
 
     // R7/R8 verbatim: epoch→formatted string + literal report columns.
+    // Full-output ORDER BY — duplicate (okey, lineno) rows exist (H2).
     QueryDef("q_derive_ts",
       (s, d) => T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"),
           lit("2024-10-08").as("transaction_date"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ts")),
       Some("""SELECT l_orderkey, l_linenumber,
              |       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
              |       '2024-10-08' AS transaction_date
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_ts""".stripMargin)),
 
     // R14: first-of-month .. "now" window, with "now" data-derived
     // (max ts) for determinism (hazard H4). The 1-row aggregate is
@@ -108,12 +112,14 @@ object Relational {
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
           .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_type"),
             round(col("l_extendedprice"), 4).as("price"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // full-output order: duplicate (okey, lineno) line rows (H2)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+            col("p_type"), col("price"))
       },
       Some("""SELECT l_orderkey, l_linenumber, p_brand, p_type,
              |       round(l_extendedprice, 4) AS price
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, p_brand, p_type, price""".stripMargin)),
 
     // Big-big sort-merge join (hinted; at 100 TB neither side broadcasts).
     QueryDef("q_join_smj",

@@ -69,7 +69,9 @@ object Scalars {
           round(log(col("l_extendedprice") + 1), 4).as("log_price"),
           round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
           round(sqrt(col("l_quantity")), 4).as("qty_sqrt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // full-output order: duplicate (okey, lineno) line rows (H2)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net"),
+          col("disc_dev"), col("qty_sq")),
       Some("""SELECT l_orderkey, l_linenumber,
              |       round(l_extendedprice * (1 - l_discount), 4) AS net,
              |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
@@ -78,7 +80,8 @@ object Scalars {
              |       round(ln(l_extendedprice + 1), 4) AS log_price,
              |       round(pow(l_quantity, 2), 4) AS qty_sq,
              |       round(sqrt(l_quantity), 4) AS qty_sqrt
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, net, disc_dev, qty_sq""".stripMargin)),
 
     // R18 (element_at / array access) over tokenized documents.
     QueryDef("q_array_funcs",

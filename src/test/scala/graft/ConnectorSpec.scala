@@ -104,6 +104,18 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_.getAs[String]("Status") == "fail"))
   }
 
+  test("end-to-end pipeline (R25): three reports published to partitioned CSV") {
+    val out = Files.createTempDirectory("graft_pipeline").toString
+    val counts = graft.sources.ReportPipeline.run(spark, out)
+    assert(counts("inventory") == 2)
+    assert(counts("resource_type") == 3)
+    assert(counts("alert") == 3) // accounts 111, 222, 333
+    for (r <- Seq("inventory_report", "inventory_resource_type_report", "alert_report")) {
+      val back = spark.read.option("header", "true").csv(s"$out/$r")
+      assert(back.count() > 0, s"$r must contain rows")
+    }
+  }
+
   test("report sink: hive-partitioned quoted CSV roundtrip (R22/R23)") {
     val dir = Files.createTempDirectory("graft_report_sink").toString
     val report = PrismaConnector.inventoryReport(spark, Seq(invPayload).toDF("json"))

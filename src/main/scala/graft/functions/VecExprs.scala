@@ -16,31 +16,45 @@ import org.apache.spark.sql.types._
   */
 object VecKernels {
 
-  /** Dot products of `v` against each row of a constant matrix. */
+  /** Element accessor tolerating null elements (treated as 0.0 —
+    * documented contract: a null dimension contributes nothing). The
+    * naive toDoubleArray() NPEs on GenericArrayData with null elements.
+    */
+  private def elem(v: ArrayData, i: Int): Double =
+    if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+
+  /** Dot products of `v` against each row of a constant matrix.
+    * Dimensions beyond min(|v|, |row|) are ignored; null elements count
+    * as 0.0.
+    */
   def dotProducts(v: ArrayData, mat: Array[Array[Double]]): ArrayData = {
-    val x = v.toDoubleArray()
     val out = new Array[Double](mat.length)
+    val vn = v.numElements()
     var i = 0
     while (i < mat.length) {
       val row = mat(i)
       var s = 0.0
-      val n = math.min(x.length, row.length)
+      val n = math.min(vn, row.length)
       var j = 0
-      while (j < n) { s += x(j) * row(j); j += 1 }
+      while (j < n) { s += elem(v, j) * row(j); j += 1 }
       out(i) = s
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Cosine similarity with zero-vector guard (0.0, never NaN). */
+  /** Cosine similarity with zero-vector guard (0.0, never NaN); null
+    * elements count as 0.0, trailing unmatched dimensions are ignored.
+    */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray()
-    val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    while (i < n) {
+      val x = elem(a, i); val y = elem(b, i)
+      dot += x * y; nx += x * x; ny += y * y
+      i += 1
+    }
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else dot / denom
   }

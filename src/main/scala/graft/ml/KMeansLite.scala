@@ -48,7 +48,7 @@ object KMeansLite {
     * Empty clusters keep their previous centroid.
     */
   def fit(emb: DataFrame, seeds: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
-    val cached = emb.select(col("vec_id"), col("emb")).cache()
+    val cached = emb.select(col("emb")).cache() // training reads only the vectors
     try {
       var cents = seeds
       for (_ <- 1 to iters) {

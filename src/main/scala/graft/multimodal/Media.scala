@@ -64,11 +64,20 @@ object Media {
 
   /** Deterministic synthetic media corpus derived from the documents
     * table (the driver fixtures carry no binary columns; blobs are
-    * fabricated per doc_id — STUB input, real schema).
+    * fabricated per doc_id — STUB input, real schema). Pass `onlyIds` to
+    * restrict BEFORE the fabricating map — the doc_id filter then pushes
+    * into the parquet scan, so probe-sized reads don't encode the whole
+    * corpus.
     */
-  def corpus(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+  def corpus(spark: SparkSession, sfDir: String,
+      onlyIds: Option[Set[Long]] = None): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val restricted = onlyIds match {
+      case Some(ids) => docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      case None => docs
+    }
+    restricted
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }

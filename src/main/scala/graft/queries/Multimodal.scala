@@ -42,13 +42,12 @@ object Multimodal {
     // whole corpus for the 3-row probe side.
     QueryDef("q_media_sim",
       (s, d) => {
-        val probeIds = Set(0L, 1L, 2L)
         def feats(m: org.apache.spark.sql.Dataset[graft.multimodal.Media.MediaRecord]) =
           Media.extractImageFeatures(m).toDF()
             .select(col("media_id").as("vec_id"), col("embedding"))
         Similarity.bruteForceTopKWith(
           feats(Media.corpus(s, d)),
-          feats(Media.corpus(s, d).filter(r => probeIds.contains(r.media_id))),
+          feats(Media.corpus(s, d, onlyIds = Some(Set(0L, 1L, 2L)))),
           3)
       },
       None)

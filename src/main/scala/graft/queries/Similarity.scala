@@ -127,14 +127,12 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VecExprs.cosineSim(a, b)
 
-  /** Brute-force cosine top-k for a bounded probe set: corpus is streamed
-    * once against broadcast probes — correctness baseline; the scale path
-    * is [[lshTopK]].
-    */
-  /** Variant taking a separately-prepared probe set — callers whose
-    * corpus sits behind a non-pushdown boundary (e.g. a mapPartitions
-    * feature extraction) pass a pre-filtered probe side so the corpus
-    * pipeline isn't computed twice.
+  /** Brute-force cosine top-k: corpus streamed once against broadcast
+    * probes — correctness baseline; the scale paths are [[lshTopK]] and
+    * [[ivfTopK]]. Takes a separately-prepared probe frame so callers
+    * whose corpus sits behind a non-pushdown boundary (e.g. mapPartitions
+    * feature extraction) can pre-filter the probe side and avoid
+    * computing the corpus pipeline twice.
     */
   def bruteForceTopKWith(corpusDf: DataFrame, probesDf: DataFrame, k: Int): DataFrame = {
     val c = corpusOf(corpusDf)
@@ -149,18 +147,12 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  def bruteForceTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
-    val c = corpusOf(embeddings)
-    val probes = c.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
-    val scored = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("emb"), col("p_emb")).as("cos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
-      .orderBy(col("probe_id"), col("rn"))
-  }
+  /** Probe-ids convenience form: probes are filtered out of the same
+    * embedding frame, then delegated to [[bruteForceTopKWith]].
+    */
+  def bruteForceTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame =
+    bruteForceTopKWith(embeddings,
+      embeddings.filter(col("vec_id").isin(probeIds: _*)), k)
 
   def bruteForceTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame =
     bruteForceTopKOf(T.embeddings(s, d), probeIds, k)

@@ -63,18 +63,31 @@ object ReportPipeline {
       """{"policyId": "p2", "items": []}""")
   }
 
-  /** Run all three reports to `outDir`; returns per-report row counts. */
+  /** Run all three reports to `outDir`; returns per-report row counts.
+    * Counts are collected via `observe()` during the write — no second
+    * execution of each report plan.
+    */
   def run(spark: SparkSession, outDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.{DataFrame, Observation}
+    import org.apache.spark.sql.functions.{count, lit}
     import spark.implicits._
-    val inv = PrismaConnector.inventoryReport(spark, Fixtures.inventory.toDF("json"))
-    val rt = PrismaConnector.resourceTypeReport(spark,
-      Fixtures.resourceType.toDF("service", "json"))
-    val al = PrismaConnector.alertReport(spark,
-      Fixtures.policies.toDF("json"), Fixtures.alertPages.toDF("json"))
-    PrismaConnector.writeReport(inv, s"$outDir/inventory_report")
-    PrismaConnector.writeReport(rt, s"$outDir/inventory_resource_type_report")
-    PrismaConnector.writeReport(al, s"$outDir/alert_report")
-    Map("inventory" -> inv.count(), "resource_type" -> rt.count(), "alert" -> al.count())
+    def publish(df: DataFrame, path: String, name: String): Long = {
+      val obs = new Observation(s"rows_$name")
+      PrismaConnector.writeReport(
+        df.observe(obs, count(lit(1)).as("n")), path)
+      obs.get("n").asInstanceOf[Long]
+    }
+    Map(
+      "inventory" -> publish(
+        PrismaConnector.inventoryReport(spark, Fixtures.inventory.toDF("json")),
+        s"$outDir/inventory_report", "inv"),
+      "resource_type" -> publish(
+        PrismaConnector.resourceTypeReport(spark, Fixtures.resourceType.toDF("service", "json")),
+        s"$outDir/inventory_resource_type_report", "rt"),
+      "alert" -> publish(
+        PrismaConnector.alertReport(spark, Fixtures.policies.toDF("json"),
+          Fixtures.alertPages.toDF("json")),
+        s"$outDir/alert_report", "al"))
   }
 
   def main(args: Array[String]): Unit = {

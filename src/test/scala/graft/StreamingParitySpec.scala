@@ -60,10 +60,12 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
         batch.write.mode("append").parquet(s"$outDir/batch_$id")
       }
       .start()
-    q.awaitTermination(120000)
-    val landed = new java.io.File(outDir).listFiles().map(d =>
-      spark.read.parquet(d.toString).count()).sum
-    assert(landed == batchEvents.count(), "foreachBatch must land every input row")
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not finish in time")
+      val landed = new java.io.File(outDir).listFiles().map(d =>
+        spark.read.parquet(d.toString).count()).sum
+      assert(landed == batchEvents.count(), "foreachBatch must land every input row")
+    } finally q.stop()
   }
 
   test("stream-stream join matches the batch join over the same rows") {

@@ -326,6 +326,42 @@ object Extras {
              |FROM nation a JOIN nation b
              |  ON NULLIF(a.n_regionkey, 2) IS NOT DISTINCT FROM NULLIF(b.n_regionkey, 2)
              | AND a.n_nationkey < b.n_nationkey
-             |ORDER BY a_key, b_key""".stripMargin))
+             |ORDER BY a_key, b_key""".stripMargin)),
+
+    // Boolean aggregates + count_if.
+    QueryDef("q_agg_bool",
+      (s, d) => T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(bool_and(col("value") > 0).as("all_pos"),
+          bool_or(col("value") > 190).as("any_huge"),
+          count_if(col("user_id") % 2 === 0).as("n_even"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       bool_and(value > 0) AS all_pos,
+             |       bool_or(value > 190) AS any_huge,
+             |       CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n_even
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // IGNORE NULLS window navigation: last non-null prior purchase value
+    // per user (running carry-forward — the as-of building block).
+    QueryDef("q_window_ignorenulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .withColumn("purchase_val",
+            when(col("event_type") === "purchase", round(col("value"), 4)))
+          .select(col("event_id"), col("user_id"),
+            last(col("purchase_val"), ignoreNulls = true).over(w).as("last_purchase_val"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       last_value(CASE WHEN event_type = 'purchase'
+             |                       THEN round(value, 4) END IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS last_purchase_val
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

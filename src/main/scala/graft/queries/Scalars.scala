@@ -151,6 +151,77 @@ object Scalars {
              |       CASE WHEN value >= 100 THEN 'big' ELSE 'small' END AS bucket
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Array algebra: union/intersect/except/sort/slice/flatten on token
+    // arrays (stringified for the engine-neutral compare).
+    QueryDef("q_array_funcs2",
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("head3", slice(col("toks"), 1, 3))
+        .withColumn("tail3", slice(col("toks"), -3, 3))
+        .select(col("doc_id"),
+          concat_ws(",", array_sort(array_union(col("head3"), col("tail3")))).as("uni"),
+          concat_ws(",", array_sort(array_intersect(col("head3"), col("tail3")))).as("inter"),
+          concat_ws(",", array_sort(array_except(col("head3"), col("tail3")))).as("exc"),
+          concat_ws(",", flatten(array(col("head3"), col("tail3")))).as("flat"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         string_split(text, ' ')[1:3] AS head3,
+             |         string_split(text, ' ')[-3:] AS tail3
+             |  FROM documents)
+             |SELECT doc_id,
+             |  COALESCE(list_aggregate(list_sort(list_distinct(list_concat(head3, tail3))), 'string_agg', ','), '') AS uni,
+             |  COALESCE(list_aggregate(list_sort(list_distinct(list_filter(head3, x -> list_contains(tail3, x)))), 'string_agg', ','), '') AS inter,
+             |  COALESCE(list_aggregate(list_sort(list_distinct(list_filter(head3, x -> NOT list_contains(tail3, x)))), 'string_agg', ','), '') AS exc,
+             |  COALESCE(list_aggregate(list_concat(head3, tail3), 'string_agg', ','), '') AS flat
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Map/JSON object surface: keys of the props JSON, value extraction.
+    QueryDef("q_map_funcs",
+      (s, d) => T.events(s, d)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .select(col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_keys"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       list_aggregate(list_sort(json_keys(props)), 'string_agg', ',') AS keys,
+             |       json_extract_string(props, '$.k') AS k_val,
+             |       CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Regex pack: replace, count, extract-all.
+    QueryDef("q_regex_funcs",
+      (s, d) => T.part(s, d)
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          regexp_count(col("p_name"), lit("[a-z]+")).as("n_words"),
+          concat_ws(",", expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("words"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+             |       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words,
+             |       list_aggregate(regexp_extract_all(p_name, '[a-z]+'), 'string_agg', ',') AS words
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Interval arithmetic: day/month add-subtract (months_between is
+    // deliberately omitted — Spark's complete-month fraction semantics
+    // have no faithful DuckDB re-expression).
+    QueryDef("q_interval_funcs",
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("plus90d"),
+          date_format(col("o_orderdate") - expr("INTERVAL 2 MONTHS"), "yyyy-MM-dd").as("minus2m"),
+          date_format(add_months(col("o_orderdate"), 14), "yyyy-MM-dd").as("plus14m"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90d,
+             |       strftime(o_orderdate - INTERVAL 2 MONTH, '%Y-%m-%d') AS minus2m,
+             |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 14 MONTH, '%Y-%m-%d') AS plus14m
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Generator / UDTF: one row per token with 0-based position
     // (posexplode ↔ DuckDB zipped unnest).
     QueryDef("q_udtf_gen",

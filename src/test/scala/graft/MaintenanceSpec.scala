@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{DataQuality, Maintenance}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite with SharedSpark {
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction collapses many small files into few clustered ones, rows intact") {
+    val in = Files.createTempDirectory("graft_smallfiles").toString
+    val out = Files.createTempDirectory("graft_compacted").toString
+    val events = Tables.events(spark, sf)
+    events.repartition(40).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).length == 40)
+    Maintenance.compactParquet(spark, in, out, Seq("user_id", "ts"), targetFiles = 4)
+    assert(parquetFiles(out).length <= 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("atomic publish replaces the dataset without exposing partial state") {
+    val target = Files.createTempDirectory("graft_publish").toString + "/table"
+    val v1 = Tables.events(spark, sf).filter(col("event_id") < 100)
+    Maintenance.publishAtomic(v1, target)
+    assert(spark.read.parquet(target).count() == v1.count())
+    val v2 = Tables.events(spark, sf).filter(col("event_id") < 300)
+    Maintenance.publishAtomic(v2, target)
+    assert(spark.read.parquet(target).count() == v2.count())
+    // neither staging nor backup leftovers survive a successful publish
+    val parent = new java.io.File(target).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".staging") || f.getName.endsWith(".old")))
+  }
+
+  test("data-quality audit computes all checks in one pass and gates correctly") {
+    val events = Tables.events(spark, sf)
+    val good = Seq(
+      DataQuality.unique("event_id"),
+      DataQuality.nullRate("event_type", 0.0),
+      DataQuality.inRange("value", -1e6, 1e6),
+      DataQuality.minRows(100))
+    val report = DataQuality.audit(events, good)
+    assert(report.count() == 4)
+    assert(report.filter(!col("passed")).count() == 0)
+    assert(DataQuality.passes(events, good))
+
+    val bad = Seq(
+      DataQuality.unique("user_id"),        // many events per user → fails
+      DataQuality.inRange("value", 0, 1))   // values exceed 1 → fails
+    val badReport = DataQuality.audit(events, bad).collect()
+    assert(badReport.forall(!_.getAs[Boolean]("passed")))
+    assert(!DataQuality.passes(events, bad))
+  }
+}

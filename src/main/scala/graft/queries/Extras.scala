@@ -328,6 +328,73 @@ object Extras {
              | AND a.n_nationkey < b.n_nationkey
              |ORDER BY a_key, b_key""".stripMargin)),
 
+    // Right outer join (the remaining outer-join variant).
+    QueryDef("q_join_right",
+      (s, d) => {
+        val l = T.lineitem(s, d).filter(col("l_quantity") > 49)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_big"))
+        val o = T.orders(s, d)
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "right")
+          .select(col("o_orderkey"), coalesce(col("n_big"), lit(0L)).as("n_big"),
+            round(col("o_totalprice"), 4).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, CAST(COALESCE(n_big, 0) AS BIGINT) AS n_big,
+             |       round(o_totalprice, 4) AS price
+             |FROM (SELECT l_orderkey, count(*) AS n_big FROM lineitem
+             |      WHERE l_quantity > 49 GROUP BY l_orderkey) l
+             |RIGHT JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // RANGE frame (value-based window) + lead.
+    QueryDef("q_window_range",
+      (s, d) => {
+        val wRange = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, Window.currentRow)
+        val wLead = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            count(lit(1)).over(wRange).as("n_within_1k"),
+            lead(col("o_orderkey"), 1).over(wLead).as("next_okey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1k,
+             |       lead(o_orderkey, 1) OVER (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey) AS next_okey
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Cryptographic hash functions (engine-portable, unlike xxhash64).
+    QueryDef("q_hash_funcs",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          md5(col("text")).as("md5_hex"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Bitwise operators.
+    QueryDef("q_bit_funcs",
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          (col("user_id").bitwiseAND(15)).as("lo4"),
+          (col("user_id").bitwiseOR(lit(256L))).as("with_flag"),
+          (col("user_id").bitwiseXOR(col("event_id"))).as("xored"),
+          expr("shiftleft(user_id, 2)").as("shl2"),
+          expr("shiftright(user_id, 1)").as("shr1"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       user_id & 15 AS lo4,
+             |       user_id | 256 AS with_flag,
+             |       xor(user_id, event_id) AS xored,
+             |       user_id << 2 AS shl2,
+             |       user_id >> 1 AS shr1
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Boolean aggregates + count_if.
     QueryDef("q_agg_bool",
       (s, d) => T.events(s, d)

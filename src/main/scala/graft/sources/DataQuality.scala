@@ -21,9 +21,13 @@ object DataQuality {
       avg(when(col(c).isNull, 1.0).otherwise(0.0)),
       m => m <= maxRate, s"<= $maxRate")
 
+  /** Duplicate count among NON-NULL values (countDistinct ignores nulls,
+    * so nulls are excluded from both sides — pair with [[nullRate]] to
+    * police nulls).
+    */
   def unique(c: String): Check =
     Check(s"unique($c)",
-      (count(lit(1)) - countDistinct(col(c))).cast("double"),
+      (count(col(c)) - countDistinct(col(c))).cast("double"),
       m => m === 0.0, "= 0 duplicates")
 
   def inRange(c: String, lo: Double, hi: Double): Check =
@@ -36,15 +40,18 @@ object DataQuality {
 
   /** Run all checks in one aggregation; returns
     * (check, observed double, expectation, passed boolean) rows.
+    * A NULL metric (e.g. avg/sum over ZERO rows) counts as FAILED — an
+    * empty snapshot must never vacuously pass its gate.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit requires at least one check")
     val metrics = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"m$i") }
     val agged = df.agg(metrics.head, metrics.tail: _*)
     val cols = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check"),
         col(s"m$i").cast("double").as("observed"),
         lit(c.expectation).as("expectation"),
-        c.passed(col(s"m$i")).as("passed"))
+        coalesce(c.passed(col(s"m$i")), lit(false)).as("passed"))
     }
     agged.select(explode(array(cols: _*)).as("r")).select("r.*")
   }

@@ -31,18 +31,25 @@ object Maintenance {
     * reference's delete-based rollback, R24/bug B5).
     */
   def publishAtomic(df: DataFrame, finalDir: String): Unit = {
-    val staging = finalDir + ".staging"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val finalPath = new org.apache.hadoop.fs.Path(finalDir)
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val backup = new org.apache.hadoop.fs.Path(finalDir + ".old")
-    if (fs.exists(finalPath)) {
+    import org.apache.hadoop.fs.Path
+    val stagingPath = new Path(finalDir + ".staging")
+    val finalPath = new Path(finalDir)
+    val backup = new Path(finalDir + ".old")
+    // the filesystem OWNING the target path — FileSystem.get(conf) would
+    // resolve the default FS and break for s3a://... targets in local mode
+    val fs = finalPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(stagingPath.toString)
+    val hadPrevious = fs.exists(finalPath)
+    if (hadPrevious) {
       if (fs.exists(backup)) fs.delete(backup, true)
-      fs.rename(finalPath, backup)
+      require(fs.rename(finalPath, backup), s"could not move previous version aside: $finalDir")
     }
-    require(fs.rename(stagingPath, finalPath), s"atomic publish rename failed: $finalDir")
-    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(stagingPath, finalPath)) {
+      // restore the previous version before failing — readers must never
+      // be left with no dataset at finalDir
+      if (hadPrevious) fs.rename(backup, finalPath)
+      throw new IllegalStateException(s"atomic publish rename failed: $finalDir")
+    }
+    if (hadPrevious) fs.delete(backup, true)
   }
 }

@@ -57,4 +57,23 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(badReport.forall(!_.getAs[Boolean]("passed")))
     assert(!DataQuality.passes(events, bad))
   }
+
+  test("an empty snapshot FAILS null-metric checks instead of vacuously passing") {
+    val empty = Tables.events(spark, sf).filter(col("event_id") < 0)
+    val checks = Seq(
+      DataQuality.nullRate("event_type", 0.0), // avg over 0 rows → NULL → fail
+      DataQuality.inRange("value", -1e6, 1e6)) // sum over 0 rows → NULL → fail
+    assert(!DataQuality.passes(empty, checks))
+    val report = DataQuality.audit(empty, checks).collect()
+    assert(report.forall(!_.getAs[Boolean]("passed")))
+    intercept[IllegalArgumentException](DataQuality.audit(empty, Seq.empty))
+  }
+
+  test("unique() ignores nulls (nullRate polices those)") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None, None).toDF("v")
+    assert(DataQuality.passes(df, Seq(DataQuality.unique("v"))))
+    val dup = Seq(Some(1L), Some(1L), None).toDF("v")
+    assert(!DataQuality.passes(dup, Seq(DataQuality.unique("v"))))
+  }
 }

@@ -27,7 +27,8 @@ class SkewJoinSpec extends AnyFunSuite with SharedSpark {
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
-      // key 1 is hot: 50k rows; 999 other keys get ~50 rows each
+      // key 1 is hot: 50k rows (all even i); odd i spreads over ~500
+      // odd residues (+10) at ~100 rows each
       val left = (1 to 100000)
         .map(i => (if (i % 2 == 0) 1L else (i % 1000).toLong + 10, s"payload_left_$i"))
         .toDF("k", "lv")

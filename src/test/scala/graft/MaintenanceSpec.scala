@@ -69,6 +69,19 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException](DataQuality.audit(empty, Seq.empty))
   }
 
+  test("hash split is disjoint, complete, near-ratio, and stable under repartition") {
+    val events = Tables.events(spark, sf)
+    val (train, hold) = graft.sources.Splits.hashSplit(events, "event_id", 80.0)
+    val nTrain = train.count(); val nHold = hold.count()
+    assert(nTrain + nHold == events.count())
+    assert(train.join(hold, "event_id").count() == 0, "splits must be disjoint")
+    val ratio = nTrain.toDouble / (nTrain + nHold)
+    assert(math.abs(ratio - 0.8) < 0.05, s"ratio $ratio too far from 0.8")
+    // stability: same rows land on the same side regardless of partitioning
+    val (train2, _) = graft.sources.Splits.hashSplit(events.repartition(7), "event_id", 80.0)
+    assert(train.select("event_id").exceptAll(train2.select("event_id")).isEmpty)
+  }
+
   test("unique() ignores nulls (nullRate polices those)") {
     import spark.implicits._
     val df = Seq(Some(1L), Some(2L), None, None).toDF("v")

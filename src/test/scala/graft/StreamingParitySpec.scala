@@ -47,6 +47,26 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 
+  test("stream-static join enriches the stream against a batch dimension") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val stream = StreamOps.eventsStream(spark, eventsDir, batchEvents.schema,
+        maxFilesPerTrigger = 10)
+      .join(broadcast(dim), Seq("event_type")) // static side broadcast per batch
+      .groupBy("category").agg(count(lit(1)).as("n"))
+    val q = StreamOps.runToMemory(stream, "p_ssdim", "complete", s"$ckBase/ssdim")
+    try {
+      val got = spark.table("p_ssdim")
+      val expect = batchEvents.join(dim, Seq("event_type"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+      assert(got.count() > 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink with Trigger.AvailableNow drains all input then stops") {
     import org.apache.spark.sql.streaming.Trigger
     val outDir = Files.createTempDirectory("graft_feb_out").toString

@@ -395,6 +395,42 @@ object Extras {
              |       user_id >> 1 AS shr1
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize).
+    QueryDef("q_grouping_sets",
+      (s, d) => {
+        T.events(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort,
+                |       CAST(count(*) AS BIGINT) AS n,
+                |       CAST(grouping(event_type) AS INTEGER) AS g_type
+                |FROM events
+                |GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+                |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(grouping(event_type) AS INTEGER) AS g_type
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+             |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin)),
+
+    // Inline VALUES relation joined to real data.
+    QueryDef("q_values_inline",
+      (s, d) => {
+        T.region(s, d).createOrReplaceTempView("region")
+        s.sql("""SELECT r.r_name, v.tier
+                |FROM region r
+                |JOIN (VALUES (0, 'tier-a'), (1, 'tier-a'), (2, 'tier-b'),
+                |             (3, 'tier-b'), (4, 'tier-c')) AS v(rk, tier)
+                |  ON r.r_regionkey = v.rk
+                |ORDER BY r.r_name""".stripMargin)
+      },
+      Some("""SELECT r.r_name, v.tier
+             |FROM region r
+             |JOIN (VALUES (0, 'tier-a'), (1, 'tier-a'), (2, 'tier-b'),
+             |             (3, 'tier-b'), (4, 'tier-c')) AS v(rk, tier)
+             |  ON r.r_regionkey = v.rk
+             |ORDER BY r.r_name""".stripMargin)),
+
     // Boolean aggregates + count_if.
     QueryDef("q_agg_bool",
       (s, d) => T.events(s, d)

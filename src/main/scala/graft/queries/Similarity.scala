@@ -20,6 +20,29 @@ object Similarity {
   val NumPerms = 32  // MinHash permutations
   val BandSize = 4   // → 8 bands of 4 rows: catches Jaccard ≳ 0.5 w.h.p.
 
+  /** Hot-bucket cap for LSH band joins. A cluster of m near-identical
+    * docs puts m rows in one band bucket → m² candidate pairs; at 100 TB
+    * one viral boilerplate cluster would dominate the whole job. Buckets
+    * larger than this keep only the `MaxBandBucket` lowest doc_ids as
+    * representatives, bounding per-bucket work at O(cap²) while the
+    * representatives still surface the cluster (its members are
+    * near-identical by construction — exact-dup members are collapsed by
+    * q_dedup_exact before LSH ever runs). Fixture bucket sizes are ≤ 25
+    * at sf0.1, so results at test scale are unchanged.
+    */
+  val MaxBandBucket = 64
+
+  /** Keep at most [[MaxBandBucket]] lowest-`doc_id` rows per band bucket.
+    * The row_number window shuffles by the same keys the candidate
+    * equi-join uses, so the exchange is reused rather than added.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    banded.withColumn("bucket_rank", row_number().over(w))
+      .filter(col("bucket_rank") <= MaxBandBucket)
+      .drop("bucket_rank")
+  }
+
   /** Token-3-gram shingle set per doc as an array column — one
     * codegen'd expression (functions.TokenShingles) inside the scan
     * stage: no self-join, no shuffle, no interpreted lambda per element.
@@ -35,8 +58,11 @@ object Similarity {
     * Shared with TextOps.jaccardPairs so the MinHash estimate and the
     * exact Jaccard baseline use the identical shingle definition.
     */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    shingleArraysOf(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
   def shingles(s: SparkSession, d: String): DataFrame =
-    shingleArrays(s, d).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    shinglesOf(T.documents(s, d))
 
   /** MinHash signature, fully map-only via the codegen'd
     * functions.MinHashSig kernel (XXH64 seeded by permutation index).
@@ -61,13 +87,14 @@ object Similarity {
   /** Candidate pairs via LSH banding + estimated Jaccard from signature
     * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
     */
-  def minhashPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(s, d)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignaturesOf(docs)
+    val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until NumPerms / BandSize).map { b =>
           xxhash64(Seq(lit(b)) ++ (0 until BandSize).map(i => col("sig")(b * BandSize + i)): _*)
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val bands = capBuckets(banded, Seq("band", "band_hash"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -81,6 +108,9 @@ object Similarity {
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def minhashPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    minhashPairsOf(T.documents(s, d), threshold)
 
   /** 64-bit SimHash per document from per-occurrence bit votes — one
     * codegen'd kernel call per row (functions.SimHash64, XXH64 seed 42 =
@@ -97,10 +127,11 @@ object Similarity {
   /** SimHash near-dup pairs: 4×16-bit band blocking, then Hamming ≤ maxDist. */
   def simhashPairsOf(docs: DataFrame, maxDist: Int): DataFrame = {
     val sh = simhashOf(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val allBanded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val banded = capBuckets(allBanded, Seq("band", "band_val"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))

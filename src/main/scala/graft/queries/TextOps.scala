@@ -25,8 +25,26 @@ object TextOps {
     * real scale path is MinHash-LSH (q_dedup_near) with this as the
     * verification baseline on survivors.
     */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val shingles = Similarity.shingles(s, d) // one shared shingle definition
+  /** Document-frequency cap for the shared-shingle self-join. A shingle
+    * appearing in df documents contributes O(df²) candidate pairs; one
+    * boilerplate phrase shared by 1M docs would alone produce 10¹² pairs.
+    * Shingles with df above this cap are dropped BEFORE the join — they
+    * carry near-zero Jaccard discrimination (a shingle present in
+    * "everything" separates nothing), exactly like stopwords in IR.
+    * Doc sizes (`n_sh`) are computed over the kept shingles so the score
+    * remains a true Jaccard over the discriminative shingle universe.
+    * Fixture max df is 25 at sf0.1, so test-scale results are unchanged.
+    */
+  val MaxShingleDf = 128
+
+  def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    val all = Similarity.shinglesOf(docs) // one shared shingle definition
+    // df via a count window: shuffles by shingle — the same key the
+    // self-join below needs, so the exchange is reused, not added.
+    val shingles = all
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf).drop("df")
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = shingles.as("x").join(shingles.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -42,13 +60,22 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    jaccardPairsOf(T.documents(s, d))
+
   val defs: Seq[QueryDef] = Seq(
 
-    // Exact dedup on normalized text: keep min doc_id per group.
+    // Exact dedup on normalized text: keep min doc_id per group. Groups
+    // on the 256-bit sha2 digest, not the text itself, so the shuffle
+    // carries 64 bytes per row instead of whole documents; the text rides
+    // along as a `min` aggregate (map-side partial agg reduces a dup
+    // cluster to one text per mapper before the exchange).
     QueryDef("q_dedup_exact",
       (s, d) => T.documents(s, d)
-        .groupBy(lower(trim(col("text"))).as("norm_text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .withColumn("norm_text", lower(trim(col("text"))))
+        .groupBy(sha2(col("norm_text"), 256).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+          min(col("norm_text")).as("norm_text"))
         .select(col("keep_id"), col("n_dups"), col("norm_text"))
         .orderBy(col("keep_id")),
       Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,

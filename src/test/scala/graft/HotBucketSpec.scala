@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.{Similarity, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-corpus proof that candidate generation in the dedup joins
+  * stays sub-quadratic: N copies of one document must yield O(N·cap)
+  * (here O(cap²), constant in N) candidate pairs, not O(N²). This is the
+  * 100-TB survival property — one viral boilerplate cluster must not
+  * dominate the whole job.
+  */
+class HotBucketSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val N = 300 // adversarial cluster size, well above both caps
+
+  private def identicalDocs =
+    (0L until N.toLong).map(i => (i, "the same boilerplate sentence repeated in every single document"))
+      .toDF("doc_id", "text")
+
+  test("minhash LSH pairs on N identical docs are bounded by the band-bucket cap") {
+    val c = Similarity.MaxBandBucket
+    val pairs = Similarity.minhashPairsOf(identicalDocs, 0.5).count()
+    assert(pairs == c.toLong * (c - 1) / 2,
+      s"expected cap-bounded ${c * (c - 1) / 2} pairs, got $pairs")
+    assert(pairs < N.toLong * (N - 1) / 2 / 10, "candidate pairs grew quadratically")
+  }
+
+  test("simhash band pairs on N identical docs are bounded by the band-bucket cap") {
+    val c = Similarity.MaxBandBucket
+    val pairs = Similarity.simhashPairsOf(identicalDocs, 3).count()
+    assert(pairs == c.toLong * (c - 1) / 2,
+      s"expected cap-bounded ${c * (c - 1) / 2} pairs, got $pairs")
+  }
+
+  test("exact n-gram join drops hot shingles: N identical docs produce zero join work") {
+    // Every shingle of the cluster has df = N > MaxShingleDf, so the
+    // self-join sees none of them. (Identical docs are the exact-dup
+    // path's job — q_dedup_exact collapses them without any pair join.)
+    assert(N > TextOps.MaxShingleDf)
+    val pairs = TextOps.jaccardPairsOf(identicalDocs).count()
+    assert(pairs == 0L, s"hot shingles leaked into the self-join: $pairs pairs")
+  }
+
+  test("df cap keeps genuine near-dup pairs while suppressing boilerplate") {
+    val boiler = (0L until 200L).map(i =>
+      (i, s"common boiler plate filler$i unique$i token$i"))
+    val genuine = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    val docs = (boiler ++ genuine).toDF("doc_id", "text")
+    val rows = TextOps.jaccardPairsOf(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)),
+      s"expected exactly the genuine pair, got ${rows.mkString(",")}")
+    // 6 shared shingles of 7 union — unaffected by dropping the one hot
+    // "common boiler plate" shingle (df=200), which belongs to neither.
+    assert(math.abs(rows.head.getDouble(2) - 0.8571) < 1e-9)
+  }
+
+  test("df cap is a no-op at fixture scale (max df 25 << 128)") {
+    val docs = Tables.documents(spark, sf)
+    val capped = TextOps.jaccardPairsOf(docs).collect().toSeq
+    val uncapped = TextOps.jaccardPairsOf(docs, maxDf = Int.MaxValue).collect().toSeq
+    assert(capped == uncapped)
+  }
+}

@@ -89,6 +89,22 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       Tables.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("q_dedup_exact shuffles the sha2 digest, not the document text") {
+    val planStr = q("q_dedup_exact").queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected a hash exchange for the groupBy")
+    // Spark aliases the group key to _groupingexpression; the Project
+    // below the exchange defines it as the sha2 digest.
+    exchanges.foreach { ex =>
+      assert(ex.contains("_groupingexpression") || ex.contains("digest"),
+        s"group-by exchange must key on the digest: $ex")
+      assert(!ex.contains("norm_text") && !ex.contains("text#"),
+        s"document text must not be a shuffle key: $ex")
+    }
+    assert(planStr.contains("sha2"), "grouping key must be the sha2 digest")
+  }
+
   test("q_month_range broadcasts the 1-row aggregate, not the fact side") {
     val plan = formattedPlan(q("q_month_range"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -61,6 +61,20 @@ object Extras {
              |       round(quantile_cont(value, 0.9), 4) AS p90
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Sketch-based quantiles: the 100-TB scale path next to the exact
+    // percentile above. `approx_percentile` (Greenwald-Khanna, accuracy
+    // 10000 ⇒ ε = 1e-4) aggregates a bounded-size sketch with map-side
+    // partial merge — no per-group value buffering. Sketch output is
+    // engine-specific → scalatest-bounded against exact (WindowPropSpec),
+    // no DuckDB oracle, mirroring the q_agg_distinct/q_agg_approx pair.
+    QueryDef("q_agg_percentile_approx",
+      (s, d) => T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"))
+        .orderBy(col("event_type")),
+      None),
+
     // Pivot ≡ conditional aggregation.
     QueryDef("q_pivot",
       (s, d) => T.events(s, d)

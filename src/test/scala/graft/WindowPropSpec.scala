@@ -54,4 +54,21 @@ class WindowPropSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(approx(k) - x).toDouble / x <= 0.10, s"$k: approx ${approx(k)} vs $x")
     }
   }
+
+  test("q_agg_percentile_approx tracks the exact percentiles per group") {
+    val exact = SparkEntry.queries("q_agg_percentile")(spark, sf)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = SparkEntry.queries("q_agg_percentile_approx")(spark, sf)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      // ε = 1e-4 rank accuracy: on the fixture's value range a small
+      // absolute tolerance is ample (exact percentile interpolates,
+      // the sketch returns an observed value).
+      assert(math.abs(approx(k)._1 - p50) <= math.max(0.05, 0.02 * math.abs(p50)),
+        s"$k p50: ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p90) <= math.max(0.05, 0.02 * math.abs(p90)),
+        s"$k p90: ${approx(k)._2} vs $p90")
+    }
+  }
 }

@@ -77,6 +77,44 @@ object StreamOps {
       }
   }
 
+  /** [[userRunningStats]] with state retirement: the production form.
+    * Watermark + `EventTimeTimeout` retire a user whose last event is
+    * `timeoutAfter` behind the watermark — without this, per-key state
+    * grows with the key universe forever (the state-bounding story at
+    * 100 TB: idle keys must leave the store). A retired user is emitted
+    * once as a tombstone (`n = 0`); if they return, stats restart from
+    * zero.
+    *
+    * Timeout mechanics: the timeout fires in the first micro-batch
+    * AFTER the watermark (computed at the previous batch's end) passes
+    * last-event-time + timeoutAfter, and only for keys with no new data
+    * in that batch — keys with data just extend their deadline.
+    */
+  def userRunningStatsExpiring(events: Dataset[Event], watermark: String = "1 hour",
+      timeoutAfter: String = "2 hours"): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StatsState, UserStats](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[StatsState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(UserStats(uid, 0L, 0.0, 0.0)) // tombstone
+          } else {
+            var s = state.getOption.getOrElse(StatsState(0L, 0.0, Double.MinValue))
+            var maxTsMs = Long.MinValue
+            rows.foreach { e =>
+              s = StatsState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+              maxTsMs = math.max(maxTsMs, e.ts.getTime)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(maxTsMs, timeoutAfter)
+            Iterator.single(UserStats(uid, s.n, s.sum / s.n, s.max))
+          }
+      }
+  }
+
   /** Stream-stream inner join with event-time range constraint: each
     * purchase joins signups of the same user within `horizon` BEFORE the
     * purchase. Both sides are watermarked, and the time-range predicate

@@ -144,6 +144,114 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     } finally q.stop()
   }
 
+  test("checkpoint recovery: parquet sink resumes exactly-once after a restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ck_in").toString
+    val ck = Files.createTempDirectory("graft_ck_ck").toString
+    val out = Files.createTempDirectory("graft_ck_out").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def start() = StreamOps.eventsStream(spark, in, batchEvents.schema, maxFilesPerTrigger = 1)
+      .select("event_id", "user_id", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    write((1L to 3L).map(i => (i, ts(i.toInt), i, "click", i.toDouble, "{}")))
+    write((4L to 6L).map(i => (i, ts(i.toInt), i, "click", i.toDouble, "{}")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // new input lands while the query is DOWN; the restart must pick it
+    // up from the source checkpoint without re-emitting files 1-2.
+    write((7L to 9L).map(i => (i, ts(i.toInt), i, "click", i.toDouble, "{}")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 9L).toSeq,
+      s"restart must be exactly-once (no loss, no duplicates), got $ids")
+  }
+
+  test("checkpoint recovery: windowed aggregation state survives a restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ckagg_in").toString
+    val ck = Files.createTempDirectory("graft_ckagg_ck").toString
+    val out = Files.createTempDirectory("graft_ckagg_out").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    def ts(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def start() = TimeWindows.tumbleAgg(
+        StreamOps.eventsStream(spark, in, batchEvents.schema, maxFilesPerTrigger = 1)
+          .withWatermark("ts", "1 hour"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+
+    // Before the restart: two open windows, nothing emitted yet (append
+    // mode holds windows until the watermark closes them).
+    write(Seq((1L, ts(1, 10), 1L, "click", 1.0, "{}"),
+      (2L, ts(1, 20), 1L, "click", 2.0, "{}"),
+      (3L, ts(2, 10), 1L, "click", 4.0, "{}")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).isEmpty, "windows must still be open pre-restart")
+    // After the restart: one late-hour event advances the watermark past
+    // both windows. Their counts include the PRE-restart rows — only
+    // possible if the aggregation state was recovered from the
+    // checkpoint (the source log marks file 1 done; it is not replayed).
+    write(Seq((4L, ts(5, 0), 1L, "click", 8.0, "{}")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select(date_format(col("w_start"), "HH:mm").as("w"), col("n"), col("sum_value"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("01:00", 2L, 3.0), ("02:00", 1L, 4.0)),
+      s"aggregation state must survive the restart, got $got")
+  }
+
+  test("EventTimeTimeout retires idle users and restarts their stats from zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_exp_in").toString
+    val ck = Files.createTempDirectory("graft_exp_ck").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ts(h: Int, m: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    write(Seq((1L, ts(1), 7L, "click", 10.0, "{}"), (2L, ts(2), 7L, "view", 20.0, "{}")))
+    val stream = StreamOps.userRunningStatsExpiring(
+      StreamOps.eventsStream(spark, dir, batchEvents.schema, maxFilesPerTrigger = 10)
+        .as[Schemas.Event])
+    val q = stream.toDF().writeStream.format("memory").queryName("p_expire")
+      .outputMode("update").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable() // u7: n=2, deadline = 02:00 + 2h = 04:00
+      // batch 2 advances the watermark (post-batch) to 08:00 - 1h = 07:00
+      write(Seq((3L, ts(8), 9L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 3: u7 has no data and 07:00 > 04:00 → timeout fires
+      write(Seq((4L, ts(8, 10), 9L, "click", 2.0, "{}")))
+      q.processAllAvailable()
+      val afterExpiry = spark.table("p_expire").as[Schemas.UserStats].collect()
+        .filter(_.user_id == 7L).map(_.n).toSet
+      assert(afterExpiry == Set(2L, 0L),
+        s"expected running stats then a tombstone for u7, got $afterExpiry")
+      // u7 returns: state must have been REMOVED, so stats restart at 1
+      write(Seq((5L, ts(8, 30), 7L, "click", 5.0, "{}")))
+      q.processAllAvailable()
+      val back = spark.table("p_expire").as[Schemas.UserStats].collect()
+        .filter(r => r.user_id == 7L).map(_.n).toSet
+      assert(back == Set(2L, 0L, 1L),
+        s"returning user must restart from zero, got $back")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups in-horizon and drops late rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup_in").toString

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -130,6 +132,35 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Custom table-generating function (UDTF surface): one output row per
+  * whitespace token with its 0-based position — the Catalyst `Generator`
+  * counterpart of `posexplode(split(text, ' '))`, usable from SQL as
+  * `LATERAL VIEW pos_tokens(text) t AS pos, token`. Tokenization runs as
+  * one JVM loop per row (no intermediate array column materialized);
+  * GenerateExec streams the produced rows, so memory stays O(1 doc).
+  */
+case class PosTokens(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("token", StringType, nullable = true)))
+  override def prettyName: String = "pos_tokens"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_tokens expects a string column, got ${child.dataType.catalogString}")
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      Iterator.tabulate(toks.length)(i => InternalRow(i, UTF8String.fromString(toks(i))))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): PosTokens =
+    copy(child = newChild)
+}
+
 /** SQL registration so `spark.sql` users get the custom expressions too:
   * `SELECT simhash64(text), token_shingles(text) FROM docs`.
   */
@@ -148,6 +179,8 @@ object GraftFunctions {
       arity1("minhash_sig")(MinHashSig(_, 32)), "built-in")
     r.createOrReplaceTempFunction("simhash64",
       arity1("simhash64")(SimHash64(_)), "built-in")
+    r.createOrReplaceTempFunction("pos_tokens",
+      arity1("pos_tokens")(PosTokens(_)), "built-in")
   }
 }
 

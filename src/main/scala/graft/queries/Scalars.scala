@@ -235,6 +235,26 @@ object Scalars {
              |             unnest(string_split(text, ' ')) AS word,
              |             unnest(range(len(string_split(text, ' ')))) AS pos
              |      FROM documents)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // Custom Generator through the SQL LATERAL VIEW surface: the
+    // pos_tokens UDTF (functions.PosTokens) tokenizes in one JVM loop
+    // per row, streamed by GenerateExec — same semantics as q_udtf_gen's
+    // posexplode(split(...)), same DuckDB oracle.
+    QueryDef("q_lateral_view",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T.documents(s, d).createOrReplaceTempView("documents")
+        s.sql("""SELECT doc_id, t.pos, t.token AS word
+                |FROM documents
+                |LATERAL VIEW pos_tokens(text) t AS pos, token
+                |ORDER BY doc_id, pos""".stripMargin)
+      },
+      Some("""SELECT doc_id, CAST(pos AS INTEGER) AS pos, word
+             |FROM (SELECT doc_id,
+             |             unnest(string_split(text, ' ')) AS word,
+             |             unnest(range(len(string_split(text, ' ')))) AS pos
+             |      FROM documents)
              |ORDER BY doc_id, pos""".stripMargin))
   )
 }

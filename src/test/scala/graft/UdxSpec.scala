@@ -61,4 +61,24 @@ class UdxSpec extends AnyFunSuite with SharedSpark {
         .otherwise("high").as("bucket"))
     assert(viaUdf.exceptAll(viaCase).isEmpty && viaCase.exceptAll(viaUdf).isEmpty)
   }
+
+  test("pos_tokens LATERAL VIEW matches posexplode(split) exactly") {
+    val lateral = SparkEntry.queries("q_lateral_view")(spark, sf)
+    val builtin = SparkEntry.queries("q_udtf_gen")(spark, sf)
+    assert(lateral.schema.fieldNames.toSeq == builtin.schema.fieldNames.toSeq)
+    assert(lateral.exceptAll(builtin).isEmpty && builtin.exceptAll(lateral).isEmpty,
+      "custom Generator must match the built-in generator row-for-row")
+    assert(lateral.count() > 0)
+  }
+
+  test("pos_tokens handles null and empty text") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, Some("a b")), (2L, Some("")), (3L, None))
+      .toDF("id", "text").createOrReplaceTempView("pt_edge")
+    val got = spark.sql(
+      "SELECT id, t.pos, t.token FROM pt_edge LATERAL VIEW pos_tokens(text) t AS pos, token ORDER BY id, pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // null text generates no rows; empty text is one empty token
+    assert(got == Seq((1L, 0, "a"), (1L, 1, "b"), (2L, 0, "")))
+  }
 }

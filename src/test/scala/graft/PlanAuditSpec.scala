@@ -105,6 +105,48 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(planStr.contains("sha2"), "grouping key must be the sha2 digest")
   }
 
+  test("CBO: with ANALYZE TABLE stats present, the 3-table chain keeps its broadcasts") {
+    import org.apache.spark.sql.functions._
+    // Catalyst's CBO only reads catalog statistics, so land the chain's
+    // tables in the warehouse and ANALYZE them — the 100-TB workflow
+    // (stats-informed join planning) in miniature.
+    for ((name, df) <- Seq(
+        "cbo_customer" -> Tables.customer(spark, sf),
+        "cbo_nation" -> Tables.nation(spark, sf),
+        "cbo_region" -> Tables.region(spark, sf))) {
+      df.write.mode("overwrite").saveAsTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // stats actually landed: row counts visible to the optimizer (the
+      // rowCount-bearing stats visitor only runs with CBO enabled)
+      val nStats = spark.table("cbo_nation").queryExecution.optimizedPlan.stats
+      assert(nStats.rowCount.exists(_.toLong == 25L),
+        s"ANALYZE stats missing from the catalog: $nStats")
+      // UNHINTED chain: with CBO on and stats present the planner must
+      // still broadcast the two dimension tables, not shuffle customer.
+      val chain = spark.table("cbo_customer")
+        .join(spark.table("cbo_nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(spark.table("cbo_region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+      val plan = formattedPlan(chain)
+      // formatted explain repeats each node (tree + detail) → 2 joins = 4 hits
+      val nBcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(nBcast == 4, s"expected both dimension joins broadcast under CBO:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"CBO must not shuffle the fact side of the chain:\n$plan")
+      assert(chain.count() == 25L)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Seq("cbo_customer", "cbo_nation", "cbo_region")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("q_month_range broadcasts the 1-row aggregate, not the fact side") {
     val plan = formattedPlan(q("q_month_range"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -24,11 +24,17 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
-  /** Publish `df` to `finalDir` via a staging directory + atomic rename —
-    * multi-step jobs that must never expose a half-written dataset use
-    * this instead of writing in place (the commit protocol makes ONE
-    * write atomic; this makes the publish step atomic too, replacing the
-    * reference's delete-based rollback, R24/bug B5).
+  /** Publish `df` to `finalDir` via a staging directory + rename swap.
+    *
+    * CAVEATS (prefer [[publishVersioned]] for production): between
+    * rename(final→.old) and rename(staging→final) there is a window
+    * where `finalDir` does not exist; a driver crash inside it strands
+    * the data at `finalDir + ".old"` (recovery: rename .old back by
+    * hand). On object stores (s3a) "rename" is a non-atomic O(data)
+    * copy, so neither step is atomic there. [[publishVersioned]] removes
+    * both problems by never moving data — only a one-object pointer
+    * flips. Kept as the minimal directory-swap form of the reference's
+    * delete-based rollback (R24/bug B5).
     */
   def publishAtomic(df: DataFrame, finalDir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -51,5 +57,73 @@ object Maintenance {
       throw new IllegalStateException(s"atomic publish rename failed: $finalDir")
     }
     if (hadPrevious) fs.delete(backup, true)
+  }
+
+  private val VersionRe = "v=(\\d+)".r
+
+  /** Versioned publish: every snapshot lands complete in
+    * `baseDir/v=NNNNNN`, then a one-line `_CURRENT` pointer file flips to
+    * it via an atomic overwrite-rename. Readers ([[readCurrent]]) always
+    * resolve a fully-written snapshot:
+    *   - data is never renamed or deleted out from under a reader of the
+    *     current version (object-store safe: the only "rename" is a
+    *     single small pointer object, never an O(data) directory copy);
+    *   - a writer crash before the pointer flip leaves an orphan version
+    *     dir and the previous snapshot still published — no recovery
+    *     step needed, the next publish simply claims the next number;
+    *   - old versions are pruned after the flip, keeping `keepVersions`
+    *     so in-flight readers of the previous snapshot finish their scan.
+    * Returns the published version directory.
+    */
+  def publishVersioned(df: DataFrame, baseDir: String, keepVersions: Int = 2): String = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    require(keepVersions >= 1, "must keep at least the published version")
+    val base = new Path(baseDir)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(conf)
+    fs.mkdirs(base)
+    val existing = listVersions(fs, base)
+    val next = existing.lastOption.getOrElse(0L) + 1
+    val target = new Path(base, f"v=$next%06d")
+    df.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    // pointer flip: write aside, then atomic overwrite-rename of ONE
+    // small file (FileContext supports Rename.OVERWRITE; on object
+    // stores this is a single PUT — no window with no pointer)
+    val tmp = new Path(base, "_CURRENT.tmp")
+    val cur = new Path(base, "_CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(target.getName.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(cur.toUri, conf).rename(tmp, cur, Options.Rename.OVERWRITE)
+    // prune all but the newest keepVersions (the published one included)
+    listVersions(fs, base).dropRight(keepVersions)
+      .foreach(v => fs.delete(new Path(base, f"v=$v%06d"), true))
+    target.toString
+  }
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      })
+      .sorted
+
+  /** Read the currently-published snapshot under a [[publishVersioned]]
+    * base dir. Resolves the `_CURRENT` pointer; falls back to the
+    * highest complete version if the pointer is missing (e.g. a base dir
+    * mid-first-publish has versions but no pointer yet → that publish is
+    * not visible, which is exactly the contract).
+    */
+  def readCurrent(spark: SparkSession, baseDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(base, "_CURRENT")
+    require(fs.exists(cur), s"no published version under $baseDir")
+    val in = fs.open(cur)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    spark.read.parquet(new Path(base, name).toString)
   }
 }

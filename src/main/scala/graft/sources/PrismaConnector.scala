@@ -116,9 +116,16 @@ object PrismaConnector {
     * aggregation keyed by accountId (bug B3 fixed: the reference keys by
     * display name and merges distinct accounts), projected/renamed to
     * the reference's report schema.
+    *
+    * `inventoryPayload`, when given, supplies the report-wide
+    * `timestamp`/`requestedTimestamp` columns the reference's
+    * Alert_Report.csv carries (lambda.py sets them from the inventory
+    * response) — data-derived like the B2 fix, joined as a broadcast
+    * 1-row aggregate, never wall clock. Omitted → columns absent
+    * (schema-narrowing deviation for callers with no inventory feed).
     */
   def alertReport(spark: SparkSession, policyPayload: DataFrame,
-      alertPages: DataFrame): DataFrame = {
+      alertPages: DataFrame, inventoryPayload: Option[DataFrame] = None): DataFrame = {
     val policies = policyPayload
       .select(from_json(col("json"), policySchema).as("p"))
       .select(explode(col("p.policies")).as("pol"))
@@ -142,7 +149,7 @@ object PrismaConnector {
         min(col("account")).as("account"), // deterministic "first"
         min(col("cloudType")).as("cloudType"),
         min(col("accountGroup")).as("accountGroup"))
-    perAccount
+    val report = perAccount
       .join(broadcast(policies), col("alert_policyId") === col("policyId"))
       .select( // R19 projection + R20 upper
         col("policyName").as("Policy Name"),
@@ -154,6 +161,17 @@ object PrismaConnector {
         col("accountGroup").as("Cloud Account Group"),
         lit("fail").as("Status"),
         col("failedCount").as("Failed Resource Count"))
+    inventoryPayload.fold(report) { inv =>
+      val ts = inv
+        .select(from_json(col("json"), inventorySchema()).as("p"))
+        .agg(min(col("p.timestamp")).as("ts_ms"),
+          min(col("p.requestedTimestamp")).as("req_ms"))
+      report.join(broadcast(ts)) // 1-row broadcast, no shuffle of the report
+        .withColumn("timestamp", date_format(timestamp_millis(col("ts_ms")), TsFmt))
+        .withColumn("requestedTimestamp",
+          date_format(timestamp_millis(col("req_ms")), TsFmt))
+        .drop("ts_ms", "req_ms")
+    }
   }
 
   /** R22/R23: header'd, quoted CSV under a hive-partitioned date layout

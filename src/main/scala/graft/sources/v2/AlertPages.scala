@@ -33,10 +33,15 @@ class AlertPages extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AlertPages.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // Spark read options are case-insensitive (.option("pagesize", …) and
+    // SQL OPTIONS must not silently fall back to defaults), so re-wrap
+    // the raw properties map before lookup.
+    val opts = new CaseInsensitiveStringMap(properties)
     new AlertPagesTable(
-      properties.getOrDefault("pages", "10").toInt,
-      properties.getOrDefault("pageSize", "100").toInt)
+      opts.getInt("pages", 10),
+      opts.getInt("pageSize", 100))
+  }
 }
 
 object AlertPages {
@@ -66,9 +71,11 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
   // than relying on the interface default.
   override def isPartiallyPushed: Boolean = true
   override def build(): Scan = {
+    // Long arithmetic: (limit + pageSize - 1) overflows Int for limits
+    // near Int.MaxValue, which would plan zero pages.
     val neededPages =
       if (limit == Int.MaxValue) pages
-      else math.min(pages, (limit + pageSize - 1) / pageSize)
+      else math.min(pages.toLong, (limit.toLong + pageSize - 1) / pageSize).toInt
     new AlertScan(neededPages, pageSize)
   }
 }

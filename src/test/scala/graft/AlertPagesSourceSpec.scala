@@ -28,6 +28,20 @@ class AlertPagesSourceSpec extends AnyFunSuite with SharedSpark {
       s"limit(150) over 100-row pages must plan 2 pages, got ${scan.inputPartitions.length}")
   }
 
+  test("read options are case-insensitive (Spark option contract)") {
+    val df = spark.read.format("graft.sources.v2.AlertPages")
+      .option("PAGES", "3").option("pagesize", "20").load()
+    assert(df.count() == 60, "lowercase/uppercase option keys must not fall back to defaults")
+  }
+
+  test("a limit near Int.MaxValue plans all pages, not zero (no Int overflow)") {
+    val df = read(5, 100).limit(Int.MaxValue - 1)
+    assert(df.count() == 500)
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputPartitions.length == 5,
+      s"overflowed page math planned ${scan.inputPartitions.length} pages")
+  }
+
   test("source rows feed the standard aggregation path") {
     val perPolicy = read(4, 25)
       .groupBy("policyId").agg(count(lit(1)).as("n"))

@@ -104,6 +104,25 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_.getAs[String]("Status") == "fail"))
   }
 
+  test("alert report carries inventory-derived timestamp columns when the feed is given") {
+    val policies =
+      """{"policies": [
+        | {"policyId": "p1", "policyName": "Public bucket", "policyType": "config",
+        |  "severity": "high", "alertCount": 1}]}""".stripMargin.replace("\n", " ")
+    val pages = Seq(
+      """{"policyId": "p1", "items": [{"id": "a1", "resource": {"account": "prod",
+        | "accountId": "111", "cloudType": "aws", "cloudAccountGroups": ["g1"]}}]}"""
+        .stripMargin.replace("\n", " ")).toDF("json")
+    val out = PrismaConnector.alertReport(spark, Seq(policies).toDF("json"), pages,
+      inventoryPayload = Some(Seq(invPayload).toDF("json")))
+    assert(out.columns.takeRight(2).toSeq == Seq("timestamp", "requestedTimestamp"),
+      s"expected trailing timestamp columns, got ${out.columns.toSeq}")
+    val r = out.head()
+    // derived from the payload epoch-millis (B2 semantics), not wall clock
+    assert(r.getAs[String]("timestamp") == "2024-04-07 14:26:40")
+    assert(r.getAs[String]("requestedTimestamp") == "2024-04-07 14:26:40")
+  }
+
   test("end-to-end pipeline (R25): three reports published to partitioned CSV") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val counts = graft.sources.ReportPipeline.run(spark, out)

@@ -38,6 +38,39 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
       f.getName.endsWith(".staging") || f.getName.endsWith(".old")))
   }
 
+  test("versioned publish: readers resolve complete snapshots through the pointer") {
+    val base = Files.createTempDirectory("graft_versioned").toString + "/table"
+    val v1 = Tables.events(spark, sf).filter(col("event_id") < 100)
+    val dir1 = Maintenance.publishVersioned(v1, base, keepVersions = 2)
+    assert(dir1.endsWith("v=000001"))
+    assert(Maintenance.readCurrent(spark, base).count() == v1.count())
+    val v2 = Tables.events(spark, sf).filter(col("event_id") < 300)
+    Maintenance.publishVersioned(v2, base, keepVersions = 2)
+    assert(Maintenance.readCurrent(spark, base).count() == v2.count())
+    // keepVersions=2: v1 retained for in-flight readers, then pruned on v3
+    val names = () => new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(names().contains("v=000001") && names().contains("v=000002"))
+    Maintenance.publishVersioned(v1, base, keepVersions = 2)
+    assert(!names().contains("v=000001"), "old versions must be pruned past keepVersions")
+    assert(names().contains("v=000002") && names().contains("v=000003"))
+    assert(!names().contains("_CURRENT.tmp"), "pointer temp must not survive")
+  }
+
+  test("versioned publish: a crash before the pointer flip leaves the old snapshot live") {
+    val base = Files.createTempDirectory("graft_versioned_crash").toString + "/table"
+    val v1 = Tables.events(spark, sf).filter(col("event_id") < 100)
+    Maintenance.publishVersioned(v1, base)
+    // simulate a writer dying AFTER landing its version dir but BEFORE
+    // the pointer flip: the orphan dir must not become visible
+    val v2 = Tables.events(spark, sf).filter(col("event_id") < 300)
+    v2.write.parquet(s"$base/v=000002")
+    assert(Maintenance.readCurrent(spark, base).count() == v1.count(),
+      "an unflipped version must stay invisible to readers")
+    // the next real publish claims the next number and flips past the orphan
+    Maintenance.publishVersioned(v2, base)
+    assert(Maintenance.readCurrent(spark, base).count() == v2.count())
+  }
+
   test("data-quality audit computes all checks in one pass and gates correctly") {
     val events = Tables.events(spark, sf)
     val good = Seq(

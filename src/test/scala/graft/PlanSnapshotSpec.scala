@@ -1,0 +1,71 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden formatted-plan snapshots for the heaviest queries: a silently
+  * dropped pushdown, broadcast, or partial aggregate changes the
+  * normalized plan text and fails CI even where PlanAuditSpec has no
+  * targeted assertion. Regenerate intentionally with
+  * `GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanSnapshotSpec"` and
+  * review the diff like code.
+  *
+  * Normalization strips per-session noise (expression ids, plan ids,
+  * file paths, numeric literals, sizes) so snapshots are stable across
+  * runs while preserving operator structure, join strategies, keys,
+  * pushed filters, and read schemas.
+  */
+class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
+
+  private val heavy = Seq(
+    "q_sim_lsh", "q_sim_ivf", "q_sim_topk", "q_dedup_ngram", "q_dedup_near",
+    "q_dedup_simhash", "q_dedup_exact", "q_media_sim", "q_join_smj", "q_agg_q1")
+
+  private val goldenDir = Paths.get("src/test/resources/golden-plans")
+
+  private def formattedPlan(df: DataFrame): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out)(df.explain("formatted"))
+    out.toString
+  }
+
+  private def normalize(plan: String): String =
+    plan.linesIterator
+      .map(_.replaceAll("#\\d+", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x") // JIT class name
+        .replaceAll("@[0-9a-fA-F]{6,}", "@x") // JVM identity hash
+        .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <path>")
+        .replaceAll("file:[^,\\]\\s]+", "<path>")
+        .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
+        .replaceAll("\\s+$", ""))
+      .mkString("\n").trim + "\n"
+
+  heavy.foreach { name =>
+    test(s"$name physical plan matches its golden snapshot") {
+      val plan = normalize(formattedPlan(SparkEntry.queries(name)(spark, sf)))
+      val golden = goldenDir.resolve(s"$name.plan")
+      if (sys.env.contains("GRAFT_UPDATE_PLANS") || !Files.exists(golden)) {
+        Files.createDirectories(goldenDir)
+        Files.write(golden, plan.getBytes(StandardCharsets.UTF_8))
+        info(s"golden snapshot written: $golden")
+      } else {
+        val want = new String(Files.readAllBytes(golden), StandardCharsets.UTF_8)
+        if (plan != want) {
+          val gotL = plan.linesIterator.toVector
+          val wantL = want.linesIterator.toVector
+          val firstDiff = gotL.zipAll(wantL, "<missing>", "<missing>")
+            .indexWhere { case (a, b) => a != b }
+          fail(s"$name plan drifted from golden (first diff at line ${firstDiff + 1}):\n" +
+            s"  golden: ${wantL.lift(firstDiff).getOrElse("<missing>")}\n" +
+            s"  actual: ${gotL.lift(firstDiff).getOrElse("<missing>")}\n" +
+            s"If intentional, regenerate with GRAFT_UPDATE_PLANS=1 and review the diff.")
+        }
+      }
+    }
+  }
+}

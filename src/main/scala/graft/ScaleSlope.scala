@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope harness for the heavy text/similarity queries: generates
+  * documents/embeddings at multiples of the sf0.1 row counts (5k docs /
+  * 2k vectors) with the SAME distributional shape as the fixture
+  * (shared ~30-word vocabulary, 12–61-token docs, ~5% near-dup pairs,
+  * 10 embedding clusters), runs each heavy query at each scale, and
+  * prints measured time ratios. A linear-scaling query shows slope ≈ the
+  * scale ratio; anything clearly above is superlinear and gets a
+  * SCALING.md finding.
+  *
+  * Generation is fully deterministic (xxhash64 of row id — no
+  * Math.random, no wall clock) and distributed (spark.range + map-only
+  * expressions; nothing driver-side).
+  *
+  * Usage: runMain graft.ScaleSlope [baseDir] [mults]   (defaults
+  * /tmp/graft_scale and 1,10)
+  */
+object ScaleSlope {
+
+  /** Fixture-like vocabulary (documents.parquet uses ~30 engine words). */
+  private val Vocab = Seq(
+    "spark", "line", "column", "order", "small", "sort", "fast", "value",
+    "scan", "hash", "slow", "group", "batch", "agg", "filter", "query",
+    "big", "key", "window", "row", "part", "table", "stream", "merge",
+    "data", "a", "the", "join", "vector", "customer")
+
+  def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val v = array(Vocab.map(lit): _*)
+    // word(id, pos) = Vocab[xxhash64(id, pos) mod |V|]; every 20th doc is
+    // a near-dup of its neighbor (same word stream + one marker token),
+    // mirroring the fixture's near-dup clusters without any join.
+    spark.range(n).toDF("doc_id")
+      .withColumn("base_id",
+        when(col("doc_id") % 20 === 19, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("len",
+        (lit(12) + pmod(xxhash64(col("base_id"), lit(-1)), lit(50))).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("len") - 1),
+        p => element_at(v, (pmod(xxhash64(col("base_id"), p), lit(Vocab.size)) + 1).cast("int"))))
+      .withColumn("text",
+        when(col("doc_id") =!= col("base_id"),
+          concat_ws(" ", concat(col("words"), array(lit("dupmark")))))
+        .otherwise(concat_ws(" ", col("words"))))
+      .select(col("doc_id"), col("text"),
+        element_at(array(lit("en"), lit("es"), lit("de"), lit("zh")),
+          (pmod(xxhash64(col("doc_id"), lit(-2)), lit(4)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(10))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    // 10 clusters: v_d = center(label, d) ± noise(id, d), floats in ~[-1.2, 1.2]
+    spark.range(n).toDF("vec_id")
+      .withColumn("label", pmod(xxhash64(col("vec_id"), lit(-3)), lit(10)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (((pmod(xxhash64(col("label").cast("long"), d), lit(2001)) - 1000) / 1000.0) +
+          ((pmod(xxhash64(col("vec_id"), d, lit(7)), lit(401)) - 200) / 1000.0)).cast("float")))
+      .select("vec_id", "embedding", "label")
+
+  /** Doc/embedding-only queries worth a slope (the rest are TPC-H-shaped
+    * and already plan-audited).
+    */
+  private val Heavy = Seq(
+    "q_dedup_exact", "q_text_stats", "q_token_count", "q_dedup_ngram",
+    "q_fingerprint", "q_dedup_near", "q_dedup_simhash",
+    "q_sim_topk", "q_sim_lsh", "q_sim_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft_scale")
+    val mults = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (m <- mults) {
+      val dir = s"$base/x$m"
+      val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+      if (!marker.exists()) {
+        genDocuments(spark, 5000L * m).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, 2000L * m).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+    }
+    // warm the JVM/codegen paths on the smallest scale
+    Heavy.foreach(q => SparkEntry.queries(q)(spark, s"$base/x${mults.min}").count())
+
+    val times: Map[Int, Map[String, Double]] = mults.map { m =>
+      m -> Heavy.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, s"$base/x$m").count()
+        q -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }.toMap
+
+    val lo = mults.min; val hi = mults.max
+    val slopes = Heavy.map { q =>
+      s""""$q":{"t_x$lo":${times(lo)(q)},"t_x$hi":${times(hi)(q)},""" +
+        s""""slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slope","ratio":${hi / lo},"queries":$slopes}""")
+    spark.stop()
+  }
+}

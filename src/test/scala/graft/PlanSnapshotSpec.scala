@@ -39,6 +39,7 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
         .replaceAll("plan_id=\\d+", "plan_id=x")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x") // JIT class name
         .replaceAll("@[0-9a-fA-F]{6,}", "@x") // JVM identity hash
+        .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n") // session-global HOF var counter
         .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <path>")
         .replaceAll("file:[^,\\]\\s]+", "<path>")
         .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")

@@ -32,12 +32,13 @@ object Similarity {
     */
   val MaxBandBucket = 64
 
-  /** Keep at most [[MaxBandBucket]] lowest-`doc_id` rows per band bucket.
+  /** Keep at most [[MaxBandBucket]] lowest-`idCol` rows per band bucket.
     * The row_number window shuffles by the same keys the candidate
     * equi-join uses, so the exchange is reused rather than added.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     banded.withColumn("bucket_rank", row_number().over(w))
       .filter(col("bucket_rank") <= MaxBandBucket)
       .drop("bucket_rank")
@@ -199,11 +200,15 @@ object Similarity {
     * cross join.
     */
   def lshBuckets(s: SparkSession, d: String, nTables: Int = LshTables,
+      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L): DataFrame =
+    lshBucketsOf(T.embeddings(s, d), nTables, bitsPerTable, seed)
+
+  def lshBucketsOf(embeddings: DataFrame, nTables: Int = LshTables,
       bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(nTables * bitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
-    val c = corpus(s, d)
+    val c = corpusOf(embeddings)
     // all 48 hyperplane dots in ONE codegen'd kernel call per row; the
     // sign-bit bucket assembly then touches 48 scalars, not 48×64
     val withDots = c.withColumn("dots",
@@ -239,6 +244,37 @@ object Similarity {
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("probe_id"), col("rn"))
   }
+
+  /** Embedding-cosine near-dup pairs — the fifth dedup family member
+    * next to exact/MinHash/SimHash/n-gram: ALL vector pairs with cosine
+    * ≥ threshold, candidates restricted to pairs sharing an LSH bucket
+    * in ≥ 1 table (OR-amplified sign-random-projection — a pair at
+    * cosine 0.95 has angle ~18°, so each 6-bit table agrees with
+    * probability ~(1−18/180)⁶ ≈ 0.53 and 8 tables miss it with
+    * probability < 0.3% — recall-tested against brute force). Same
+    * bucketed-equi-join shape as the MinHash path: candidates scale with
+    * bucket occupancy, never n², and [[MaxBandBucket]] bounds hot
+    * buckets.
+    */
+  def cosineDupPairsOf(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val exploded = lshBucketsOf(embeddings)
+      .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val capped = capBuckets(exploded, Seq("tbl", "bucket"), idCol = "vec_id")
+    capped.as("x").join(capped.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.emb").as("emb_a"), col("y.emb").as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b") // union of per-table matches
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def cosineDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    cosineDupPairsOf(T.embeddings(s, d), threshold)
 
   val IvfCentroids = 16
   val IvfProbes = 6
@@ -308,6 +344,10 @@ object Similarity {
     QueryDef("q_dedup_simhash", (s, d) => simhashPairs(s, d, 3), None),
     QueryDef("q_sim_topk", (s, d) => bruteForceTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
-    QueryDef("q_sim_ivf", (s, d) => ivfTopK(s, d, Seq(0L, 1L, 2L), 5), None)
+    QueryDef("q_sim_ivf", (s, d) => ivfTopK(s, d, Seq(0L, 1L, 2L), 5), None),
+    // 0 rows on the fixture — its embeddings are isotropic (max pairwise
+    // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
+    // SimilaritySpec plants near-duplicates and asserts they are found.
+    QueryDef("q_dedup_embed", (s, d) => cosineDupPairs(s, d, 0.95), None)
   )
 }

@@ -175,6 +175,41 @@ object TextOps {
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // TF-IDF: top-3 terms per document by tf·ln(N/df). Term frequency
+    // and document frequency are two exploded aggregations; the corpus
+    // size joins in as a broadcast 1-row aggregate (never a collect).
+    // Rank on the ROUNDED score with a word tiebreak so both engines
+    // order identically.
+    QueryDef("q_tfidf",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "word").join(broadcast(n))
+          .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("word"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, word, round(tf * ln(n_docs / df), 4) AS tfidf
+             |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, word, tfidf,
+             |         row_number() OVER (PARTITION BY doc_id
+             |                            ORDER BY tfidf DESC, word) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tfidf
+             |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     // Language ID by stopword-lexicon vote (n-gram heuristic surface —
     // the fixture text shares one vocabulary across langs, so this
     // verifies the *pipeline*: broadcast lexicon join → per-doc argmax).

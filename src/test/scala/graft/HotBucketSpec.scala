@@ -42,6 +42,18 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
     assert(pairs == 0L, s"hot shingles leaked into the self-join: $pairs pairs")
   }
 
+  test("cosine dedup on N identical vectors is bounded by the band-bucket cap") {
+    import org.apache.spark.sql.functions._
+    val c = Similarity.MaxBandBucket
+    val one = Array.fill(64)(0.5f)
+    val vecs = (0L until N.toLong).map(i => (i, one, 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineDupPairsOf(vecs.withColumn("embedding",
+      col("embedding").cast("array<float>")), 0.95).count()
+    assert(pairs == c.toLong * (c - 1) / 2,
+      s"expected cap-bounded ${c * (c - 1) / 2} pairs, got $pairs")
+  }
+
   test("df cap keeps genuine near-dup pairs while suppressing boilerplate") {
     val boiler = (0L until 200L).map(i =>
       (i, s"common boiler plate filler$i unique$i token$i"))

@@ -131,6 +131,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(shSql == shCol, s"SQL vs Column shingle counts differ: $shSql vs $shCol")
   }
 
+  test("cosine near-dup pairs: planted near-duplicates are found, isotropic pairs are not") {
+    val base = Tables.embeddings(spark, sf)
+    // plant 10 near-duplicates: tiny perturbation on one dimension keeps
+    // cosine ≈ 0.9999, far above the 0.95 near-dup threshold
+    val copies = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)))
+    val corpus = base.unionByName(copies)
+    val got = Similarity.cosineDupPairsOf(corpus, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(got == want,
+      s"expected exactly the 10 planted near-dup pairs, got ${got.size}: $got")
+    // fixture-only corpus: no pair reaches 0.95 (max measured cosine 0.51)
+    assert(Similarity.cosineDupPairsOf(base, 0.95).isEmpty)
+  }
+
   test("fingerprints collide exactly for duplicate texts") {
     val docs = docsDf(
       0L -> "alpha beta gamma delta",

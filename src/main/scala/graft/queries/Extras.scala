@@ -75,6 +75,24 @@ object Extras {
         .orderBy(col("event_type")),
       None),
 
+    // MERGE-style upsert (graft.sources.Maintenance.upsert): updated
+    // rows replace by key, the rest pass through — one left-anti join +
+    // union, no driver involvement. The oracle states the same result as
+    // a CASE projection (valid because this update set only overlaps).
+    QueryDef("q_upsert",
+      (s, d) => {
+        val ev = T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        val updates = ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") * 2)
+        graft.sources.Maintenance.upsert(ev, updates, Seq("event_id"))
+          .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+             |       round(CASE WHEN event_id % 100 = 0 THEN value * 2
+             |                  ELSE value END, 4) AS value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Pivot ≡ conditional aggregation.
     QueryDef("q_pivot",
       (s, d) => T.events(s, d)

@@ -175,6 +175,34 @@ object TextOps {
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Heavy hitters / boilerplate detector: terms present in ≥ 40% of
+    // documents — the df-distribution probe behind the hot-shingle cap
+    // (at 100 TB this is the query that finds the phrases worth
+    // stoplisting before any pair join). Distinct-per-doc explode →
+    // per-term df → broadcast 1-row corpus size.
+    QueryDef("q_freq_terms",
+      (s, d) => {
+        val docTerms = T.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+        val dfreq = docTerms.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        dfreq.join(broadcast(n))
+          .withColumn("doc_ratio", round(col("df") / col("n_docs"), 4))
+          .filter(col("doc_ratio") >= 0.4)
+          .select(col("word"), col("df"), col("doc_ratio"))
+          .orderBy(col("df").desc, col("word"))
+      },
+      Some("""WITH doc_terms AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+             |          FROM doc_terms GROUP BY word),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT word, df, round(df / n_docs, 4) AS doc_ratio
+             |FROM dfreq CROSS JOIN n
+             |WHERE round(df / n_docs, 4) >= 0.4
+             |ORDER BY df DESC, word""".stripMargin)),
+
     // TF-IDF: top-3 terms per document by tf·ln(N/df). Term frequency
     // and document frequency are two exploded aggregations; the corpus
     // size joins in as a broadcast 1-row aggregate (never a collect).

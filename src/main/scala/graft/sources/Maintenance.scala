@@ -59,6 +59,20 @@ object Maintenance {
     if (hadPrevious) fs.delete(backup, true)
   }
 
+  /** MERGE-style upsert: rows of `updates` replace `existing` rows with
+    * the same key; unmatched update rows are inserts. One left-anti join
+    * (shuffle on the key both sides) + a union — the incremental-refresh
+    * primitive for keyed parquet datasets, used with [[publishVersioned]]
+    * so readers flip to the merged snapshot atomically. At scale the
+    * anti join is key-partitioned like any fact join (AQE handles skew);
+    * nothing is collected.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    updates.unionByName(
+      existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   private val VersionRe = "v=(\\d+)".r
 
   /** Versioned publish: every snapshot lands complete in

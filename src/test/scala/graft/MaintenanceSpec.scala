@@ -71,6 +71,17 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(Maintenance.readCurrent(spark, base).count() == v2.count())
   }
 
+  test("upsert replaces matched keys, inserts new ones, passes the rest through") {
+    import spark.implicits._
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "tag", "v")
+    val updates = Seq((2L, "B", 20.0), (9L, "z", 9.0)).toDF("id", "tag", "v")
+    val merged = Maintenance.upsert(existing, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (9L, "z", 9.0)))
+    intercept[IllegalArgumentException](Maintenance.upsert(existing, updates, Seq.empty))
+  }
+
   test("data-quality audit computes all checks in one pass and gates correctly") {
     val events = Tables.events(spark, sf)
     val good = Seq(

@@ -144,6 +144,35 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     } finally q.stop()
   }
 
+  test("rate-micro-batch source: deterministic batches compose with transforms and checkpoints") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val ck = Files.createTempDirectory("graft_rate_ck").toString
+    val out = Files.createTempDirectory("graft_rate_out").toString
+    def runOneBatch(): Unit = {
+      val q = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "100").option("numPartitions", "2")
+        .option("startTimestamp", "0").option("advanceMillisPerBatch", "1000")
+        .load()
+        .select(col("value"), (col("value") % 10).as("bucket"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    runOneBatch() // values 0-99
+    runOneBatch() // checkpoint advances the offset: values 100-199
+    val landed = spark.read.parquet(out)
+    val vals = landed.select("value").as[Long].collect().sorted.toSeq
+    assert(vals == (0L until 200L).toSeq,
+      s"rate-micro-batch must produce deterministic consecutive ids, got ${vals.take(5)}...")
+    val buckets = landed.groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(buckets.values.forall(_ == 20L))
+  }
+
   test("checkpoint recovery: parquet sink resumes exactly-once after a restart") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ck_in").toString

@@ -24,6 +24,24 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Compaction with two-dimensional Z-order clustering: rows are
+    * range-partitioned and sorted by the Morton interleave of the two
+    * (int-binned) keys, so every output file covers a 2-D tile and
+    * row-group min/max stats stay tight on BOTH dimensions — scans
+    * filtered on either key skip most files, where [[compactParquet]]'s
+    * lexicographic sort only prunes on its leading key.
+    */
+  def compactParquetZOrder(spark: SparkSession, inDir: String, outDir: String,
+      keyA: String, keyB: String, targetFiles: Int): Unit = {
+    val df = spark.read.parquet(inDir)
+    df.withColumn("_zorder", graft.functions.ClusterExprs.zorder2(
+        col(keyA).cast("int"), col(keyB).cast("int")))
+      .repartitionByRange(targetFiles, col("_zorder"))
+      .sortWithinPartitions(col("_zorder"))
+      .drop("_zorder")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Publish `df` to `finalDir` via a staging directory + rename swap.
     *
     * CAVEATS (prefer [[publishVersioned]] for production): between

@@ -38,6 +38,58 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
       f.getName.endsWith(".staging") || f.getName.endsWith(".old")))
   }
 
+  test("zorder2 kernel: correct bit interleave, distinct and sign-ordered") {
+    import graft.functions.ClusterKernels.interleaveBits
+    // independent reference for small non-negatives: interleave low bits,
+    // plus the constant from both sign-flip bits (bit 62 from a's sign
+    // region; the b-side bit 63 is flipped back for signed comparison)
+    def ref(a: Int, b: Int): Long = {
+      var r = 0L
+      for (i <- 0 until 8) {
+        r |= ((a >> i) & 1L) << (2 * i)
+        r |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      r | (1L << 62)
+    }
+    for (a <- 0 until 8; b <- 0 until 8)
+      assert(interleaveBits(a, b) == ref(a, b), s"($a,$b)")
+    val grid = for (a <- -4 to 4; b <- -4 to 4) yield interleaveBits(a, b)
+    assert(grid.distinct.size == grid.size, "z-values must be injective")
+    // signed order: any negative dim sorts before the all-non-negative block
+    assert(interleaveBits(-1, 5) < interleaveBits(0, 0))
+    assert(interleaveBits(5, -1) < interleaveBits(0, 0))
+  }
+
+  test("z-order compaction keeps per-file ranges tight on BOTH dimensions") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_z_in").toString
+    val zOut = Files.createTempDirectory("graft_z_out").toString
+    val xOut = Files.createTempDirectory("graft_x_out").toString
+    // 100×100 grid, shuffled on disk
+    (0 until 10000).map(i => (i % 100, i / 100)).toDF("x", "y")
+      .orderBy(hash(col("x"), col("y"))).coalesce(4)
+      .write.mode("overwrite").parquet(in)
+    Maintenance.compactParquetZOrder(spark, in, zOut, "x", "y", targetFiles = 16)
+    Maintenance.compactParquet(spark, in, xOut, Seq("x"), targetFiles = 16)
+    def avgSpans(dir: String): (Double, Double) = {
+      val spans = parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(max("x") - min("x"), max("y") - min("y")).head()
+        (r.getInt(0), r.getInt(1))
+      }
+      (spans.map(_._1).sum.toDouble / spans.length,
+        spans.map(_._2).sum.toDouble / spans.length)
+    }
+    val (zx, zy) = avgSpans(zOut)
+    val (_, xy) = avgSpans(xOut)
+    // x-sorted files are degenerate on y (span ≈ 99); z-ordered files
+    // must stay prunable on BOTH dimensions
+    assert(xy > 90, s"x-sorted baseline should span all of y, got $xy")
+    assert(zx < 60 && zy < 60, s"z-order spans too wide: x=$zx y=$zy")
+    assert(spark.read.parquet(zOut).count() == 10000)
+    assert(spark.read.parquet(zOut).exceptAll(spark.read.parquet(in)).isEmpty)
+  }
+
   test("versioned publish: readers resolve complete snapshots through the pointer") {
     val base = Files.createTempDirectory("graft_versioned").toString + "/table"
     val v1 = Tables.events(spark, sf).filter(col("event_id") < 100)

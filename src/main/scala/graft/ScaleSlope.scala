@@ -82,14 +82,19 @@ object ScaleSlope {
 
     for (m <- mults) {
       val dir = s"$base/x$m"
-      val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
-      if (!marker.exists()) {
+      // both tables must be complete or we regenerate (a crash between
+      // the two writes must not leave the dir half-generated forever)
+      val complete = Seq("documents", "embeddings")
+        .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+      if (!complete) {
         genDocuments(spark, 5000L * m).write.mode("overwrite").parquet(s"$dir/documents.parquet")
         genEmbeddings(spark, 2000L * m).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
     }
-    // warm the JVM/codegen paths on the smallest scale
-    Heavy.foreach(q => SparkEntry.queries(q)(spark, s"$base/x${mults.min}").count())
+    // warm the JVM/codegen paths AND the page cache at EVERY scale —
+    // warming only the smallest would leave cold first-ever parquet
+    // reads inside the larger scales' timed region, biasing slopes up
+    for (m <- mults; q <- Heavy) SparkEntry.queries(q)(spark, s"$base/x$m").count()
 
     val times: Map[Int, Map[String, Double]] = mults.map { m =>
       m -> Heavy.map { q =>
@@ -104,7 +109,7 @@ object ScaleSlope {
       s""""$q":{"t_x$lo":${times(lo)(q)},"t_x$hi":${times(hi)(q)},""" +
         s""""slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_slope","ratio":${hi / lo},"queries":$slopes}""")
+    println(s"""{"metric":"scale_slope","ratio":${hi.toDouble / lo},"queries":$slopes}""")
     spark.stop()
   }
 }

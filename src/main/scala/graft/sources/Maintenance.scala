@@ -117,19 +117,35 @@ object Maintenance {
     val existing = listVersions(fs, base)
     val next = existing.lastOption.getOrElse(0L) + 1
     val target = new Path(base, f"v=$next%06d")
+    val cur = new Path(base, "_CURRENT")
+    // remember what readers are currently on BEFORE the flip — the prune
+    // below must never delete it, even if never-published orphan dirs
+    // (writer crashed before its flip) crowd the newest-K window
+    val previous: Option[String] =
+      if (fs.exists(cur)) Some(readPointer(fs, cur)) else None
     df.write.mode(SaveMode.Overwrite).parquet(target.toString)
     // pointer flip: write aside, then atomic overwrite-rename of ONE
     // small file (FileContext supports Rename.OVERWRITE; on object
     // stores this is a single PUT — no window with no pointer)
     val tmp = new Path(base, "_CURRENT.tmp")
-    val cur = new Path(base, "_CURRENT")
     val out = fs.create(tmp, true)
     try out.write(target.getName.getBytes("UTF-8")) finally out.close()
     FileContext.getFileContext(cur.toUri, conf).rename(tmp, cur, Options.Rename.OVERWRITE)
-    // prune all but the newest keepVersions (the published one included)
-    listVersions(fs, base).dropRight(keepVersions)
-      .foreach(v => fs.delete(new Path(base, f"v=$v%06d"), true))
+    // prune: drop everything outside the newest keepVersions, EXCEPT the
+    // just-published target and the pre-flip pointer target (in-flight
+    // readers finish their scan). Orphans age out on later publishes.
+    val keepNames = listVersions(fs, base).takeRight(keepVersions)
+      .map(v => f"v=$v%06d").toSet ++ previous + target.getName
+    listVersions(fs, base).map(v => f"v=$v%06d")
+      .filterNot(keepNames)
+      .foreach(name => fs.delete(new Path(base, name), true))
     target.toString
+  }
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      cur: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(cur)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
   }
 
   private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -143,10 +159,10 @@ object Maintenance {
       .sorted
 
   /** Read the currently-published snapshot under a [[publishVersioned]]
-    * base dir. Resolves the `_CURRENT` pointer; falls back to the
-    * highest complete version if the pointer is missing (e.g. a base dir
-    * mid-first-publish has versions but no pointer yet → that publish is
-    * not visible, which is exactly the contract).
+    * base dir by resolving the `_CURRENT` pointer. A missing pointer is
+    * an error by design: version dirs without a flipped pointer are
+    * unpublished (possibly half-written) and must never become visible,
+    * so there is deliberately NO fallback to "the highest version dir".
     */
   def readCurrent(spark: SparkSession, baseDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -154,8 +170,6 @@ object Maintenance {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(base, "_CURRENT")
     require(fs.exists(cur), s"no published version under $baseDir")
-    val in = fs.open(cur)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-    spark.read.parquet(new Path(base, name).toString)
+    spark.read.parquet(new Path(base, readPointer(fs, cur)).toString)
   }
 }

@@ -62,16 +62,28 @@ object StreamOps {
     * deployment adds `GroupStateTimeout.EventTimeTimeout` + watermark to
     * retire idle users; the no-timeout form keeps the test deterministic.
     */
+  /** Shared state fold for the running-stats variants: consume this
+    * batch's rows into the running aggregate, tracking the max event
+    * time seen (for the expiring variant's timeout deadline).
+    */
+  private def foldStats(prev: Option[StatsState],
+      rows: Iterator[Event]): (StatsState, Long) = {
+    var s = prev.getOrElse(StatsState(0L, 0.0, Double.MinValue))
+    var maxTsMs = Long.MinValue
+    rows.foreach { e =>
+      s = StatsState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+      maxTsMs = math.max(maxTsMs, e.ts.getTime)
+    }
+    (s, maxTsMs)
+  }
+
   def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[StatsState, UserStats](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[StatsState]) =>
-          var s = state.getOption.getOrElse(StatsState(0L, 0.0, Double.MinValue))
-          rows.foreach { e =>
-            s = StatsState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
-          }
+          val (s, _) = foldStats(state.getOption, rows)
           state.update(s)
           Iterator.single(UserStats(uid, s.n, s.sum / s.n, s.max))
       }
@@ -102,12 +114,7 @@ object StreamOps {
             state.remove()
             Iterator.single(UserStats(uid, 0L, 0.0, 0.0)) // tombstone
           } else {
-            var s = state.getOption.getOrElse(StatsState(0L, 0.0, Double.MinValue))
-            var maxTsMs = Long.MinValue
-            rows.foreach { e =>
-              s = StatsState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
-              maxTsMs = math.max(maxTsMs, e.ts.getTime)
-            }
+            val (s, maxTsMs) = foldStats(state.getOption, rows)
             state.update(s)
             state.setTimeoutTimestamp(maxTsMs, timeoutAfter)
             Iterator.single(UserStats(uid, s.n, s.sum / s.n, s.max))

@@ -121,6 +121,11 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     // the next real publish claims the next number and flips past the orphan
     Maintenance.publishVersioned(v2, base)
     assert(Maintenance.readCurrent(spark, base).count() == v2.count())
+    // the snapshot readers were just on (v=000001) must survive the
+    // prune even though the orphan crowded the newest-K window
+    val names = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(names.contains("v=000001"),
+      s"pre-flip published snapshot must not be pruned, dirs: $names")
   }
 
   test("upsert replaces matched keys, inserts new ones, passes the rest through") {

@@ -1,7 +1,5 @@
 package graft
 
-import java.io.ByteArrayOutputStream
-
 import graft.queries.Similarity
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
@@ -12,12 +10,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * broadcast) fails CI instead of surfacing as a 100-TB incident.
   */
 class PlanAuditSpec extends AnyFunSuite with SharedSpark {
-
-  private def formattedPlan(df: DataFrame): String = {
-    val out = new ByteArrayOutputStream()
-    Console.withOut(out)(df.explain("formatted"))
-    out.toString
-  }
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 

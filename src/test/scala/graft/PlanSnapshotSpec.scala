@@ -1,10 +1,8 @@
 package graft
 
-import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden formatted-plan snapshots for the heaviest queries: a silently
@@ -27,12 +25,6 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 
-  private def formattedPlan(df: DataFrame): String = {
-    val out = new ByteArrayOutputStream()
-    Console.withOut(out)(df.explain("formatted"))
-    out.toString
-  }
-
   private def normalize(plan: String): String =
     plan.linesIterator
       .map(_.replaceAll("#\\d+", "#x")
@@ -50,10 +42,15 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     test(s"$name physical plan matches its golden snapshot") {
       val plan = normalize(formattedPlan(SparkEntry.queries(name)(spark, sf)))
       val golden = goldenDir.resolve(s"$name.plan")
-      if (sys.env.contains("GRAFT_UPDATE_PLANS") || !Files.exists(golden)) {
+      if (sys.env.contains("GRAFT_UPDATE_PLANS")) {
         Files.createDirectories(goldenDir)
         Files.write(golden, plan.getBytes(StandardCharsets.UTF_8))
         info(s"golden snapshot written: $golden")
+      } else if (!Files.exists(golden)) {
+        // a silently-written golden would disable the gate exactly when a
+        // snapshot goes missing (deleted file, renamed query) — fail loud
+        fail(s"golden snapshot missing for $name at $golden; " +
+          "generate intentionally with GRAFT_UPDATE_PLANS=1")
       } else {
         val want = new String(Files.readAllBytes(golden), StandardCharsets.UTF_8)
         if (plan != want) {

@@ -12,6 +12,13 @@ trait SharedSpark { self: Suite =>
   lazy val spark: SparkSession = SharedSpark.session
   /** Smallest fixture scale — correctness, not throughput. */
   val sf: String = "/root/testdata/sf0.001"
+
+  /** `EXPLAIN FORMATTED` text of a frame (explain prints to stdout). */
+  def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out)(df.explain("formatted"))
+    out.toString
+  }
 }
 
 object SharedSpark {

@@ -75,6 +75,60 @@ object Extras {
         .orderBy(col("event_type")),
       None),
 
+    // Count-min sketch heavy-hitter estimation: one bounded-size,
+    // mergeable sketch aggregated over the stream of keys (map-side
+    // partial merge like any agg), then probed for the known key set.
+    // The probe collects ONE sketch — bytes, not data. At 100 TB this is
+    // how per-key counts are estimated without a groupBy shuffle of the
+    // key universe. Estimates are >= exact (CMS never undercounts);
+    // scalatest bounds the overestimate.
+    QueryDef("q_sketch_cms",
+      (s, d) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val ev = T.events(s, d)
+        val bytes = ev.agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val est = s.createDataFrame(types.map(t => (t, cms.estimateCount(t))))
+          .toDF("event_type", "est_n")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+          .join(est, "event_type")
+          .select(col("event_type"), col("exact_n"), col("est_n"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // Bloom-filter join pre-filter — the manual form of Spark's runtime
+    // row filtering: build a bloom over the selective side's join keys
+    // (one mergeable sketch — bytes on the driver, not data), inject it
+    // as a might_contain filter into the probe side's SCAN stage, and
+    // only survivors reach the join shuffle. Bloom has no false
+    // negatives, and false positives are eliminated by the join itself,
+    // so the result is EXACTLY the plain join → fully oracle-checkable.
+    // At 100 TB this cuts the probe-side shuffle to ~join selectivity
+    // before any exchange runs.
+    QueryDef("q_bloom_prefilter",
+      (s, d) => {
+        val buyers = T.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey"), col("o_totalprice"))
+        val bloomBytes = buyers
+          .agg(graft.functions.SketchExprs.bloomFilterAgg(col("o_custkey"), 10000L))
+          .head().getAs[Array[Byte]](0) // one sketch, bounded
+        val pre = T.customer(s, d)
+          .filter(graft.functions.SketchExprs.mightContain(bloomBytes, col("c_custkey")))
+        pre.join(buyers, pre("c_custkey") === buyers("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       round(sum(o_totalprice), 4) AS sum_price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |WHERE o_totalprice > 400000
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // MERGE-style upsert (graft.sources.Maintenance.upsert): updated
     // rows replace by key, the rest pass through — one left-anti join +
     // union, no driver involvement. The oracle states the same result as

@@ -55,6 +55,36 @@ class WindowPropSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("count-min sketch estimates never undercount and overcount within eps*N") {
+    val rows = SparkEntry.queries("q_sketch_cms")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"$t: CMS must never undercount ($est < $exact)")
+      assert(est <= exact + math.max(1L, (0.001 * n * 3).toLong),
+        s"$t: overcount too large ($est vs $exact, N=$n)")
+    }
+  }
+
+  test("bloom pre-filter passes every true key and mostly rejects non-keys") {
+    import org.apache.spark.sql.functions._
+    val buyers = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+    val bloom = buyers
+      .agg(graft.functions.SketchExprs.bloomFilterAgg(col("o_custkey"), 10000L))
+      .head().getAs[Array[Byte]](0)
+    val marked = Tables.customer(spark, sf)
+      .withColumn("hit", graft.functions.SketchExprs.mightContain(bloom, col("c_custkey")))
+    val truth = Tables.customer(spark, sf)
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").as[Long].collect().toSet
+    val hits = marked.filter(col("hit")).select("c_custkey").as[Long].collect().toSet
+    assert(truth.subsetOf(hits), "bloom must have no false negatives")
+    val fpRate = (hits.size - truth.size).toDouble /
+      math.max(1L, marked.count() - truth.size)
+    assert(fpRate < 0.05, s"false-positive rate too high: $fpRate")
+  }
+
   test("q_agg_percentile_approx tracks the exact percentiles per group") {
     val exact = SparkEntry.queries("q_agg_percentile")(spark, sf)
       .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap

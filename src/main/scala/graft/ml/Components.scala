@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/cosine candidates) into
+  * dedup CLUSTERS with one representative each.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its
+  * own id; each round, a node adopts the minimum label among itself and
+  * its neighbors; fixpoint when no label changes. Rounds are plain
+  * shuffle joins (label table × symmetrized edges), so the work shards
+  * across executors; `localCheckpoint` truncates the iterative lineage
+  * each round (a cluster deployment would use reliable `checkpoint`).
+  * Near-dup clusters are near-cliques with tiny diameters, so this
+  * converges in 2–3 rounds; for adversarial long-path graphs at 100 TB
+  * the alternating large-star/small-star variant halves the diameter
+  * per round — same join shapes, documented trade, not needed for the
+  * dedup use case.
+  */
+object Components {
+
+  /** @param edges two long columns `src`, `dst` (undirected, self-loops
+    *              and duplicates tolerated)
+    * @return (id, comp) — every node labeled with its component's
+    *         minimum node id
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = sym.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("comp")).as("neigh_comp"))
+      val next = labels.join(neigh, labels("id") === neigh("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("a")
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Dedup clusters from a near-dup pair list: one row per component
+    * with the representative (minimum doc id — also the component
+    * label) and the cluster size. Singleton documents never enter the
+    * pair list and are implicitly kept.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+      .groupBy(col("comp").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("keep_id"))
+}

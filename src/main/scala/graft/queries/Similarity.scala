@@ -348,6 +348,12 @@ object Similarity {
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.
-    QueryDef("q_dedup_embed", (s, d) => cosineDupPairs(s, d, 0.95), None)
+    QueryDef("q_dedup_embed", (s, d) => cosineDupPairs(s, d, 0.95), None),
+    // Pairs → clusters: connected components over the MinHash candidate
+    // pairs, one representative (min doc_id) + size per cluster — the
+    // dedup pipeline's final step (ComponentsSpec verifies against a
+    // driver-side union-find).
+    QueryDef("q_dedup_clusters", (s, d) =>
+      graft.ml.Components.dedupClusters(minhashPairs(s, d, 0.5), "doc_a", "doc_b"), None)
   )
 }

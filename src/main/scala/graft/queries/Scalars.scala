@@ -237,6 +237,51 @@ object Scalars {
              |      FROM documents)
              |ORDER BY doc_id, pos""".stripMargin)),
 
+    // Edit-distance string similarity: nearest other nation by name
+    // (25×25 bounded pair space — at scale the same kernel runs on
+    // LSH-survivor candidate pairs, like exact Jaccard does).
+    QueryDef("q_str_sim",
+      (s, d) => {
+        val a = T.nation(s, d).select(col("n_name").as("name_a"))
+        val b = T.nation(s, d).select(col("n_name").as("name_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name_a")).orderBy(col("dist"), col("name_b"))
+        a.join(b, col("name_a") =!= col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("name_a"), col("name_b").as("nearest"), col("dist"))
+          .orderBy(col("name_a"))
+      },
+      Some("""SELECT name_a, name_b AS nearest, CAST(dist AS INTEGER) AS dist
+             |FROM (
+             |  SELECT a.n_name AS name_a, b.n_name AS name_b,
+             |         levenshtein(a.n_name, b.n_name) AS dist,
+             |         row_number() OVER (PARTITION BY a.n_name
+             |           ORDER BY levenshtein(a.n_name, b.n_name), b.n_name) AS rn
+             |  FROM nation a JOIN nation b ON a.n_name <> b.n_name)
+             |WHERE rn = 1 ORDER BY name_a""".stripMargin)),
+
+    // Correlated LATERAL subquery (SQL surface): each region's top-2
+    // nations by name — the lateral join decorrelates into a ranked
+    // window, no per-row re-execution.
+    QueryDef("q_lateral_subquery",
+      (s, d) => {
+        T.region(s, d).createOrReplaceTempView("region")
+        T.nation(s, d).createOrReplaceTempView("nation")
+        s.sql("""SELECT r.r_name, t.n_name
+                |FROM region r,
+                |LATERAL (SELECT n_name FROM nation n
+                |         WHERE n.n_regionkey = r.r_regionkey
+                |         ORDER BY n_name LIMIT 2) t
+                |ORDER BY r_name, n_name""".stripMargin)
+      },
+      Some("""SELECT r.r_name, t.n_name
+             |FROM region r,
+             |LATERAL (SELECT n_name FROM nation n
+             |         WHERE n.n_regionkey = r.r_regionkey
+             |         ORDER BY n_name LIMIT 2) t
+             |ORDER BY r_name, n_name""".stripMargin)),
+
     // Custom Generator through the SQL LATERAL VIEW surface: the
     // pos_tokens UDTF (functions.PosTokens) tokenizes in one JVM loop
     // per row, streamed by GenerateExec — same semantics as q_udtf_gen's

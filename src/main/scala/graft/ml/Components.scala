@@ -27,8 +27,12 @@ object Components {
     *         minimum node id
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — without this every round's two
+    // joins re-evaluate the upstream pair pipeline (e.g. the whole
+    // MinHash candidate generation), multiplying its cost by 2×rounds
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

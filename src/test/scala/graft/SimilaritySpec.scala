@@ -149,6 +149,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(Similarity.cosineDupPairsOf(base, 0.95).isEmpty)
   }
 
+  test("IVF layout: corpus written partitioned by list id prunes probe scans to nprobe lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
+    // the 100-TB layout step: land the assigned corpus hive-partitioned
+    // by inverted-list id, so a probe's scan touches only its lists
+    Similarity.ivfAssign(spark, sf).select(col("vec_id"), col("emb"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val lists = spark.read.parquet(dir)
+    val probeLists = Seq(0, 3, 5) // stand-in for a probe's nprobe nearest lists
+    val pruned = lists.filter(col("cid").isin(probeLists: _*))
+    val plan = formattedPlan(pruned)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cid"), s"probe must prune to its lists, got: $pf")
+    // pruning is an optimization, not a semantics change
+    assert(pruned.count() ==
+      Similarity.ivfAssign(spark, sf).filter(col("cid").isin(probeLists: _*)).count())
+  }
+
   test("fingerprints collide exactly for duplicate texts") {
     val docs = docsDf(
       0L -> "alpha beta gamma delta",

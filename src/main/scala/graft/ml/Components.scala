@@ -7,17 +7,17 @@ import org.apache.spark.sql.functions._
   * turns near-duplicate PAIRS (MinHash/SimHash/cosine candidates) into
   * dedup CLUSTERS with one representative each.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with its
-  * own id; each round, a node adopts the minimum label among itself and
-  * its neighbors; fixpoint when no label changes. Rounds are plain
-  * shuffle joins (label table × symmetrized edges), so the work shards
-  * across executors; `localCheckpoint` truncates the iterative lineage
-  * each round (a cluster deployment would use reliable `checkpoint`).
-  * Near-dup clusters are near-cliques with tiny diameters, so this
-  * converges in 2–3 rounds; for adversarial long-path graphs at 100 TB
-  * the alternating large-star/small-star variant halves the diameter
-  * per round — same join shapes, documented trade, not needed for the
-  * dedup use case.
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with its own id; each round a node adopts the minimum
+  * label among itself and its neighbors (one join against the edges),
+  * then labels shortcut through themselves (comp ← comp's comp — one
+  * join of the label table with itself), which halves remaining label
+  * distances and makes convergence O(log diameter) instead of
+  * O(diameter): a 64-node chain converges in ~7 rounds, not 63.
+  * Fixpoint when no label changes. All steps are plain shuffle joins
+  * that shard across executors; `localCheckpoint` truncates the
+  * iterative lineage each round (a cluster deployment would use
+  * reliable `checkpoint`).
   */
 object Components {
 
@@ -41,9 +41,15 @@ object Components {
     while (!converged && i < maxIter) {
       val neigh = sym.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("comp")).as("neigh_comp"))
-      val next = labels.join(neigh, labels("id") === neigh("src"), "left")
+      val prop = labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+      // pointer jump: comp ← label(comp), shortcutting chains
+      val next = prop.as("l")
+        .join(prop.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("l.comp") === col("jid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("jcomp"), col("l.comp"))).as("comp"))
         .localCheckpoint(true)
       converged = next.as("a")
         .join(labels.select(col("id"), col("comp").as("prev")), "id")

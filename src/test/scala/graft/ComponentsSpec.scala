@@ -39,8 +39,11 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(got == want.map { case (k, _) => k -> want.filter(_._2 == want(k)).keys.min })
   }
 
-  test("long path converges to a single component (diameter stress)") {
-    val path = (0L until 15L).map(i => (i, i + 1))
+  test("long path converges within O(log n) rounds (diameter stress)") {
+    // a 64-node chain has diameter 63: plain min-label propagation would
+    // need 63 rounds and blow the maxIter=20 budget; pointer jumping
+    // must collapse it within the budget
+    val path = (0L until 63L).map(i => (i, i + 1))
     val got = run(path)
     assert(got.values.toSet == Set(0L), s"path must collapse to comp 0: $got")
   }

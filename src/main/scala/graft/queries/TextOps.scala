@@ -238,26 +238,32 @@ object TextOps {
              |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tfidf
              |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
-    // Language ID by stopword-lexicon vote (n-gram heuristic surface —
-    // the fixture text shares one vocabulary across langs, so this
-    // verifies the *pipeline*: broadcast lexicon join → per-doc argmax).
+    // Language ID by stopword-lexicon vote — fully MAP-SIDE: per-doc
+    // occurrence counts against the (tiny, engine-defined) lexicon are
+    // computed with array filters inside the scan stage, argmax with an
+    // alphabetical tiebreak as a CASE — zero shuffles before the output
+    // sort, vs the explode → broadcast join → two-aggregation
+    // formulation this replaced (same output contract: pred "und" with
+    // 0 votes when no lexicon word occurs; ties go to the
+    // alphabetically-first language).
     QueryDef("q_lang_id",
       (s, d) => {
-        val lexicon = s.createDataFrame(Seq(
-          ("the", "en"), ("a", "en"), ("of", "en"),
-          ("el", "es"), ("la", "es"), ("de", "es"),
-          ("der", "de"), ("die", "de"), ("das", "de")))
-          .toDF("word", "cand_lang")
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val votes = toks.join(broadcast(lexicon), "word")
-          .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("votes"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("cand_lang"))
-        val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("votes"))
-        T.documents(s, d).select(col("doc_id"), col("lang"))
-          .join(pred, Seq("doc_id"), "left")
-          .na.fill("und", Seq("pred_lang")).na.fill(0, Seq("votes"))
+        val lexicon = Seq( // alphabetical by language (tiebreak order)
+          "de" -> Seq("der", "die", "das"),
+          "en" -> Seq("the", "a", "of"),
+          "es" -> Seq("el", "la", "de"))
+        val docs = T.documents(s, d).withColumn("toks", split(col("text"), " "))
+        val voted = lexicon.foldLeft(docs) { case (df, (lang, words)) =>
+          df.withColumn(s"v_$lang",
+            size(filter(col("toks"), w => w.isin(words: _*))).cast("long"))
+        }
+        val top = greatest(col("v_de"), col("v_en"), col("v_es"))
+        voted.select(col("doc_id"), col("lang"),
+            when(top === 0, lit("und"))
+              .when(col("v_de") === top, lit("de"))
+              .when(col("v_en") === top, lit("en"))
+              .otherwise(lit("es")).as("pred_lang"),
+            top.as("votes"))
           .orderBy(col("doc_id"))
       },
       None),

@@ -81,6 +81,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       Tables.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("q_lang_id is map-only: no hash exchange before the output sort") {
+    val plan = q("q_lang_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"lang-id voting must not shuffle:\n$plan")
+  }
+
   test("q_dedup_exact shuffles the sha2 digest, not the document text") {
     val planStr = q("q_dedup_exact").queryExecution.executedPlan.toString
     val exchanges = planStr.linesIterator

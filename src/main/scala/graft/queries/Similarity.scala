@@ -257,16 +257,23 @@ object Similarity {
     * buckets.
     */
   def cosineDupPairsOf(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // candidates carry ONLY (vec_id, tbl, bucket) — the 64-dim vectors
+    // stay out of the band join and the pair dedup (at 100 TB the
+    // candidate shuffle is the dominant cost; 16-byte id pairs beat
+    // 2×512-byte vector payloads), then join back for the exact re-rank.
     val exploded = lshBucketsOf(embeddings)
-      .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
+      .select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val capped = capBuckets(exploded, Seq("tbl", "bucket"), idCol = "vec_id")
-    capped.as("x").join(capped.as("y"),
+    val candIds = capped.as("x").join(capped.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.emb").as("emb_a"), col("y.emb").as("emb_b"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b") // union of per-table matches
+    val emb = corpusOf(embeddings).select(col("vec_id"), col("emb"))
+    candIds
+      .join(emb.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -96,16 +96,18 @@ object Similarity {
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val bands = capBuckets(banded, Seq("band", "band_hash"))
-    val cands = bands.as("x").join(bands.as("y"),
+    // estimate at join time so the pair-dedup exchange carries
+    // (doc_a, doc_b, est) — 24 bytes — instead of two 32-long
+    // signatures; every band copy of a pair computes the same estimate,
+    // so keeping any one of them is deterministic.
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands.select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+        round(aggregate(zip_with(col("x.sig"), col("y.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / NumPerms, 4).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -75,6 +75,31 @@ object Extras {
         .orderBy(col("event_type")),
       None),
 
+    // Data-quality outlier detection: events beyond 3σ of their type's
+    // mean. The per-type moments come from one aggregation broadcast
+    // back into the scan-side filter (dimension-sized — 5 rows), so the
+    // fact table is read once and never self-joined on a shuffle.
+    QueryDef("q_outliers",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val stats = ev.groupBy(col("event_type"))
+          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .filter(col("value") > col("mu") + lit(3) * col("sigma"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 4).as("value"),
+            round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+             |  FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type, round(value, 4) AS value,
+             |       round((value - mu) / sigma, 4) AS zscore
+             |FROM events e JOIN stats USING (event_type)
+             |WHERE value > mu + 3 * sigma
+             |ORDER BY event_id""".stripMargin)),
+
     // Count-min sketch heavy-hitter estimation: one bounded-size,
     // mergeable sketch aggregated over the stream of keys (map-side
     // partial merge like any agg), then probed for the known key set.

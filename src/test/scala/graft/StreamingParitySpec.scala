@@ -281,6 +281,55 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-pads only once the watermark closes the window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_louter_in").toString
+    val ck = Files.createTempDirectory("graft_louter_ck").toString
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    // u1: signup then purchase (match); u2: purchase with NO signup
+    write(Seq(
+      (1L, ts(1), 1L, "signup", 0.0, "{}"),
+      (2L, ts(2), 1L, "purchase", 10.0, "{}"),
+      (3L, ts(2), 2L, "purchase", 20.0, "{}")))
+    val stream = StreamOps.purchaseSignupLeftJoin(
+      StreamOps.eventsStream(spark, dir, batchEvents.schema, maxFilesPerTrigger = 10))
+    val q = stream.writeStream.format("memory").queryName("p_louter")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // matched row flows; the unmatched one is WITHHELD — the watermark
+      // cannot yet rule out a matching signup arriving
+      val early = spark.table("p_louter").select("p_id").as[Long].collect().toSet
+      assert(early == Set(2L), s"unmatched purchase must be withheld, got $early")
+      // Advance the watermark far past the purchase + horizon. NOTE: the
+      // event_type filters are pushed BELOW the watermark operators, so
+      // each side's watermark advances only on its OWN event type —
+      // clicks would not move it (observed: 6 click-only batches evicted
+      // nothing). Feed late signup+purchase rows for fresh users; their
+      // own rows stay withheld (no eviction that far out), so they don't
+      // pollute the asserted output. Eviction lands in a batch after the
+      // watermark update, hence two rounds.
+      for (i <- 0 until 2) {
+        write(Seq(
+          (10L + i, java.sql.Timestamp.valueOf(s"2024-01-03 0${7 + i}:00:00"),
+            8L, "signup", 0.0, "{}"),
+          (20L + i, java.sql.Timestamp.valueOf(s"2024-01-03 0${7 + i}:30:00"),
+            9L, "purchase", 0.0, "{}")))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("p_louter")
+        .select(col("p_id"), col("s_ts").isNull.as("unmatched"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(rows == Map(2L -> false, 3L -> true),
+        s"expected u2's purchase null-padded after watermark close, got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups in-horizon and drops late rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup_in").toString

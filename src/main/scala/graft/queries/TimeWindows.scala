@@ -101,6 +101,35 @@ object TimeWindows {
 
     QueryDef("q_stream_dedup_late",
       (s, d) => dedupAgg(T.events(s, d)).orderBy(col("event_type")),
-      None)
+      None),
+
+    // Per-EVENT session assignment (vs q_stream_session's per-session
+    // aggregate): a session id as a column on every event — lag to flag
+    // 30-min breaks, running sum to number them. One shuffle on user_id
+    // shared by both windows.
+    QueryDef("q_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        T.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("brk", when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("sess_id", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("event_id"), col("user_id"), col("sess_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT event_id, user_id, ts,
+             |         CASE WHEN lag(ts, 1) OVER w IS NULL
+             |                OR ts - lag(ts, 1) OVER w >= INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_id, user_id,
+             |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+             |FROM flagged ORDER BY user_id, event_id""".stripMargin))
   )
 }

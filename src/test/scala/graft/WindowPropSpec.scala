@@ -55,6 +55,17 @@ class WindowPropSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_sessionize assignment agrees with the session_window aggregate") {
+    val assigned = SparkEntry.queries("q_sessionize")(spark, sf)
+      .groupBy("user_id").agg(max("sess_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val windows = graft.queries.TimeWindows.sessionAgg(Tables.events(spark, sf))
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(assigned == windows,
+      "per-event session ids must partition exactly like session_window")
+  }
+
   test("count-min sketch estimates never undercount and overcount within eps*N") {
     val rows = SparkEntry.queries("q_sketch_cms")(spark, sf)
       .as[(String, Long, Long)].collect()

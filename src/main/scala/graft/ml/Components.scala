@@ -44,6 +44,9 @@ object Components {
       val prop = labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neigh_comp"), col("comp"))).as("comp"))
+        // materialize: prop feeds BOTH sides of the jump join below —
+        // unmaterialized, the propagate join would execute twice a round
+        .localCheckpoint(true)
       // pointer jump: comp ← label(comp), shortcutting chains
       val next = prop.as("l")
         .join(prop.select(col("id").as("jid"), col("comp").as("jcomp")),

@@ -75,20 +75,23 @@ object Extras {
         .orderBy(col("event_type")),
       None),
 
-    // Data-quality outlier detection: events beyond 3σ of their type's
+    // Data-quality outlier detection: events beyond ±3σ of their type's
     // mean. The per-type moments come from one aggregation broadcast
     // back into the scan-side filter (dimension-sized — 5 rows), so the
     // fact table is read once and never self-joined on a shuffle.
+    // Membership is decided on the ROUNDED z-score (hazard H1: engines
+    // sum doubles in different orders, so an unrounded 3σ boundary
+    // comparison can flip whole rows between engines).
     QueryDef("q_outliers",
       (s, d) => {
         val ev = T.events(s, d)
         val stats = ev.groupBy(col("event_type"))
           .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
         ev.join(broadcast(stats), "event_type")
-          .filter(col("value") > col("mu") + lit(3) * col("sigma"))
+          .withColumn("zscore", round((col("value") - col("mu")) / col("sigma"), 4))
+          .filter(abs(col("zscore")) > 3)
           .select(col("event_id"), col("event_type"),
-            round(col("value"), 4).as("value"),
-            round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"))
+            round(col("value"), 4).as("value"), col("zscore"))
           .orderBy(col("event_id"))
       },
       Some("""WITH stats AS (
@@ -97,7 +100,7 @@ object Extras {
              |SELECT event_id, e.event_type, round(value, 4) AS value,
              |       round((value - mu) / sigma, 4) AS zscore
              |FROM events e JOIN stats USING (event_type)
-             |WHERE value > mu + 3 * sigma
+             |WHERE abs(round((value - mu) / sigma, 4)) > 3
              |ORDER BY event_id""".stripMargin)),
 
     // Count-min sketch heavy-hitter estimation: one bounded-size,

@@ -259,11 +259,13 @@ object TextOps {
         }
         val top = greatest(col("v_de"), col("v_en"), col("v_es"))
         voted.select(col("doc_id"), col("lang"),
-            when(top === 0, lit("und"))
+            // top.isNull guards NULL text (size(filter(NULL)) is NULL):
+            // without it the CASE chain would fall through to 'es'
+            when(top.isNull || top === 0, lit("und"))
               .when(col("v_de") === top, lit("de"))
               .when(col("v_en") === top, lit("en"))
               .otherwise(lit("es")).as("pred_lang"),
-            top.as("votes"))
+            coalesce(top, lit(0L)).as("votes"))
           .orderBy(col("doc_id"))
       },
       None),

@@ -130,29 +130,7 @@ object StreamOps {
     * join's no-pair-blow-up rule).
     */
   def purchaseSignupJoin(events: DataFrame, watermark: String = "1 hour",
-      horizon: String = "24 hours"): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val purchases = events.withWatermark("ts", watermark)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val signups = events.withWatermark("ts", watermark)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-    purchases.join(signups,
-      col("user_id") === col("s_user") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
-  }
-
-  /** LEFT OUTER stream-stream join: every purchase emits — with its
-    * in-horizon signup when one exists, or null-padded once the
-    * watermark proves no matching signup can still arrive (outer rows
-    * are withheld until then; that is what makes the null decision
-    * correct rather than racy). Same bounded-state shape as
-    * [[purchaseSignupJoin]].
-    */
-  def purchaseSignupLeftJoin(events: DataFrame, watermark: String = "1 hour",
-      horizon: String = "24 hours"): DataFrame = {
+      horizon: String = "24 hours", joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions._
     val purchases = events.withWatermark("ts", watermark)
       .filter(col("event_type") === "purchase")
@@ -164,8 +142,19 @@ object StreamOps {
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
         col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
-      "left_outer")
+      joinType)
   }
+
+  /** LEFT OUTER stream-stream join: every purchase emits — with its
+    * in-horizon signup when one exists, or null-padded once the
+    * watermark proves no matching signup can still arrive (outer rows
+    * are withheld until then; that is what makes the null decision
+    * correct rather than racy). Same bounded-state shape as
+    * [[purchaseSignupJoin]].
+    */
+  def purchaseSignupLeftJoin(events: DataFrame, watermark: String = "1 hour",
+      horizon: String = "24 hours"): DataFrame =
+    purchaseSignupJoin(events, watermark, horizon, joinType = "left_outer")
 
   /** Run a streaming DataFrame into an in-memory table and block until
     * all currently-available input is processed. Used by parity tests

@@ -16,12 +16,19 @@ object Maintenance {
     * filter key also tightens min/max row-group statistics so later
     * scans prune better).
     */
+  /** `codec`: parquet compression for the compacted files — compaction
+    * is the natural place to trade write CPU for storage (e.g. land
+    * streaming appends as snappy, compact to zstd: ~25-40% smaller on
+    * text at 100-TB scale, one-time cost).
+    */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-      keys: Seq[String], targetFiles: Int): Unit = {
+      keys: Seq[String], targetFiles: Int, codec: String = "zstd"): Unit = {
     val df = spark.read.parquet(inDir)
     df.repartitionByRange(targetFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .parquet(outDir)
   }
 
   /** Compaction with two-dimensional Z-order clustering: rows are

@@ -38,6 +38,34 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
       f.getName.endsWith(".staging") || f.getName.endsWith(".old")))
   }
 
+  test("compaction codec: zstd output is smaller than snappy on text data") {
+    val in = Files.createTempDirectory("graft_codec_in").toString
+    val zstdOut = Files.createTempDirectory("graft_codec_z").toString
+    val snapOut = Files.createTempDirectory("graft_codec_s").toString
+    Tables.documents(spark, sf).write.mode("overwrite").parquet(in)
+    Maintenance.compactParquet(spark, in, zstdOut, Seq("doc_id"), 2, codec = "zstd")
+    Maintenance.compactParquet(spark, in, snapOut, Seq("doc_id"), 2, codec = "snappy")
+    def bytes(dir: String): Long = parquetFiles(dir).map(_.length()).sum
+    assert(bytes(zstdOut) < bytes(snapOut),
+      s"zstd ${bytes(zstdOut)} should beat snappy ${bytes(snapOut)} on text")
+    assert(spark.read.parquet(zstdOut).count() == Tables.documents(spark, sf).count())
+  }
+
+  test("schema evolution: mergeSchema reads old and new file generations as one table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, v)
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(dir)
+    // generation 2 adds a column
+    Seq((3L, 3.0, "x")).toDF("id", "v", "tag").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "tag"))
+    val rows = merged.orderBy("id")
+      .select("id", "tag").as[(Long, Option[String])].collect().toSeq
+    // old-generation rows surface the new column as NULL
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("x"))))
+  }
+
   test("zorder2 kernel: correct bit interleave, distinct and sign-ordered") {
     import graft.functions.ClusterKernels.interleaveBits
     // independent reference for small non-negatives: interleave low bits,

@@ -77,8 +77,8 @@ object Extras {
 
     // Data-quality outlier detection: events beyond ±3σ of their type's
     // mean. The per-type moments come from one aggregation broadcast
-    // back into the scan-side filter (dimension-sized — 5 rows), so the
-    // fact table is read once and never self-joined on a shuffle.
+    // back against a second scan of the fact table (5-row broadcast —
+    // the fact side itself never shuffles; two scans beat one shuffle).
     // Membership is decided on the ROUNDED z-score (hazard H1: engines
     // sum doubles in different orders, so an unrounded 3σ boundary
     // comparison can flip whole rows between engines).

@@ -81,6 +81,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       Tables.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("q_bloom_prefilter carries the bloom probe as a pre-join filter") {
+    val plan = q("q_bloom_prefilter").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe must appear as a filter in the plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "the exact join must remain after the prefilter")
+  }
+
   test("q_lang_id is map-only: no hash exchange before the output sort") {
     val plan = q("q_lang_id").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),

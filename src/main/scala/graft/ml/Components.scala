@@ -36,6 +36,14 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // convergence via the exact label sum: propagation is monotone
+    // (comp only ever decreases), so the sum strictly decreases until
+    // the fixpoint — one narrow aggregation per round instead of a
+    // labels×next comparison join. decimal(38,0) keeps the sum exact
+    // for arbitrary 64-bit id ranges.
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -54,10 +62,9 @@ object Components {
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("jcomp"), col("l.comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = next.as("a")
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

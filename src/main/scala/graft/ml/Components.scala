@@ -42,9 +42,10 @@ object Components {
     // labels×next comparison join. decimal(38,0) keeps the sum exact
     // for arbitrary 64-bit id ranges.
     def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0)) // empty graph → NULL sum
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty // no edges: already at the fixpoint
     var i = 0
     while (!converged && i < maxIter) {
       val neigh = sym.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))

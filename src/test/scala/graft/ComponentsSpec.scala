@@ -29,6 +29,15 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
     Components.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
 
+  test("empty edge list yields an empty labeling (clean corpus: no near-dup pairs)") {
+    val labels = Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(labels.isEmpty)
+    val clusters = Components.dedupClusters(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(clusters.isEmpty)
+  }
+
   test("random graph components match union-find") {
     val rnd = new scala.util.Random(13)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

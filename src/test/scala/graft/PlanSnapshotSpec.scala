@@ -21,7 +21,9 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
 
   private val heavy = Seq(
     "q_sim_lsh", "q_sim_ivf", "q_sim_topk", "q_dedup_ngram", "q_dedup_near",
-    "q_dedup_simhash", "q_dedup_exact", "q_media_sim", "q_join_smj", "q_agg_q1")
+    "q_dedup_simhash", "q_dedup_exact", "q_media_sim", "q_join_smj", "q_agg_q1",
+    "q_dedup_embed", "q_tfidf", "q_freq_terms", "q_outliers", "q_sessionize",
+    "q_bloom_prefilter")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 
@@ -32,6 +34,7 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x") // JIT class name
         .replaceAll("@[0-9a-fA-F]{6,}", "@x") // JVM identity hash
         .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n") // session-global HOF var counter
+        .replaceAll("0[xX][0-9A-Fa-f]{32,}", "0x<bin>") // embedded sketch/binary literals
         .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <path>")
         .replaceAll("file:[^,\\]\\s]+", "<path>")
         .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")

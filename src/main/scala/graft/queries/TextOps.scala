@@ -175,6 +175,27 @@ object TextOps {
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Regex subword tokenization (the "BPE-ish regex" path next to
+    // q_token_count's whitespace + length estimate): alpha runs, digit
+    // runs, and punctuation each become their own token — the classic
+    // pre-tokenizer shape. Empty fragments are filtered on both engines
+    // (split-boundary artifacts differ between regex engines otherwise).
+    QueryDef("q_token_regex",
+      (s, d) => T.documents(s, d)
+        .withColumn("toks", filter(
+          split(col("text"), "[^a-z0-9]+"), t => t =!= ""))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_subwords"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+             |                            t -> t <> '')) AS INTEGER) AS n_subwords,
+             |       CAST(len(list_distinct(list_filter(
+             |              regexp_split_to_array(text, '[^a-z0-9]+'),
+             |              t -> t <> ''))) AS INTEGER) AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Heavy hitters / boilerplate detector: terms present in ≥ 40% of
     // documents — the df-distribution probe behind the hot-shingle cap
     // (at 100 TB this is the query that finds the phrases worth

@@ -183,16 +183,16 @@ object TextOps {
     QueryDef("q_token_regex",
       (s, d) => T.documents(s, d)
         .withColumn("toks", filter(
-          split(col("text"), "[^a-z0-9]+"), t => t =!= ""))
+          split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= ""))
         .select(col("doc_id"),
           size(col("toks")).as("n_subwords"),
           size(array_distinct(col("toks"))).as("n_distinct"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-             |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+             |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
              |                            t -> t <> '')) AS INTEGER) AS n_subwords,
              |       CAST(len(list_distinct(list_filter(
-             |              regexp_split_to_array(text, '[^a-z0-9]+'),
+             |              regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
              |              t -> t <> ''))) AS INTEGER) AS n_distinct
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

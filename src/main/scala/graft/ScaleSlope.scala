@@ -66,7 +66,8 @@ object ScaleSlope {
   private val Heavy = Seq(
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_dedup_ngram",
     "q_fingerprint", "q_dedup_near", "q_dedup_simhash",
-    "q_sim_topk", "q_sim_lsh", "q_sim_ivf")
+    "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+    "q_dedup_embed", "q_dedup_clusters", "q_tfidf")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")

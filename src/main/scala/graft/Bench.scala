@@ -22,10 +22,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a sidecar file; the stdout line is kept
+    // under ~1.8 KB because the driver parses it from a 2000-char output
+    // tail (a full 101-query line overflows that window and parses as null).
+    val full = results.toSeq.sortBy(-_._2)
+    val fullJson = full.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":$fullJson,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    val budget = 1550 // chars available for the queries object on stdout
+    val sb = new StringBuilder
+    var shown = 0
+    full.foreach { case (k, v) =>
+      val entry = (if (shown == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length <= budget) { sb.append(entry); shown += 1 }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"shown":$shown,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

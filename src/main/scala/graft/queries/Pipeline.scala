@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Headline analytical queries + deterministic data-management operators
+  * a training-data pipeline needs (hash sampling, hash splits, PII
+  * redaction, normalization, n-gram language-model counts, repetition
+  * scoring, value histograms).
+  *
+  * The reference's pipeline fans a source table out into per-group
+  * reports and concatenates them (modules/src/prisma_report/lambda.py:
+  * 394-405); these queries generalize that into the multi-join +
+  * aggregate + top-k reporting shapes of TPC-H Q3/Q5, plus the
+  * selection/splitting/cleaning steps a 100-TB corpus build runs before
+  * training.
+  *
+  * Determinism: every sampling/splitting decision is a pure function of
+  * the row key via md5 — stable under repartition, append, and engine
+  * (DuckDB computes the identical digest), unlike `rand(seed)` which is
+  * partition-layout dependent. That is the property that makes samples
+  * and train/val/test splits reproducible on a 1000-executor cluster.
+  */
+object Pipeline {
+
+  /** Token bigrams of `text`, one row per (adjacent word pair).
+    * Map-side flatMap (explode over a transform(sequence) — no shuffle,
+    * no UDF); the guard keeps 0/1-token docs out of sequence()'s
+    * descending-range edge case. Carries doc_id for per-doc stats.
+    */
+  private def bigrams(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2)))").as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Deterministic md5-bucket predicate: ~30% of rows (0x4ccc/0x10000),
+    * keyed on (l_orderkey, l_linenumber). Lowercase-hex string compare
+    * is identical in Spark and DuckDB.
+    */
+  private val sampleKey =
+    substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))), 1, 4)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q3 shape (shipping priority): 3-way join, filtered on both
+    // fact sides, grouped per order, global top-10 by revenue.
+    // Scale plan: customer⋈orders and orders⋈lineitem are key-partitioned
+    // SMJ at 100 TB (AQE picks broadcast at test SF); the final top-10 is
+    // TakeOrderedAndProject — no global sort materializes.
+    QueryDef("q_tpch_q3",
+      (s, d) => {
+        val cutoff = to_timestamp(lit("1998-03-15 00:00:00"))
+        T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(T.orders(s, d).filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(T.lineitem(s, d).filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey").as("okey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("okey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey AS okey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape (local-supplier volume): 6-way join where the
+    // customer and supplier nations must coincide. nation/region are
+    // broadcast dims; the c_nationkey = s_nationkey residual rides the
+    // l_suppkey equi-join instead of forcing an extra shuffle.
+    QueryDef("q_tpch_q5",
+      (s, d) => {
+        val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+        val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+        T.customer(s, d)
+          .join(T.orders(s, d).filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+            col("c_custkey") === col("o_custkey"))
+          .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM customer JOIN orders   ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |              JOIN nation   ON s_nationkey = n_nationkey
+             |              JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Bigram language-model counts: corpus-wide c(w1,w2) and the
+    // conditional P(w2|w1) among frequent pairs. The explode is map-side;
+    // the single shuffle groups by bigram. The n>=3 floor is applied
+    // BEFORE the w1 window (both here and in the oracle) so cond_p is a
+    // distribution over surviving pairs; it also caps the window input.
+    QueryDef("q_ngram_lm",
+      (s, d) => {
+        val cnt = bigrams(T.documents(s, d))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+        cnt.withColumn("cond_p",
+            round(col("n") / sum(col("n")).over(Window.partitionBy(col("w1"))), 4))
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |big  AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM pos),
+             |cnt  AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2)
+             |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+             |       round(n * 1.0 / sum(n) OVER (PARTITION BY w1), 4) AS cond_p
+             |FROM cnt WHERE n >= 3 ORDER BY w1, w2""".stripMargin)),
+
+    // Gopher-style repetition score: the share of a doc's bigrams taken
+    // by its most-repeated bigram. Per-doc agg keyed on doc_id — the
+    // explode stays narrow and the shuffle payload is (doc_id, w1, w2).
+    QueryDef("q_repetition",
+      (s, d) => bigrams(T.documents(s, d))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("max_rep"),
+          round(max(col("n")) / sum(col("n")), 4).as("top_share"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |big  AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+             |cnt  AS (SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY doc_id, w1, w2)
+             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, CAST(max(n) AS BIGINT) AS max_rep,
+             |       round(max(n) * 1.0 / sum(n), 4) AS top_share
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: regex scrub of emails/phone fragments, entirely
+    // map-side (no shuffle but the final order-for-oracle). The contact
+    // string is synthesized from doc_id so the fixture deterministically
+    // exercises both patterns; the count column proves replacements
+    // happened rather than trusting an identity transform.
+    QueryDef("q_pii_redact",
+      (s, d) => {
+        val raw = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+        val afterEmail = regexp_replace(raw, emailRe, "<EMAIL>")
+        T.documents(s, d).select(col("doc_id"),
+          regexp_replace(afterEmail, "555-[0-9]{4}", "<PHONE>").as("redacted"),
+          ((length(afterEmail) - length(regexp_replace(afterEmail, "<EMAIL>", ""))) / 7)
+            .cast(LongType).as("n_emails"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+             |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |       regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |                      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             |       CAST((length(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'))
+             |             - length(replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails
+             |FROM synth ORDER BY doc_id""".stripMargin)),
+
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonicalization step ahead of exact dedup.
+    // Pure map-side scalar pipeline (codegen'd regexp_replace chain).
+    QueryDef("q_text_norm",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        T.documents(s, d).select(col("doc_id"), norm.as("norm_text"),
+            size(split(norm, " ")).cast(LongType).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic ~30% sample with per-stratum accounting. The md5
+    // predicate needs no pre-pass (vs reservoir/exact stratified sampling
+    // which need per-group counts first) and composes with pushdown: at
+    // 100 TB the sample rate is verified from the same single scan.
+    QueryDef("q_sample_strat",
+      (s, d) => T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(sampleKey < "4ccc", true)).as("n_sample"),
+          round(count(when(sampleKey < "4ccc", true)) / count(lit(1)), 4).as("rate"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+             |       CAST(count(*) FILTER (WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 4) < '4ccc') AS BIGINT) AS n_sample,
+             |       round(count(*) FILTER (WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 4) < '4ccc') * 1.0 / count(*), 4) AS rate
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic train/val/test split (1/16 test, 1/16 val) keyed on
+    // doc_id — rows keep their split under append/repartition, the
+    // property a reproducible corpus build needs (same design as
+    // sources/Splits.scala, here in an engine-portable md5 form).
+    QueryDef("q_split_hash",
+      (s, d) => {
+        val h = substring(md5(concat(lit("s:"), col("doc_id").cast("string"))), 1, 1)
+        T.documents(s, d)
+          .withColumn("split",
+            when(h < "1", "test").when(h < "2", "val").otherwise("train"))
+          .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH tagged AS (
+             |  SELECT lang,
+             |         CASE WHEN substring(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) < '1' THEN 'test'
+             |              WHEN substring(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 'val'
+             |              ELSE 'train' END AS split
+             |  FROM documents)
+             |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+             |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Fixed-width value histogram over events — the profiling pass that
+    // sizes skew mitigations. One two-phase hash aggregate; bin count is
+    // bounded by the value range, not the row count.
+    QueryDef("q_histogram",
+      (s, d) => T.events(s, d)
+        .groupBy((floor(col("value") / 100) * 100).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS bin,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bin""".stripMargin))
+  )
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-construction operators: the steps between "deduped documents"
+  * and "training batches" — benchmark decontamination, context-window
+  * chunking, sequence packing, embedding normalization/quantization, and
+  * per-language token budgeting.
+  *
+  * The reference stops at report CSVs (modules/src/prisma_report/
+  * lambda.py:394-441); these generalize its fan-out/aggregate shapes to
+  * the operators a 100-TB corpus build runs after cleaning. All six are
+  * DuckDB-oracle-checked; the quantization oracle is exact-integer (no
+  * float rounding exposure at all).
+  */
+object Corpus {
+
+  /** Context/bin sizes for chunking and packing. Small enough that the
+    * fixture documents (≤ ~60 tokens) exercise multi-chunk and
+    * bin-straddling paths, same math at 2k/8k windows in production.
+    */
+  val ChunkTokens  = 32
+  val ChunkStride  = 24
+  val PackBinSize  = 512
+  /** Docs per prefix-sum bucket (see q_pack): the per-bucket subtotal
+    * table has n_docs/PackBucket rows — the only sequential window in
+    * the packing plan runs over THAT, not over the corpus.
+    */
+  val PackBucket   = 64L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Benchmark decontamination: corpus documents sharing ≥ 30% of their
+    // token-3-gram shingles with any "benchmark" document (deterministic
+    // fixture benchmark: doc_id % 10 == 0). The shingle join is keyed on
+    // the BENCHMARK shingle universe — eval sets are tiny (thousands of
+    // docs) next to a 100-TB corpus, so the bench side broadcasts and
+    // the corpus never shuffles; candidates are bounded by bench-shingle
+    // matches, not corpus pairs. Same shingle definition as
+    // q_dedup_ngram/q_dedup_near (Similarity.shinglesOf).
+    QueryDef("q_decontam",
+      (s, d) => {
+        val all = Similarity.shinglesOf(T.documents(s, d))
+        val bench  = all.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("bench_id"), col("shingle"))
+        val corpus = all.filter(col("doc_id") % 10 =!= 0)
+        val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        corpus.join(broadcast(bench), "shingle")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes, "doc_id")
+          .withColumn("overlap", round(col("n_common").cast("double") / col("n_sh"), 4))
+          .filter(col("overlap") >= 0.3)
+          .select(col("doc_id"), col("bench_id"), col("n_common"), col("overlap"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         unnest(range(len(string_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |shingles AS (
+             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+             |  FROM toks a
+             |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |bench  AS (SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % 10 = 0),
+             |corpus AS (SELECT * FROM shingles WHERE doc_id % 10 <> 0),
+             |sizes  AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id),
+             |hits AS (
+             |  SELECT c.doc_id, b.bench_id, count(*) AS n_common
+             |  FROM corpus c JOIN bench b USING (shingle)
+             |  GROUP BY c.doc_id, b.bench_id)
+             |SELECT h.doc_id, h.bench_id, CAST(h.n_common AS BIGINT) AS n_common,
+             |       round(CAST(h.n_common AS DOUBLE) / s.n_sh, 4) AS overlap
+             |FROM hits h JOIN sizes s USING (doc_id)
+             |WHERE round(CAST(h.n_common AS DOUBLE) / s.n_sh, 4) >= 0.3
+             |ORDER BY h.doc_id, h.bench_id""".stripMargin)),
+
+    // RAG/context chunking: overlapping token windows (32 tokens,
+    // stride 24), one output row per chunk. Entirely map-side — the
+    // chunk index set is generated per row with transform(sequence),
+    // exploded inside the scan stage; no shuffle before the output sort.
+    QueryDef("q_chunk_docs",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), floor((size(col("t")) - 1) / ChunkStride).cast("int")))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * ChunkStride).as("start_tok"),
+          least(lit(ChunkTokens), size(col("t")) - col("chunk_id") * ChunkStride)
+            .as("n_tok"),
+          element_at(col("t"), col("chunk_id") * ChunkStride + 1).as("head"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, t,
+             |         unnest(generate_series(0, CAST(floor((len(t) - 1) / $ChunkStride) AS BIGINT))) AS chunk_id
+             |  FROM toks)
+             |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             |       CAST(chunk_id * $ChunkStride AS INTEGER) AS start_tok,
+             |       CAST(least($ChunkTokens, len(t) - chunk_id * $ChunkStride) AS INTEGER) AS n_tok,
+             |       t[CAST(chunk_id * $ChunkStride + 1 AS INTEGER)] AS head
+             |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Sequence packing (GPT-style concatenate-then-cut): documents are
+    // concatenated in doc_id order into one global token stream, which
+    // is cut into fixed 512-token training windows; each doc reports its
+    // stream offset and the first/last bin it lands in. The global
+    // prefix sum is computed in TWO PHASES so it scales: (1) an
+    // intra-bucket running sum windowed by bucket = doc_id div 64 —
+    // parallel across buckets; (2) a running sum over the per-bucket
+    // subtotals — sequential, but over n_docs/64 rows (at 100 TB with
+    // bucket ≈ 1M docs that table is ~100k rows), broadcast back. No
+    // corpus-wide single-partition window anywhere in the plan.
+    QueryDef("q_pack",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+            (col("doc_id") / PackBucket).cast(LongType).as("bucket"))
+        val intra = toks.withColumn("cum",
+          sum(col("n_tok")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        val base = toks.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
+          .withColumn("base", coalesce(sum(col("btot")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("bucket"), col("base"))
+        intra.join(broadcast(base), "bucket")
+          .withColumn("start_off", col("base") + col("cum") - col("n_tok"))
+          .select(col("doc_id"), col("n_tok"), col("start_off"),
+            floor(col("start_off") / PackBinSize).as("first_bin"),
+            floor((col("start_off") + col("n_tok") - 1) / PackBinSize).as("last_bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |offs AS (
+             |  SELECT doc_id, n_tok,
+             |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+             |  FROM toks)
+             |SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+             |       CAST(floor(start_off / $PackBinSize) AS BIGINT) AS first_bin,
+             |       CAST(floor((start_off + n_tok - 1) / $PackBinSize) AS BIGINT) AS last_bin
+             |FROM offs ORDER BY doc_id""".stripMargin)),
+
+    // Embedding L2 normalization: per-vector norm + dimension + first
+    // normalized component. The squared sum is one sequential
+    // fold over the array (aggregate HOF) inside the scan stage —
+    // map-only, no explode, no shuffle.
+    QueryDef("q_embed_norm",
+      (s, d) => {
+        val sq = aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        T.embeddings(s, d)
+          .withColumn("l2_raw", sqrt(sq))
+          .select(col("vec_id"), size(col("embedding")).as("dim"),
+            round(col("l2_raw"), 4).as("l2"),
+            round(element_at(col("embedding"), 1).cast("double") / col("l2_raw"), 4)
+              .as("head_norm"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS l2_raw FROM u GROUP BY vec_id)
+             |SELECT e.vec_id, CAST(len(e.embedding) AS INTEGER) AS dim,
+             |       round(n.l2_raw, 4) AS l2,
+             |       round(CAST(e.embedding[1] AS DOUBLE) / n.l2_raw, 4) AS head_norm
+             |FROM embeddings e JOIN norms n USING (vec_id)
+             |ORDER BY e.vec_id""".stripMargin)),
+
+    // Symmetric int8 quantization: scale = 127/max|v|, q_i =
+    // floor(v_i*scale + 0.5) — floor-of-shifted instead of round() so
+    // the half-way rule is engine-independent, making qsum/q_l1 exact
+    // integers (this oracle has zero float-rounding exposure). Map-only:
+    // both array passes are codegen'd HOFs in the scan stage.
+    QueryDef("q_embed_quant",
+      (s, d) => {
+        val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        val scale = lit(127.0d) / col("maxabs")
+        val quants = transform(col("embedding"),
+          x => floor(x.cast("double") * scale + 0.5d))
+        T.embeddings(s, d)
+          .withColumn("maxabs", maxabs)
+          .withColumn("q", quants)
+          .select(col("vec_id"), round(lit(127.0d) / col("maxabs"), 4).as("scale"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+             |m AS (SELECT vec_id, max(abs(v)) AS maxabs FROM u GROUP BY vec_id),
+             |q AS (
+             |  SELECT u.vec_id, floor(u.v * (127.0 / m.maxabs) + 0.5) AS qv
+             |  FROM u JOIN m USING (vec_id))
+             |SELECT q.vec_id, round(127.0 / m.maxabs, 4) AS scale,
+             |       CAST(sum(qv) AS BIGINT) AS qsum,
+             |       CAST(sum(abs(qv)) AS BIGINT) AS q_l1
+             |FROM q JOIN m USING (vec_id)
+             |GROUP BY q.vec_id, m.maxabs
+             |ORDER BY q.vec_id""".stripMargin)),
+
+    // Per-language token budgeting: corpus token mass per lang and the
+    // deterministic sampling rate that caps each language at 50k tokens
+    // — the language-balancing step of a corpus build. One explode-free
+    // aggregation (token counts are array sizes, map-side).
+    QueryDef("q_token_budget",
+      (s, d) => T.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("rate", round(least(lit(1.0d), lit(50000.0d) / col("n_tokens")), 4))
+        .withColumn("est_tokens", (col("n_tokens") * col("rate")).cast(LongType))
+        .orderBy(col("lang")),
+      Some("""WITH t AS (
+             |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |agg AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |  FROM t GROUP BY lang)
+             |SELECT lang, n_docs, n_tokens,
+             |       round(least(1.0, 50000.0 / n_tokens), 4) AS rate,
+             |       CAST(n_tokens * round(least(1.0, 50000.0 / n_tokens), 4) AS BIGINT) AS est_tokens
+             |FROM agg ORDER BY lang""".stripMargin))
+  )
+}

@@ -31,32 +31,115 @@ object Corpus {
     */
   val PackBucket   = 64L
 
+  /** Benchmark decontamination over any (doc_id, text) frame: corpus
+    * documents sharing ≥ `minOverlap` of their token-3-gram shingles
+    * with any benchmark document (benchmark = doc_id % 10 == 0 here).
+    * The shingle join is keyed on the BENCHMARK shingle universe — eval
+    * sets are tiny (thousands of docs) next to a 100-TB corpus, so the
+    * bench side broadcasts and the corpus never shuffles; candidates
+    * are bounded by bench-shingle matches, not corpus pairs. Same
+    * shingle definition as q_dedup_ngram/q_dedup_near
+    * (Similarity.shinglesOf).
+    */
+  def decontamOf(docs: org.apache.spark.sql.DataFrame,
+      minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val all = Similarity.shinglesOf(docs)
+    val bench  = all.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes, "doc_id")
+      .withColumn("overlap", round(col("n_common").cast("double") / col("n_sh"), 4))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("n_common"), col("overlap"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Overlapping token-window chunks (`size` tokens, `stride` apart) of
+    * any (doc_id, text) frame. Entirely map-side — the chunk index set
+    * is generated per row with explode(sequence) inside the scan stage.
+    */
+  def chunksOf(docs: org.apache.spark.sql.DataFrame,
+      size_ : Int = ChunkTokens, stride: Int = ChunkStride): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(size_), size(col("t")) - col("chunk_id") * stride).as("n_tok"),
+        element_at(col("t"), col("chunk_id") * stride + 1).as("head"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Concatenate-then-cut sequence packing of any (doc_id, text) frame:
+    * docs concatenated in doc_id order into one token stream cut into
+    * `binSize`-token windows; each doc reports its stream offset and
+    * first/last bin. The global prefix sum is TWO-PHASE so it scales:
+    * (1) intra-bucket running sums windowed by bucket = doc_id div
+    * [[PackBucket]] — parallel across buckets; (2) a running sum over
+    * the per-bucket subtotals — sequential but over n_docs/PackBucket
+    * rows (at 100 TB with ~1M-doc buckets that table is ~100k rows),
+    * broadcast back. No corpus-wide single-partition window anywhere.
+    */
+  def packOf(docs: org.apache.spark.sql.DataFrame,
+      binSize: Int = PackBinSize): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        (col("doc_id") / PackBucket).cast(LongType).as("bucket"))
+    val intra = toks.withColumn("cum",
+      sum(col("n_tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val base = toks.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
+      .withColumn("base", coalesce(sum(col("btot")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("base"))
+    intra.join(broadcast(base), "bucket")
+      .withColumn("start_off", col("base") + col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        floor(col("start_off") / binSize).as("first_bin"),
+        floor((col("start_off") + col("n_tok") - 1) / binSize).as("last_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-vector L2 norm + dimension + first normalized component of any
+    * (vec_id, embedding) frame. One sequential fold over the array
+    * (aggregate HOF) inside the scan stage — map-only.
+    */
+  def embedNormOf(embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    embs.withColumn("l2_raw", sqrt(sq))
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(col("l2_raw"), 4).as("l2"),
+        round(element_at(col("embedding"), 1).cast("double") / col("l2_raw"), 4)
+          .as("head_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Symmetric int8 quantization of any (vec_id, embedding) frame:
+    * scale = 127/max|v|, q_i = floor(v_i*scale + 0.5) — floor-of-shifted
+    * instead of round() so the half-way rule is engine-independent,
+    * making qsum/q_l1 exact integers. Map-only codegen'd HOFs.
+    */
+  def embedQuantOf(embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    embs.withColumn("maxabs", maxabs)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0d) / col("maxabs")) + 0.5d)))
+      .select(col("vec_id"), round(lit(127.0d) / col("maxabs"), 4).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
-    // Benchmark decontamination: corpus documents sharing ≥ 30% of their
-    // token-3-gram shingles with any "benchmark" document (deterministic
-    // fixture benchmark: doc_id % 10 == 0). The shingle join is keyed on
-    // the BENCHMARK shingle universe — eval sets are tiny (thousands of
-    // docs) next to a 100-TB corpus, so the bench side broadcasts and
-    // the corpus never shuffles; candidates are bounded by bench-shingle
-    // matches, not corpus pairs. Same shingle definition as
-    // q_dedup_ngram/q_dedup_near (Similarity.shinglesOf).
     QueryDef("q_decontam",
-      (s, d) => {
-        val all = Similarity.shinglesOf(T.documents(s, d))
-        val bench  = all.filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id").as("bench_id"), col("shingle"))
-        val corpus = all.filter(col("doc_id") % 10 =!= 0)
-        val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        corpus.join(broadcast(bench), "shingle")
-          .groupBy(col("doc_id"), col("bench_id"))
-          .agg(count(lit(1)).as("n_common"))
-          .join(sizes, "doc_id")
-          .withColumn("overlap", round(col("n_common").cast("double") / col("n_sh"), 4))
-          .filter(col("overlap") >= 0.3)
-          .select(col("doc_id"), col("bench_id"), col("n_common"), col("overlap"))
-          .orderBy(col("doc_id"), col("bench_id"))
-      },
+      (s, d) => decontamOf(T.documents(s, d)),
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
              |         unnest(range(len(string_split(text, ' ')))) AS pos
@@ -80,21 +163,9 @@ object Corpus {
              |ORDER BY h.doc_id, h.bench_id""".stripMargin)),
 
     // RAG/context chunking: overlapping token windows (32 tokens,
-    // stride 24), one output row per chunk. Entirely map-side — the
-    // chunk index set is generated per row with transform(sequence),
-    // exploded inside the scan stage; no shuffle before the output sort.
+    // stride 24), one output row per chunk — see [[chunksOf]].
     QueryDef("q_chunk_docs",
-      (s, d) => T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), floor((size(col("t")) - 1) / ChunkStride).cast("int")))
-            .as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          (col("chunk_id") * ChunkStride).as("start_tok"),
-          least(lit(ChunkTokens), size(col("t")) - col("chunk_id") * ChunkStride)
-            .as("n_tok"),
-          element_at(col("t"), col("chunk_id") * ChunkStride + 1).as("head"))
-        .orderBy(col("doc_id"), col("chunk_id")),
+      (s, d) => chunksOf(T.documents(s, d)),
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |chunks AS (
              |  SELECT doc_id, t,
@@ -106,36 +177,10 @@ object Corpus {
              |       t[CAST(chunk_id * $ChunkStride + 1 AS INTEGER)] AS head
              |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
 
-    // Sequence packing (GPT-style concatenate-then-cut): documents are
-    // concatenated in doc_id order into one global token stream, which
-    // is cut into fixed 512-token training windows; each doc reports its
-    // stream offset and the first/last bin it lands in. The global
-    // prefix sum is computed in TWO PHASES so it scales: (1) an
-    // intra-bucket running sum windowed by bucket = doc_id div 64 —
-    // parallel across buckets; (2) a running sum over the per-bucket
-    // subtotals — sequential, but over n_docs/64 rows (at 100 TB with
-    // bucket ≈ 1M docs that table is ~100k rows), broadcast back. No
-    // corpus-wide single-partition window anywhere in the plan.
+    // Sequence packing (GPT-style concatenate-then-cut) — see [[packOf]]
+    // for the two-phase distributed prefix-sum design.
     QueryDef("q_pack",
-      (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"),
-            (col("doc_id") / PackBucket).cast(LongType).as("bucket"))
-        val intra = toks.withColumn("cum",
-          sum(col("n_tok")).over(
-            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-        val base = toks.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
-          .withColumn("base", coalesce(sum(col("btot")).over(
-            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .select(col("bucket"), col("base"))
-        intra.join(broadcast(base), "bucket")
-          .withColumn("start_off", col("base") + col("cum") - col("n_tok"))
-          .select(col("doc_id"), col("n_tok"), col("start_off"),
-            floor(col("start_off") / PackBinSize).as("first_bin"),
-            floor((col("start_off") + col("n_tok") - 1) / PackBinSize).as("last_bin"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => packOf(T.documents(s, d)),
       Some(s"""WITH toks AS (
              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              |  FROM documents),
@@ -149,22 +194,9 @@ object Corpus {
              |       CAST(floor((start_off + n_tok - 1) / $PackBinSize) AS BIGINT) AS last_bin
              |FROM offs ORDER BY doc_id""".stripMargin)),
 
-    // Embedding L2 normalization: per-vector norm + dimension + first
-    // normalized component. The squared sum is one sequential
-    // fold over the array (aggregate HOF) inside the scan stage —
-    // map-only, no explode, no shuffle.
+    // Embedding L2 normalization — see [[embedNormOf]].
     QueryDef("q_embed_norm",
-      (s, d) => {
-        val sq = aggregate(col("embedding"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))
-        T.embeddings(s, d)
-          .withColumn("l2_raw", sqrt(sq))
-          .select(col("vec_id"), size(col("embedding")).as("dim"),
-            round(col("l2_raw"), 4).as("l2"),
-            round(element_at(col("embedding"), 1).cast("double") / col("l2_raw"), 4)
-              .as("head_norm"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) => embedNormOf(T.embeddings(s, d)),
       Some("""WITH u AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
              |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS l2_raw FROM u GROUP BY vec_id)
@@ -174,25 +206,10 @@ object Corpus {
              |FROM embeddings e JOIN norms n USING (vec_id)
              |ORDER BY e.vec_id""".stripMargin)),
 
-    // Symmetric int8 quantization: scale = 127/max|v|, q_i =
-    // floor(v_i*scale + 0.5) — floor-of-shifted instead of round() so
-    // the half-way rule is engine-independent, making qsum/q_l1 exact
-    // integers (this oracle has zero float-rounding exposure). Map-only:
-    // both array passes are codegen'd HOFs in the scan stage.
+    // Symmetric int8 quantization (exact-integer oracle) — see
+    // [[embedQuantOf]].
     QueryDef("q_embed_quant",
-      (s, d) => {
-        val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-        val scale = lit(127.0d) / col("maxabs")
-        val quants = transform(col("embedding"),
-          x => floor(x.cast("double") * scale + 0.5d))
-        T.embeddings(s, d)
-          .withColumn("maxabs", maxabs)
-          .withColumn("q", quants)
-          .select(col("vec_id"), round(lit(127.0d) / col("maxabs"), 4).as("scale"),
-            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
-            aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) => embedQuantOf(T.embeddings(s, d)),
       Some("""WITH u AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
              |m AS (SELECT vec_id, max(abs(v)) AS maxabs FROM u GROUP BY vec_id),

@@ -294,8 +294,8 @@ object Similarity {
     * Bounded driver-side collect (k rows), the IVF "training" step; a
     * full build would run k-means via the same assign+groupBy plan.
     */
-  private def sampleCentroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
-    val c = corpus(s, d).select(col("vec_id"), col("emb"))
+  def sampleCentroidsOf(embeddings: DataFrame, k: Int): Array[Array[Double]] = {
+    val c = corpusOf(embeddings).select(col("vec_id"), col("emb"))
     val n = c.count()
     val step = math.max(1L, n / k)
     c.filter(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(k)
@@ -314,13 +314,29 @@ object Similarity {
     * corpus would be written partitioned by `cid` so a probe reads only
     * its lists.
     */
-  def ivfAssign(s: SparkSession, d: String, k: Int = IvfCentroids): DataFrame = {
-    val c = corpus(s, d)
-    val cents = graft.ml.KMeansLite.fit(c, sampleCentroids(s, d, k), iters = 2)
-    val adjust = array(cents.map(cc => lit(cc.map(x => x * x).sum / 2.0)): _*)
-    c.withColumn("dots", zip_with(
-        graft.functions.VecExprs.dotProducts(col("emb"), cents), adjust, (dd, a) => dd - a))
+  def ivfAssign(s: SparkSession, d: String, k: Int = IvfCentroids): DataFrame =
+    ivfAssignOf(T.embeddings(s, d), k)._1
+
+  /** [[ivfAssign]] over any (vec_id, embedding) frame, also returning
+    * the trained centroid matrix so callers (e.g. the on-disk index,
+    * sources.IvfIndex) can persist it next to the lists and route
+    * probes with the identical scoring at query time.
+    */
+  def ivfAssignOf(embeddings: DataFrame, k: Int = IvfCentroids)
+      : (DataFrame, Array[Array[Double]]) = {
+    val c = corpusOf(embeddings)
+    val cents = graft.ml.KMeansLite.fit(c, sampleCentroidsOf(embeddings, k), iters = 2)
+    val assigned = c.withColumn("dots", centroidScores(col("emb"), cents))
       .withColumn("cid", expr("array_position(dots, array_max(dots)) - 1"))
+    (assigned, cents)
+  }
+
+  /** Per-centroid nearest-list scores: argmin ‖x−c‖² as adjusted dots
+    * (dot(x,c) − ‖c‖²/2), all centroids in one codegen'd kernel call.
+    */
+  def centroidScores(emb: Column, cents: Array[Array[Double]]): Column = {
+    val adjust = array(cents.map(cc => lit(cc.map(x => x * x).sum / 2.0)): _*)
+    zip_with(graft.functions.VecExprs.dotProducts(emb, cents), adjust, (dd, a) => dd - a)
   }
 
   /** IVF ANN top-k: each probe searches only its `nprobe` nearest

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** On-disk IVF index: the 100-TB layout for the ANN operators.
+  *
+  * `q_sim_ivf` computes list assignments in-memory every run; at scale
+  * the corpus is written ONCE partitioned by centroid list id, and each
+  * probe then reads only its `nprobe` lists — Hive-style partition
+  * pruning turns an O(corpus) scan into an O(nprobe/k · corpus) scan
+  * before any executor runs. Layout:
+  *
+  * {{{
+  *   <path>/lists/cid=<c>/…parquet   // (vec_id, emb) per inverted list
+  *   <path>/centroids/…parquet       // (cid, centroid) — k rows
+  * }}}
+  *
+  * The centroid matrix is persisted next to the lists so query-time
+  * routing uses the *identical* scoring as build-time assignment
+  * (Similarity.centroidScores); a drifted centroid set would silently
+  * degrade recall.
+  */
+object IvfIndex {
+
+  /** Build the index: assign lists (k-means-refined data-sampled
+    * centroids, map-side argmin) and write corpus partitioned by cid.
+    */
+  def build(embeddings: DataFrame, path: String,
+      k: Int = Similarity.IvfCentroids): Unit = {
+    val spark = embeddings.sparkSession
+    val (assigned, cents) = Similarity.ivfAssignOf(embeddings, k)
+    assigned.select(col("vec_id"), col("emb"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The pruned list scan for a probe set: reads ONLY the partitions in
+    * `cids` (assert `PartitionFilters` in the plan — see IvfIndexSpec).
+    * Exposed separately so tests can explain() exactly the frame that
+    * must prune.
+    */
+  def prunedLists(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/lists").filter(col("cid").isin(cids: _*))
+
+  /** ANN top-k against the on-disk index. Probes is a (probe_id, p_emb)
+    * frame (array<double>, same prep as Similarity.corpusOf). Each probe
+    * is routed to its `nprobe` best lists via the persisted centroids
+    * (k-row collect — bounded), the union of needed lists is read with
+    * partition pruning, and candidates re-rank by exact cosine.
+    */
+  def search(spark: SparkSession, path: String, probes: DataFrame,
+      k: Int, nprobe: Int = Similarity.IvfProbes): DataFrame = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    val routed = probes
+      .select(col("probe_id"), col("p_emb"),
+        posexplode(Similarity.centroidScores(col("p_emb"), cents)))
+      .withColumnRenamed("pos", "p_cid").withColumnRenamed("col", "p_dot")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("p_cid"))
+    // the union of lists any probe needs — tiny driver-side set
+    // (≤ nprobe × n_probes ids), which makes the scan prunable
+    val neededCids = routed.select(col("p_cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val lists = prunedLists(spark, path, neededCids)
+    val scored = lists.join(broadcast(routed),
+        col("cid") === col("p_cid") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VecExprs.cosineSim(col("emb"), col("p_emb")).as("cos"))
+      .dropDuplicates("probe_id", "vec_id")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components via alternating large-star / small-star edge
+  * rewrites — the published MapReduce-scale algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+  * is two groupBy-join passes over the EDGE list only, converging in
+  * O(log² n) rounds with per-round work proportional to |E|.
+  *
+  * Complements [[Components.connectedComponents]] (min-label
+  * propagation + pointer jumping, which carries a LABEL table of all
+  * nodes through every round): on a 100-TB dedup graph whose edge list
+  * is much smaller than its node universe — the common case, since most
+  * documents have no near-duplicate — star contraction touches only
+  * nodes that appear in edges. StarComponentsSpec asserts both
+  * algorithms label identically on chains, cliques, forests, and
+  * random graphs.
+  *
+  * Invariant maintained throughout: every edge (u, v) satisfies u > v
+  * ("child points to smaller parent"). At the fixpoint the edge list is
+  * a star forest: each non-minimum node points directly at its
+  * component's minimum id.
+  */
+object StarComponents {
+
+  /** One large-star round: every node u connects its LARGER neighbors
+    * to m = min(Γ(u) ∪ u). Emitting (v, m) for v > u from each center
+    * covers each canonical edge exactly once (from its smaller
+    * endpoint) and strictly shrinks long chains.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u connects its SMALLER neighbors
+    * (and itself) to their minimum, flattening two-level trees into
+    * stars. Operates on the canonical (u > v) list directly.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    // both outputs (u→m and v→m) emitted from ONE pass via explode — a
+    // self-union of the joined frame trips Catalyst's Union constraint
+    // rewrite (key-not-found on the projected-out join key), and a
+    // single generator is map-side cheaper anyway
+    e.join(mins, "u")
+      .select(explode(array(
+        struct(col("u").as("a"), col("m").as("b")),
+        struct(col("v").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** @param edges two long columns `src`, `dst` (undirected; self-loops
+    *              and duplicates tolerated)
+    * @return (id, comp) — every node labeled with its component's
+    *         minimum node id (same contract as
+    *         [[Components.connectedComponents]])
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // convergence via an exact edge fingerprint: (count, sum(u), sum(v))
+    // is stable iff the canonical edge set stopped changing — u is
+    // non-increasing per node and v only ever decreases under both
+    // rewrites, so the fingerprint strictly decreases until fixpoint.
+    def fingerprint(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+        Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+    var prev = fingerprint(e)
+    var converged = prev._1 == 0 // no non-loop edges: already stars
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val fp = fingerprint(e)
+      converged = fp == prev
+      prev = fp
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    nodes.join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+}

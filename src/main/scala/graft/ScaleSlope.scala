@@ -67,7 +67,9 @@ object ScaleSlope {
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_dedup_ngram",
     "q_fingerprint", "q_dedup_near", "q_dedup_simhash",
     "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
-    "q_dedup_embed", "q_dedup_clusters", "q_tfidf")
+    "q_dedup_embed", "q_dedup_clusters", "q_tfidf",
+    "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
+    "q_embed_norm", "q_embed_quant")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")

@@ -89,9 +89,13 @@ object Corpus {
     val toks = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"),
         (col("doc_id") / PackBucket).cast(LongType).as("bucket"))
+    // explicit ROWS frame: the default RANGE frame treats duplicate
+    // doc_ids as peers (both rows would get the combined sum and the
+    // same start_off), and the oracle's running sum is ROWS-framed
     val intra = toks.withColumn("cum",
       sum(col("n_tok")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val base = toks.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
       .withColumn("base", coalesce(sum(col("btot")).over(
         Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -233,7 +237,9 @@ object Corpus {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .withColumn("rate", round(least(lit(1.0d), lit(50000.0d) / col("n_tokens")), 4))
-        .withColumn("est_tokens", (col("n_tokens") * col("rate")).cast(LongType))
+        // floor, not cast: Spark's cast truncates but DuckDB's
+        // CAST(double AS BIGINT) rounds — floor() agrees on both engines
+        .withColumn("est_tokens", floor(col("n_tokens") * col("rate")))
         .orderBy(col("lang")),
       Some("""WITH t AS (
              |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -244,7 +250,7 @@ object Corpus {
              |  FROM t GROUP BY lang)
              |SELECT lang, n_docs, n_tokens,
              |       round(least(1.0, 50000.0 / n_tokens), 4) AS rate,
-             |       CAST(n_tokens * round(least(1.0, 50000.0 / n_tokens), 4) AS BIGINT) AS est_tokens
+             |       CAST(floor(n_tokens * round(least(1.0, 50000.0 / n_tokens), 4)) AS BIGINT) AS est_tokens
              |FROM agg ORDER BY lang""".stripMargin))
   )
 }

@@ -350,7 +350,9 @@ object Similarity {
         posexplode(col("dots")))
       .withColumnRenamed("pos", "p_cid").withColumnRenamed("col", "p_dot")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc)))
+        // p_cid tiebreak keeps routing deterministic when two centroids
+        // score identically (matches sources.IvfIndex.search)
+        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc, col("p_cid"))))
       .filter(col("rk") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("p_cid"))
     val scored = assigned.join(broadcast(probeCids),

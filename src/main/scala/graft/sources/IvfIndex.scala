@@ -60,14 +60,21 @@ object IvfIndex {
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
         .map(_.getSeq[Double](1).toArray)
+    // p_cid tiebreak: with only p_dot.desc, two equal-scoring centroids
+    // at the nprobe boundary could rank differently between the
+    // neededCids evaluation and the join evaluation, routing a probe to
+    // a pruned-out list. localCheckpoint additionally pins ONE routing
+    // result for both consumers (and stops the scoring pipeline from
+    // running twice).
     val routed = probes
       .select(col("probe_id"), col("p_emb"),
         posexplode(Similarity.centroidScores(col("p_emb"), cents)))
       .withColumnRenamed("pos", "p_cid").withColumnRenamed("col", "p_dot")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc)))
+        Window.partitionBy(col("probe_id")).orderBy(col("p_dot").desc, col("p_cid"))))
       .filter(col("rk") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("p_cid"))
+      .localCheckpoint(true)
     // the union of lists any probe needs — tiny driver-side set
     // (≤ nprobe × n_probes ids), which makes the scan prunable
     val neededCids = routed.select(col("p_cid")).distinct()

@@ -91,12 +91,20 @@ class CorpusSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("pack has no corpus-wide single-partition window") {
-    // the only unpartitioned window must consume the per-bucket subtotal
-    // aggregate (n_docs/PackBucket rows), never the document scan
-    val plan = formattedPlan(Corpus.packOf(Tables.documents(spark, sf)))
-    val winSpecs = "\\[bucket#\\d+L? ASC".r.findAllIn(plan).size
-    assert(plan.contains("Window"), "plan must contain window operators")
-    assert(winSpecs >= 1, "global phase must be ordered by bucket (subtotal table)")
+    // traverse the physical plan: every unpartitioned (single-partition)
+    // WindowExec must sit ABOVE an aggregate — i.e. it consumes the
+    // per-bucket subtotal table (n_docs/PackBucket rows), never the raw
+    // document scan. The per-doc running sum must be the partitioned one.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val plan = Corpus.packOf(Tables.documents(spark, sf)).queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "plan must contain window operators")
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1, s"exactly one sequential window (subtotals), got ${global.size}")
+    assert(partitioned.nonEmpty, "per-doc running sum must be bucket-partitioned")
+    assert(global.head.collect { case a: HashAggregateExec => a }.nonEmpty,
+      "the sequential window must consume the bucket-subtotal aggregate, not the corpus")
   }
 
   // ---- embedding normalization / quantization --------------------------

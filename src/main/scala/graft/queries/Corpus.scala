@@ -42,11 +42,23 @@ object Corpus {
     * (Similarity.shinglesOf).
     */
   def decontamOf(docs: org.apache.spark.sql.DataFrame,
+      minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame =
+    decontamAgainst(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), minOverlap)
+
+  /** [[decontamOf]] with an EXPLICIT benchmark frame — the production
+    * form: the benchmark set is fixed (the eval suites), independent of
+    * whatever filtering/dedup already ran on the corpus side. A corpus
+    * doc whose near-dup partner happens to be a benchmark doc must be
+    * flagged even if dedup removed that benchmark doc from the corpus
+    * frame (CorpusPipelineSpec locks this in).
+    */
+  def decontamAgainst(corpusDocs: org.apache.spark.sql.DataFrame,
+      benchDocs: org.apache.spark.sql.DataFrame,
       minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame = {
-    val all = Similarity.shinglesOf(docs)
-    val bench  = all.filter(col("doc_id") % 10 === 0)
+    val bench = Similarity.shinglesOf(benchDocs)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val corpus = Similarity.shinglesOf(corpusDocs)
     val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     corpus.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))

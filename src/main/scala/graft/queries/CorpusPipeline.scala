@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.StarComponents
+
+/** The composed corpus build: quality filter → exact dedup → near-dup
+  * cluster dedup → benchmark decontamination → deterministic split.
+  * One call takes raw (doc_id, text, …) rows to train-ready documents —
+  * the end-to-end flow a user of the engine runs, with every stage one
+  * of the individually-tested operators (TextOps / Similarity /
+  * StarComponents / Corpus).
+  *
+  * Every stage is a narrow transformation or a bucketed join on ids and
+  * digests — document text never shuffles after stage 1 computes its
+  * digest, and the near-dup stage shuffles only (id, signature) tuples.
+  * Stage order matters at scale: exact dedup (cheapest, digest groupBy)
+  * runs before MinHash (which would otherwise band-join every copy of a
+  * viral document), and decontamination runs on the deduped survivors
+  * (bench side is broadcast either way, but candidates shrink).
+  */
+object CorpusPipeline {
+
+  /** Per-stage survivor counts — the audit trail a corpus build logs. */
+  final case class Summary(
+      nInput: Long, nQuality: Long, nExactDedup: Long,
+      nNearDedup: Long, nDecontam: Long)
+
+  /** Stage 1: map-side quality gate (min tokens, sane mean word length,
+    * non-null text) — the cheap filter that runs inside the scan.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 5,
+      maxMeanWordLen: Double = 14.0): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.filter(col("text").isNotNull)
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_wl",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
+      .filter(col("n_words") >= minTokens && col("mean_wl") <= maxMeanWordLen)
+      .drop("n_words", "mean_wl")
+  }
+
+  /** Stage 2: exact dedup — keep the minimum doc_id per normalized-text
+    * digest. Shuffles the 64-byte digest, never the text.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(sha2(lower(trim(col("text"))), 256))
+      .orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Stage 3: near-dup dedup — MinHash-LSH candidate pairs → connected
+    * components (star contraction: edge-list-only rounds) → keep each
+    * cluster's minimum doc_id. Docs without a near-duplicate never
+    * enter the component computation at all.
+    */
+  def nearDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Similarity.minhashPairsOf(docs, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val drop = StarComponents.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: remove documents contaminated by the benchmark set (and
+    * the benchmark docs themselves — eval data must not be trained on).
+    * Screens against the ORIGINAL benchmark frame, not the deduped
+    * survivors: near-dedup may have dropped a benchmark doc (its
+    * cluster's min id was a non-bench doc), and the surviving near-dup
+    * is exactly the leak that must be caught.
+    */
+  def decontaminate(docs: DataFrame, benchDocs: DataFrame,
+      minOverlap: Double = 0.3): DataFrame = {
+    val flagged = Corpus.decontamAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0), benchDocs, minOverlap)
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 5: deterministic md5 train/val/test tag (same keying as
+    * q_split_hash — stable under repartition and append).
+    */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val h = substring(md5(concat(lit("s:"), col("doc_id").cast("string"))), 1, 1)
+    docs.withColumn("split",
+      when(h < "1", "test").when(h < "2", "val").otherwise("train"))
+  }
+
+  /** The full composition, returning the train-ready frame and the
+    * per-stage audit counts. Counts cost one action per stage — a
+    * production run caches the stage boundaries it counts.
+    */
+  def build(docs: DataFrame): (DataFrame, Summary) = {
+    val q = qualityFilter(docs)
+    val e = exactDedup(q)
+    val n = nearDedup(e)
+    val d = decontaminate(n, docs.filter(col("doc_id") % 10 === 0))
+    val out = withSplit(d)
+    (out, Summary(docs.count(), q.count(), e.count(), n.count(), d.count()))
+  }
+}

@@ -366,6 +366,23 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Johnson-Lindenstrauss random projection: embeddings × a fixed
+    * gaussian matrix (scaled 1/√outDim so squared distances are
+    * preserved in expectation) — the dimensionality-reduction step that
+    * makes downstream ANN/clustering 4× cheaper per vector at 100 TB.
+    * All outDim dots run in ONE codegen'd kernel call per row
+    * (functions.VecExprs.dotProducts), map-side, no shuffle; the
+    * distortion bound is scalatest-verified (SimilaritySpec).
+    */
+  def randomProjectOf(embeddings: DataFrame, outDim: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(outDim)(Array.fill(64)(rnd.nextGaussian() / math.sqrt(outDim)))
+    corpusOf(embeddings)
+      .withColumn("proj", graft.functions.VecExprs.dotProducts(col("emb"), planes))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_near", (s, d) => minhashPairs(s, d, 0.5), None),
     QueryDef("q_dedup_simhash", (s, d) => simhashPairs(s, d, 3), None),
@@ -376,6 +393,15 @@ object Similarity {
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.
     QueryDef("q_dedup_embed", (s, d) => cosineDupPairs(s, d, 0.95), None),
+    // JL projection surface: per-vector projected norm + head component
+    // (projection matrix is engine-defined → scalatest, not oracle)
+    QueryDef("q_embed_rp",
+      (s, d) => randomProjectOf(T.embeddings(s, d))
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("proj"), lit(0.0d), (a, x) => a + x * x)), 4).as("proj_l2"),
+          round(element_at(col("proj"), 1), 4).as("proj_head"))
+        .orderBy(col("vec_id")),
+      None),
     // Pairs → clusters: connected components over the MinHash candidate
     // pairs, one representative (min doc_id) + size per cluster — the
     // dedup pipeline's final step (ComponentsSpec verifies against a

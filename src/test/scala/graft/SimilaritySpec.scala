@@ -174,4 +174,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val byId = Similarity.simhashOf(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(0L) == byId(1L))
   }
+
+  test("JL random projection preserves pairwise squared distances in aggregate") {
+    val projected = Similarity.randomProjectOf(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("emb"), col("proj"))
+      .filter(col("vec_id") < 40) // 40 vectors → 780 pairs, driver-side check
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    assert(projected.length == 40)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- projected.indices; j <- (i + 1) until projected.length
+    } yield d2(projected(i)._3, projected(j)._3) / d2(projected(i)._2, projected(j)._2)
+    val mean = ratios.sum / ratios.size
+    // 16 projected dims: E[ratio]=1, per-pair spread ~1/sqrt(8); the
+    // fixture+seed are fixed so these bounds are deterministic in CI
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"worst-pair distortion out of range: min=${ratios.min} max=${ratios.max}")
+  }
 }

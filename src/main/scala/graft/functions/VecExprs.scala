@@ -23,9 +23,11 @@ object VecKernels {
   private def elem(v: ArrayData, i: Int): Double =
     if (v.isNullAt(i)) 0.0 else v.getDouble(i)
 
-  /** Dot products of `v` against each row of a constant matrix.
-    * Dimensions beyond min(|v|, |row|) are ignored; null elements count
-    * as 0.0.
+  /** Dot products of `v` against each row of a constant matrix. The
+    * vector length must equal each row's length — a silent truncation
+    * here would project only a prefix of mis-dimensioned embeddings and
+    * corrupt every downstream LSH/IVF/JL result, so mismatch throws.
+    * Null elements count as 0.0.
     */
   def dotProducts(v: ArrayData, mat: Array[Array[Double]]): ArrayData = {
     val out = new Array[Double](mat.length)
@@ -33,10 +35,11 @@ object VecKernels {
     var i = 0
     while (i < mat.length) {
       val row = mat(i)
+      if (vn != row.length) throw new IllegalArgumentException(
+        s"dot_products: vector dim $vn != matrix row dim ${row.length}")
       var s = 0.0
-      val n = math.min(vn, row.length)
       var j = 0
-      while (j < n) { s += elem(v, j) * row(j); j += 1 }
+      while (j < vn) { s += elem(v, j) * row(j); j += 1 }
       out(i) = s
       i += 1
     }

@@ -74,16 +74,17 @@ object StarComponents {
         least(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    // convergence via an exact edge fingerprint: (count, sum(u), sum(v))
-    // is stable iff the canonical edge set stopped changing — u is
-    // non-increasing per node and v only ever decreases under both
-    // rewrites, so the fingerprint strictly decreases until fixpoint.
-    def fingerprint(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+    // convergence via an order-independent content fingerprint:
+    // (count, sum(xxhash64(u,v))) — the hash sum identifies the edge SET,
+    // not just its moments, so two distinct consecutive edge sets can't
+    // collide short of a 64-bit hash collision (the rewrites are not
+    // strictly monotone: large-star can add edges, so moment-only
+    // fingerprints could in principle tie without a fixpoint)
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
       val r = df.agg(count(lit(1)),
-        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)"))).head()
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0),
-        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
-        Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
     }
     var prev = fingerprint(e)
     var converged = prev._1 == 0 // no non-loop edges: already stars
@@ -96,6 +97,19 @@ object StarComponents {
       i += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
+    // belt-and-braces: verify the claimed fixpoint IS a star forest —
+    // (a) every node has exactly one parent (also guarantees the label
+    // join below emits one row per node), (b) no parent is itself a
+    // child (depth exactly 1, so every label is its component's root).
+    // One agg + one semi-join, run once after the loop.
+    val multiParent = e.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(multiParent == 0,
+      "star contraction fixpoint is not a star forest (node with >1 parent)")
+    val deepEdge = e.select(col("v").as("u"))
+      .join(e.select(col("u")), Seq("u"), "left_semi").limit(1).count()
+    require(deepEdge == 0,
+      "star contraction fixpoint is not a star forest (chain of depth >1)")
     nodes.join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }

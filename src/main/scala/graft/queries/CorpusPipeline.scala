@@ -75,11 +75,13 @@ object CorpusPipeline {
     */
   def decontaminate(docs: DataFrame, benchDocs: DataFrame,
       minOverlap: Double = 0.3): DataFrame = {
-    val flagged = Corpus.decontamAgainst(
-        docs.filter(col("doc_id") % 10 =!= 0), benchDocs, minOverlap)
+    // membership, not naming convention: the bench set is whatever frame
+    // the caller passed, so bench docs are removed by anti-joining their
+    // ids (tiny side → broadcast), not by any doc_id pattern
+    val corpus = docs.join(benchDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val flagged = Corpus.decontamAgainst(corpus, benchDocs, minOverlap)
       .select(col("doc_id")).distinct()
-    docs.filter(col("doc_id") % 10 =!= 0)
-      .join(flagged, Seq("doc_id"), "left_anti")
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
   /** Stage 5: deterministic md5 train/val/test tag (same keying as

@@ -206,10 +206,11 @@ object Similarity {
     lshBucketsOf(T.embeddings(s, d), nTables, bitsPerTable, seed)
 
   def lshBucketsOf(embeddings: DataFrame, nTables: Int = LshTables,
-      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L): DataFrame = {
+      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L,
+      inDim: Int = EmbedDim): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
-      Array.fill(nTables * bitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
+      Array.fill(nTables * bitsPerTable)(Array.fill(inDim)(rnd.nextGaussian()))
     val c = corpusOf(embeddings)
     // all 48 hyperplane dots in ONE codegen'd kernel call per row; the
     // sign-bit bucket assembly then touches 48 scalars, not 48×64
@@ -375,10 +376,10 @@ object Similarity {
     * distortion bound is scalatest-verified (SimilaritySpec).
     */
   def randomProjectOf(embeddings: DataFrame, outDim: Int = 16,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, inDim: Int = EmbedDim): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
-      Array.fill(outDim)(Array.fill(64)(rnd.nextGaussian() / math.sqrt(outDim)))
+      Array.fill(outDim)(Array.fill(inDim)(rnd.nextGaussian() / math.sqrt(outDim)))
     corpusOf(embeddings)
       .withColumn("proj", graft.functions.VecExprs.dotProducts(col("emb"), planes))
   }

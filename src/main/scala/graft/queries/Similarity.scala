@@ -193,6 +193,7 @@ object Similarity {
 
   val LshTables = 8       // OR-amplification: candidate if ANY table agrees
   val LshBitsPerTable = 6 // 64 buckets/table — tune to corpus density
+  val EmbedDim = 64       // fixture embedding width; callers override inDim for other corpora
 
   /** Sign-random-projection LSH, multi-table: deterministic seeded
     * hyperplanes, `LshTables` independent bucket ids per vector

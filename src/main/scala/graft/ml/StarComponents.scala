@@ -61,11 +61,17 @@ object StarComponents {
 
   /** @param edges two long columns `src`, `dst` (undirected; self-loops
     *              and duplicates tolerated)
+    * @param validate run the star-forest invariant post-checks (one agg +
+    *                 one semi-join over the final edge list). Default on;
+    *                 a 100-TB production run that already trusts the
+    *                 fingerprint-certified fixpoint passes `false` to
+    *                 skip the two extra jobs per invocation.
     * @return (id, comp) — every node labeled with its component's
     *         minimum node id (same contract as
     *         [[Components.connectedComponents]])
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      validate: Boolean = true): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -102,14 +108,16 @@ object StarComponents {
     // join below emits one row per node), (b) no parent is itself a
     // child (depth exactly 1, so every label is its component's root).
     // One agg + one semi-join, run once after the loop.
-    val multiParent = e.groupBy(col("u")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).count()
-    require(multiParent == 0,
-      "star contraction fixpoint is not a star forest (node with >1 parent)")
-    val deepEdge = e.select(col("v").as("u"))
-      .join(e.select(col("u")), Seq("u"), "left_semi").limit(1).count()
-    require(deepEdge == 0,
-      "star contraction fixpoint is not a star forest (chain of depth >1)")
+    if (validate) {
+      val multiParent = e.groupBy(col("u")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(multiParent == 0,
+        "star contraction fixpoint is not a star forest (node with >1 parent)")
+      val deepEdge = e.select(col("v").as("u"))
+        .join(e.select(col("u")), Seq("u"), "left_semi").limit(1).count()
+      require(deepEdge == 0,
+        "star contraction fixpoint is not a star forest (chain of depth >1)")
+    }
     nodes.join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }

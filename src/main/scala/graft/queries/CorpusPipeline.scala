@@ -77,8 +77,11 @@ object CorpusPipeline {
       minOverlap: Double = 0.3): DataFrame = {
     // membership, not naming convention: the bench set is whatever frame
     // the caller passed, so bench docs are removed by anti-joining their
-    // ids (tiny side → broadcast), not by any doc_id pattern
-    val corpus = docs.join(benchDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // ids — broadcast hint made explicit so the anti-join never degrades
+    // to a shuffle when the bench frame lacks stats or exceeds the
+    // autoBroadcastJoinThreshold (bench sets are small by definition)
+    val corpus = docs.join(broadcast(benchDocs.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
     val flagged = Corpus.decontamAgainst(corpus, benchDocs, minOverlap)
       .select(col("doc_id")).distinct()
     corpus.join(flagged, Seq("doc_id"), "left_anti")

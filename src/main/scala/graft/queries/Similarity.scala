@@ -195,6 +195,14 @@ object Similarity {
   val LshBitsPerTable = 6 // 64 buckets/table — tune to corpus density
   val EmbedDim = 64       // fixture embedding width; callers override inDim for other corpora
 
+  /** Embedding width measured from the data (one bounded limit-1 action).
+    * The strict `dotProducts` kernel hard-fails on a plane/vector width
+    * mismatch, so callers with non-64-d corpora either pass `inDim`
+    * explicitly or derive it here once and thread it through.
+    */
+  def embedDimOf(embeddings: DataFrame, embCol: String = "embedding"): Int =
+    embeddings.select(size(col(embCol)).as("d")).head().getInt(0)
+
   /** Sign-random-projection LSH, multi-table: deterministic seeded
     * hyperplanes, `LshTables` independent bucket ids per vector
     * (OR-amplified — one 12-bit table has near-zero recall on a
@@ -203,8 +211,9 @@ object Similarity {
     * cross join.
     */
   def lshBuckets(s: SparkSession, d: String, nTables: Int = LshTables,
-      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L): DataFrame =
-    lshBucketsOf(T.embeddings(s, d), nTables, bitsPerTable, seed)
+      bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L,
+      inDim: Int = EmbedDim): DataFrame =
+    lshBucketsOf(T.embeddings(s, d), nTables, bitsPerTable, seed, inDim)
 
   def lshBucketsOf(embeddings: DataFrame, nTables: Int = LshTables,
       bitsPerTable: Int = LshBitsPerTable, seed: Long = 42L,
@@ -230,10 +239,19 @@ object Similarity {
     * by construction; scalatest checks overlap with the brute-force
     * baseline.
     */
-  def lshTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame = {
-    val exploded = lshBuckets(s, d)
+  def lshTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
+      inDim: Int = EmbedDim): DataFrame = {
+    val exploded = lshBuckets(s, d, inDim = inDim)
       .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    topKFromBuckets(exploded, probeIds, k)
+  }
+
+  /** Shared LSH top-k tail: probes filtered out of the bucketed frame,
+    * per-table bucket equi-join (probe side broadcast), exact cosine
+    * re-rank on the `emb` column the caller supplies.
+    */
+  private def topKFromBuckets(exploded: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
     val probes = exploded.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         col("tbl").as("p_tbl"), col("bucket").as("p_bucket"))
@@ -249,6 +267,29 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** ANN top-k with the JL projection composed in: LSH tables are built
+    * over the [[randomProjectOf]] `outDim`-d output (outDim=16 → 4×
+    * fewer multiplies per hyperplane dot, and a materialized index
+    * stores 16-d bucketing inputs instead of 64-d), while the exact
+    * cosine re-rank still runs on the ORIGINAL vectors — precision is
+    * unchanged; only candidate recall depends on the projection, and JL
+    * preserves angles in expectation. SimilaritySpec holds this path to
+    * the same brute-force recall bound as the un-projected LSH path.
+    */
+  def lshTopKProjected(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
+      outDim: Int = 16, seed: Long = 7L): DataFrame =
+    lshTopKProjectedOf(T.embeddings(s, d), probeIds, k, outDim, seed)
+
+  def lshTopKProjectedOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      outDim: Int = 16, seed: Long = 7L, inDim: Int = EmbedDim): DataFrame = {
+    val projected = randomProjectOf(embeddings, outDim, seed, inDim)
+      .select(col("vec_id"), col("proj").as("embedding"), col("emb").as("orig"))
+    val exploded = lshBucketsOf(projected, inDim = outDim)
+      .select(col("vec_id"), col("orig").as("emb"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    topKFromBuckets(exploded, probeIds, k)
+  }
+
   /** Embedding-cosine near-dup pairs — the fifth dedup family member
     * next to exact/MinHash/SimHash/n-gram: ALL vector pairs with cosine
     * ≥ threshold, candidates restricted to pairs sharing an LSH bucket
@@ -260,12 +301,13 @@ object Similarity {
     * bucket occupancy, never n², and [[MaxBandBucket]] bounds hot
     * buckets.
     */
-  def cosineDupPairsOf(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineDupPairsOf(embeddings: DataFrame, threshold: Double,
+      inDim: Int = EmbedDim): DataFrame = {
     // candidates carry ONLY (vec_id, tbl, bucket) — the 64-dim vectors
     // stay out of the band join and the pair dedup (at 100 TB the
     // candidate shuffle is the dominant cost; 16-byte id pairs beat
     // 2×512-byte vector payloads), then join back for the exact re-rank.
-    val exploded = lshBucketsOf(embeddings)
+    val exploded = lshBucketsOf(embeddings, inDim = inDim)
       .select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val capped = capBuckets(exploded, Seq("tbl", "bucket"), idCol = "vec_id")
@@ -390,6 +432,8 @@ object Similarity {
     QueryDef("q_dedup_simhash", (s, d) => simhashPairs(s, d, 3), None),
     QueryDef("q_sim_topk", (s, d) => bruteForceTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
+    // JL-composed ANN: bucket on the 16-d projection, re-rank on 64-d
+    QueryDef("q_sim_lsh_jl", (s, d) => lshTopKProjected(s, d, Seq(0L, 1L, 2L), 5), None),
     QueryDef("q_sim_ivf", (s, d) => ivfTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.

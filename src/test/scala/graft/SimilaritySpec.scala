@@ -107,6 +107,19 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.4, s"LSH/brute-force overlap too low: $overlap")
   }
 
+  test("JL-projected LSH top-k meets the un-projected path's brute-force recall bound") {
+    val probes = Seq(0L, 1L, 2L)
+    val bf = Similarity.bruteForceTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val jl = Similarity.lshTopKProjected(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(jl.nonEmpty, "JL-LSH candidate generation must not be empty")
+    val overlap = bf.intersect(jl).size.toDouble / bf.size
+    // same bound the 64-d LSH path is held to — composing the projection
+    // must not cost recall on the fixture
+    assert(overlap >= 0.4, s"JL-LSH/brute-force overlap too low: $overlap")
+  }
+
   test("ivf ANN top-k overlaps brute-force top-k on sf0.001") {
     val probes = Seq(0L, 1L, 2L)
     val bf = Similarity.bruteForceTopK(spark, sf, probes, 5)

@@ -56,6 +56,14 @@ class StarComponentsSpec extends AnyFunSuite with SharedSpark {
       1000000L -> 3L, 7L -> 3L, 3L -> 3L, 500L -> 500L, 501L -> 500L, 999L -> 999L))
   }
 
+  test("validate=false skips the post-checks but labels identically") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val unchecked = StarComponents
+      .connectedComponents(edges.toDF("src", "dst"), validate = false)
+      .as[(Long, Long)].collect().toMap
+    assert(unchecked == star(edges))
+  }
+
   test("real dedup graph: both algorithms cluster the MinHash pairs identically") {
     val pairs = graft.queries.Similarity.minhashPairs(spark, sf, 0.5)
       .select(org.apache.spark.sql.functions.col("doc_a").as("src"),

@@ -108,9 +108,11 @@ object ScaleSlope {
     }.toMap
 
     val lo = mults.min; val hi = mults.max
+    // every mult's time is emitted (a 1,10,100 run yields both the 10×
+    // and 100× columns in one pass); "slope" stays lo→hi
     val slopes = Heavy.map { q =>
-      s""""$q":{"t_x$lo":${times(lo)(q)},"t_x$hi":${times(hi)(q)},""" +
-        s""""slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0}}"""
+      val ts = mults.sorted.map(m => s""""t_x$m":${times(m)(q)}""").mkString(",")
+      s""""$q":{$ts,"slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_slope","ratio":${hi.toDouble / lo},"queries":$slopes}""")
     spark.stop()

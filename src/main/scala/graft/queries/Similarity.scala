@@ -36,7 +36,7 @@ object Similarity {
     * The row_number window shuffles by the same keys the candidate
     * equi-join uses, so the exchange is reused rather than added.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String],
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
       idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     banded.withColumn("bucket_rank", row_number().over(w))
@@ -85,29 +85,43 @@ object Similarity {
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(T.documents(s, d))
 
-  /** Candidate pairs via LSH banding + estimated Jaccard from signature
-    * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
+  /** Exploded LSH band rows (doc_id, sig, band, band_hash) — the shared
+    * candidate-key layout for the batch pair generator and the streaming
+    * accumulator (streaming.StreamingDedup appends exactly these rows to
+    * its signature store between micro-batches).
     */
-  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignaturesOf(docs)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+  def bandedSignaturesOf(docs: DataFrame): DataFrame =
+    minhashSignaturesOf(docs).select(col("doc_id"), col("sig"),
         posexplode(array((0 until NumPerms / BandSize).map { b =>
           xxhash64(Seq(lit(b)) ++ (0 until BandSize).map(i => col("sig")(b * BandSize + i)): _*)
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val bands = capBuckets(banded, Seq("band", "band_hash"))
-    // estimate at join time so the pair-dedup exchange carries
-    // (doc_a, doc_b, est) — 24 bytes — instead of two 32-long
-    // signatures; every band copy of a pair computes the same estimate,
-    // so keeping any one of them is deterministic.
-    bands.as("x").join(bands.as("y"),
+
+  /** Candidate pairs + estimated Jaccard from two band frames in the
+    * [[bandedSignaturesOf]] layout: band-bucket equi-join, signature
+    * agreement computed at join time so the pair-dedup exchange carries
+    * (doc_a, doc_b, est) — 24 bytes — instead of two 32-long
+    * signatures; every band copy of a pair computes the same estimate,
+    * so keeping any one of them is deterministic. `extraCond` lets the
+    * streaming path restrict to pairs touching the current micro-batch.
+    */
+  def estPairsFromBands(bandsX: DataFrame, bandsY: DataFrame,
+      extraCond: Column = lit(true)): DataFrame =
+    bandsX.as("x").join(bandsY.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && extraCond)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round(aggregate(zip_with(col("x.sig"), col("y.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / NumPerms, 4).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
+
+  /** Candidate pairs via LSH banding + estimated Jaccard from signature
+    * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
+    */
+  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = capBuckets(bandedSignaturesOf(docs), Seq("band", "band_hash"))
+    estPairsFromBands(bands, bands)
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -302,12 +316,12 @@ object Similarity {
     * buckets.
     */
   def cosineDupPairsOf(embeddings: DataFrame, threshold: Double,
-      inDim: Int = EmbedDim): DataFrame = {
+      inDim: Int = EmbedDim, bitsPerTable: Int = LshBitsPerTable): DataFrame = {
     // candidates carry ONLY (vec_id, tbl, bucket) — the 64-dim vectors
     // stay out of the band join and the pair dedup (at 100 TB the
     // candidate shuffle is the dominant cost; 16-byte id pairs beat
     // 2×512-byte vector payloads), then join back for the exact re-rank.
-    val exploded = lshBucketsOf(embeddings, inDim = inDim)
+    val exploded = lshBucketsOf(embeddings, bitsPerTable = bitsPerTable, inDim = inDim)
       .select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val capped = capBuckets(exploded, Seq("tbl", "bucket"), idCol = "vec_id")
@@ -328,6 +342,41 @@ object Similarity {
 
   def cosineDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
     cosineDupPairsOf(T.embeddings(s, d), threshold)
+
+  /** Scale-aware table geometry: bits per table chosen so expected
+    * bucket occupancy on an isotropic corpus stays near
+    * `targetOccupancy` — ceil(log2(n / targetOccupancy)). With occupancy
+    * held constant at c, per-table candidate pairs are ~n·c/2 — LINEAR
+    * in corpus size — where the static 6-bit geometry densifies (~n²/64
+    * candidates) until [[MaxBandBucket]] converts the overflow into
+    * recall loss. Target 8 (not 64): measured at 10× fixture scale,
+    * target 64 still let buckets carry most of the quadratic blow-up
+    * (q_dedup_embed slope 5.9); target 8 keeps the candidate stream flat
+    * per row. Bits are capped at 16 because each bit multiplies the
+    * per-table miss rate for true near-dups: a cosine-0.95 pair agrees
+    * per bit w.p. ~0.9 (1 − 18.2°/180°), so 16 bits is p_table ≈ 0.18
+    * and the 8-table OR-amplification still recalls ≥ ~80%; beyond that
+    * the right lever is more tables, not more bits. Floor is the fixed
+    * [[LshBitsPerTable]] default.
+    */
+  def adaptiveBits(n: Long, targetOccupancy: Int = 8): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(16, math.max(LshBitsPerTable, needed))
+  }
+
+  /** [[cosineDupPairsOf]] with the table geometry derived from the
+    * corpus count (one count() action; a production pipeline passes the
+    * count it already has from ingest metrics via [[cosineDupPairsOf]]
+    * directly).
+    */
+  def cosineDupPairsAdaptiveOf(embeddings: DataFrame, threshold: Double,
+      inDim: Int = EmbedDim): DataFrame =
+    cosineDupPairsOf(embeddings, threshold, inDim,
+      bitsPerTable = adaptiveBits(embeddings.count()))
+
+  def cosineDupPairsAdaptive(s: SparkSession, d: String, threshold: Double): DataFrame =
+    cosineDupPairsAdaptiveOf(T.embeddings(s, d), threshold)
 
   val IvfCentroids = 16
   val IvfProbes = 6
@@ -438,7 +487,10 @@ object Similarity {
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.
-    QueryDef("q_dedup_embed", (s, d) => cosineDupPairs(s, d, 0.95), None),
+    // Adaptive geometry: bits/table derived from the corpus count so
+    // bucket occupancy (and with it the candidate stream per row) stays
+    // flat as the corpus grows instead of linear in n.
+    QueryDef("q_dedup_embed", (s, d) => cosineDupPairsAdaptive(s, d, 0.95), None),
     // JL projection surface: per-vector projected norm + head component
     // (projection matrix is engine-defined → scalatest, not oracle)
     QueryDef("q_embed_rp",
@@ -453,6 +505,12 @@ object Similarity {
     // dedup pipeline's final step (ComponentsSpec verifies against a
     // driver-side union-find).
     QueryDef("q_dedup_clusters", (s, d) =>
-      graft.ml.Components.dedupClusters(minhashPairs(s, d, 0.5), "doc_a", "doc_b"), None)
+      graft.ml.Components.dedupClusters(minhashPairs(s, d, 0.5), "doc_a", "doc_b"), None),
+    // Streaming form of q_dedup_near: fixture docs streamed through the
+    // foreachBatch signature accumulator; emitted pair set ≡ the batch
+    // path on the same rows (StreamingParitySpec). Engine-hash-specific
+    // → scalatest, not oracle.
+    QueryDef("q_stream_dedup_near",
+      (s, d) => graft.streaming.StreamingDedup.nearDedupFixtureRun(s, d), None)
   )
 }

@@ -162,6 +162,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(Similarity.cosineDupPairsOf(base, 0.95).isEmpty)
   }
 
+  test("adaptive LSH geometry: bits grow with corpus size, planted near-dups still found") {
+    // grows log2 with n (constant target occupancy ⇒ linear candidates)
+    assert(Similarity.adaptiveBits(100) == Similarity.LshBitsPerTable) // floor
+    assert(Similarity.adaptiveBits(2000) == 8)    // ceil(log2(2000/8))
+    assert(Similarity.adaptiveBits(20000) == 12)
+    assert(Similarity.adaptiveBits(1L << 40) == 16) // recall-bound cap
+    val base = Tables.embeddings(spark, sf)
+    val copies = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)))
+    val got = Similarity.cosineDupPairsAdaptiveOf(base.unionByName(copies), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 10L).map(i => (i, i + 100000L)).toSet)
+  }
+
   test("IVF layout: corpus written partitioned by list id prunes probe scans to nprobe lists") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lists").toString
     // the 100-TB layout step: land the assigned corpus hive-partitioned

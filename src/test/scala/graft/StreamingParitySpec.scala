@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.queries.TimeWindows
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, StreamingDedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -65,6 +65,27 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
       assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
       assert(got.count() > 0)
     } finally q.stop()
+  }
+
+  test("streaming MinHash near-dedup emits exactly the batch q_dedup_near pairs") {
+    // 4 input files, 1 per micro-batch → signatures accumulate across 4
+    // genuinely-incremental batches; the emitted pair set (incl. the
+    // estimates) must equal the one-shot batch path on the same rows
+    val got = StreamingDedup.nearDedupFixtureRun(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.queries.Similarity.minhashPairs(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want,
+      s"stream≠batch: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("streaming near-dedup pair set is independent of the batch split") {
+    val oneShot = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val manyBatches = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneShot == manyBatches)
   }
 
   test("foreachBatch sink with Trigger.AvailableNow drains all input then stops") {

@@ -66,10 +66,27 @@ object ScaleSlope {
   private val Heavy = Seq(
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_dedup_ngram",
     "q_fingerprint", "q_dedup_near", "q_dedup_simhash",
-    "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf",
     "q_dedup_embed", "q_dedup_clusters", "q_tfidf",
     "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
     "q_embed_norm", "q_embed_quant")
+
+  /** Queries whose beyond-10× point is knowingly quadratic ON THIS
+    * FIXTURE, not in the operator: the 30-word vocabulary saturates the
+    * ~27k-shingle space, so per-shingle df grows ~10× per tier and the
+    * shared-shingle join output grows ~df² (q_dedup_ngram), and the %10
+    * "benchmark" grows WITH the corpus so q_decontam's join output is
+    * (corpus df × bench df) summed over a saturated shingle space —
+    * ~1.5B joined rows at 100×. Both superlinearities are measured and
+    * documented as FINDINGS at the 10× point (SCALING.md); production
+    * runs the exact baseline on MinHash survivors and decontaminates
+    * against FIXED-size bench sets. Capping them at 10× keeps the
+    * larger tiers a linearity check for the queries designed to be
+    * linear, at tolerable wall-clock.
+    */
+  private val MaxMult10 = Set("q_dedup_ngram", "q_decontam")
+
+  private def runsAt(q: String, m: Int): Boolean = m <= 10 || !MaxMult10(q)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")
@@ -97,24 +114,28 @@ object ScaleSlope {
     // warm the JVM/codegen paths AND the page cache at EVERY scale —
     // warming only the smallest would leave cold first-ever parquet
     // reads inside the larger scales' timed region, biasing slopes up
-    for (m <- mults; q <- Heavy) SparkEntry.queries(q)(spark, s"$base/x$m").count()
+    for (m <- mults; q <- Heavy if runsAt(q, m))
+      SparkEntry.queries(q)(spark, s"$base/x$m").count()
 
     val times: Map[Int, Map[String, Double]] = mults.map { m =>
-      m -> Heavy.map { q =>
+      m -> Heavy.filter(runsAt(_, m)).map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, s"$base/x$m").count()
         q -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }.toMap
 
-    val lo = mults.min; val hi = mults.max
-    // every mult's time is emitted (a 1,10,100 run yields both the 10×
-    // and 100× columns in one pass); "slope" stays lo→hi
+    // every measured mult's time is emitted (a 1,10,100 run yields both
+    // the 10× and 100× columns in one pass); "slope" is lo→hi over the
+    // mults the query actually ran at, with "slope_over" naming that span
     val slopes = Heavy.map { q =>
-      val ts = mults.sorted.map(m => s""""t_x$m":${times(m)(q)}""").mkString(",")
-      s""""$q":{$ts,"slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0}}"""
+      val qm = mults.sorted.filter(m => times(m).contains(q))
+      val lo = qm.min; val hi = qm.max
+      val ts = qm.map(m => s""""t_x$m":${times(m)(q)}""").mkString(",")
+      s""""$q":{$ts,"slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0},""" +
+        s""""slope_over":${hi.toDouble / lo}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_slope","ratio":${hi.toDouble / lo},"queries":$slopes}""")
+    println(s"""{"metric":"scale_slope","ratio":${mults.max.toDouble / mults.min},"queries":$slopes}""")
     spark.stop()
   }
 }

@@ -46,6 +46,41 @@ object VecKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** All sign-random-projection bucket ids in one call: table t's
+    * bucket sets bit b iff v · planes(t*bits + b) ≥ 0. Fusing the dots
+    * and the sign-bit assembly matters beyond saving a pass: the
+    * expression-tree formulation (nTables × bits CASE WHEN terms over a
+    * dots array) grows with the bit count and breaches the JVM's 64 KB
+    * generated-method limit at the adaptive geometry's larger tables
+    * (observed at 15 bits × 8 tables on the 100× corpus — whole-stage
+    * codegen fell back to interpreted). Here the generated code is one
+    * static call regardless of geometry. Dimension mismatch throws, as
+    * in [[dotProducts]].
+    */
+  def srpBuckets(v: ArrayData, mat: Array[Array[Double]],
+      nTables: Int, bits: Int): ArrayData = {
+    val out = new Array[Long](nTables)
+    val vn = v.numElements()
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val row = mat(t * bits + b)
+        if (vn != row.length) throw new IllegalArgumentException(
+          s"srp_buckets: vector dim $vn != plane dim ${row.length}")
+        var s = 0.0
+        var j = 0
+        while (j < vn) { s += elem(v, j) * row(j); j += 1 }
+        if (s >= 0.0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Cosine similarity with zero-vector guard (0.0, never NaN); null
     * elements count as 0.0, trailing unmatched dimensions are ignored.
     */
@@ -77,6 +112,21 @@ case class DotProducts(child: Expression, mat: Array[Array[Double]])
     copy(child = newChild)
 }
 
+case class SrpBuckets(child: Expression, mat: Array[Array[Double]],
+    nTables: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.srpBuckets(input.asInstanceOf[ArrayData], mat, nTables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.srpBuckets($c, $matRef, $nTables, $bits)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -92,6 +142,8 @@ case class CosineSim(left: Expression, right: Expression)
 object VecExprs {
   def dotProducts(c: Column, mat: Array[Array[Double]]): Column =
     ColumnBridge.column(DotProducts(ColumnBridge.expression(c), mat))
+  def srpBuckets(c: Column, mat: Array[Array[Double]], nTables: Int, bits: Int): Column =
+    ColumnBridge.column(SrpBuckets(ColumnBridge.expression(c), mat, nTables, bits))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -235,17 +235,13 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(nTables * bitsPerTable)(Array.fill(inDim)(rnd.nextGaussian()))
-    val c = corpusOf(embeddings)
-    // all 48 hyperplane dots in ONE codegen'd kernel call per row; the
-    // sign-bit bucket assembly then touches 48 scalars, not 48×64
-    val withDots = c.withColumn("dots",
-      graft.functions.VecExprs.dotProducts(col("emb"), planes))
-    val tableBuckets: Seq[Column] = (0 until nTables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        when(col("dots")(t * bitsPerTable + b) >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    withDots.withColumn("buckets", array(tableBuckets: _*)).drop("dots")
+    // all hyperplane dots AND the sign-bit bucket assembly in ONE
+    // codegen'd kernel call per row — the expression-tree assembly
+    // (nTables×bits CASE WHENs) breached the 64 KB generated-method
+    // limit at adaptive geometries (≥ ~12 bits), dropping the scan out
+    // of whole-stage codegen exactly where the corpus is largest
+    corpusOf(embeddings).withColumn("buckets",
+      graft.functions.VecExprs.srpBuckets(col("emb"), planes, nTables, bitsPerTable))
   }
 
   /** ANN top-k: probes compared only against vectors sharing an LSH

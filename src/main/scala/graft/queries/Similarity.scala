@@ -428,12 +428,25 @@ object Similarity {
     zip_with(graft.functions.VecExprs.dotProducts(emb, cents), adjust, (dd, a) => dd - a)
   }
 
+  /** Scale-aware inverted-list count: lists ≈ √(n/16) so the per-list
+    * length (n/lists) and the per-row centroid-scoring cost (lists dots)
+    * both grow as √n — the classic IVF balance — clamped to
+    * [[IvfCentroids]] at the floor (fixture-scale results unchanged) and
+    * 4096 at the cap (training collects `lists` sample rows driver-side;
+    * the cap keeps that bounded — a 100-TB build would train on a sample
+    * and write lists hive-partitioned, as `sources.IvfIndex` does).
+    * nprobe scales with the list count at the fixed 6/16 ratio so recall
+    * is geometry-independent.
+    */
+  def adaptiveCentroids(n: Long): Int =
+    math.min(4096, math.max(IvfCentroids, math.ceil(math.sqrt(n / 16.0)).toInt))
+
   /** IVF ANN top-k: each probe searches only its `nprobe` nearest
     * centroid lists (equi-join on cid), then exact cosine re-rank.
     */
   def ivfTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
-      nprobe: Int = IvfProbes): DataFrame = {
-    val assigned = ivfAssign(s, d)
+      nprobe: Int = IvfProbes, lists: Int = IvfCentroids): DataFrame = {
+    val assigned = ivfAssignOf(T.embeddings(s, d), lists)._1
     val probeCids = assigned.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         posexplode(col("dots")))
@@ -453,6 +466,18 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** [[ivfTopK]] with the list count derived from the corpus size (one
+    * count() action; production passes its known count). At the fixture
+    * scale [[adaptiveCentroids]] clamps to the fixed 16, so small-scale
+    * results are identical; beyond it, list length and scoring cost
+    * both grow as √n instead of lists staying 16 forever.
+    */
+  def ivfTopKAdaptive(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame = {
+    val lists = adaptiveCentroids(T.embeddings(s, d).count())
+    ivfTopK(s, d, probeIds, k,
+      nprobe = math.max(IvfProbes, lists * IvfProbes / IvfCentroids), lists = lists)
   }
 
   /** Johnson-Lindenstrauss random projection: embeddings × a fixed
@@ -479,7 +504,8 @@ object Similarity {
     QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     // JL-composed ANN: bucket on the 16-d projection, re-rank on 64-d
     QueryDef("q_sim_lsh_jl", (s, d) => lshTopKProjected(s, d, Seq(0L, 1L, 2L), 5), None),
-    QueryDef("q_sim_ivf", (s, d) => ivfTopK(s, d, Seq(0L, 1L, 2L), 5), None),
+    // Adaptive list count (≡ fixed 16 at fixture scale; √n beyond)
+    QueryDef("q_sim_ivf", (s, d) => ivfTopKAdaptive(s, d, Seq(0L, 1L, 2L), 5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

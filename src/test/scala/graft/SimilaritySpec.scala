@@ -131,6 +131,16 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.3, s"IVF/brute-force overlap too low: $overlap")
   }
 
+  test("adaptive IVF geometry: clamps to 16 at fixture scale, grows as sqrt(n)") {
+    assert(Similarity.adaptiveCentroids(2000) == Similarity.IvfCentroids)
+    assert(Similarity.adaptiveCentroids(200000) == 112)  // ceil(sqrt(200000/16))
+    assert(Similarity.adaptiveCentroids(1L << 40) == 4096) // driver-collect cap
+    // identical results at fixture scale (lists clamps to the fixed 16)
+    val fixed = Similarity.ivfTopK(spark, sf, Seq(0L, 1L, 2L), 5).collect().toSeq
+    val adaptive = Similarity.ivfTopKAdaptive(spark, sf, Seq(0L, 1L, 2L), 5).collect().toSeq
+    assert(fixed == adaptive)
+  }
+
   test("custom expressions are SQL-registrable and match the Column API") {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")

@@ -130,6 +130,38 @@ object Pipeline {
              |       round(n * 1.0 / sum(n) OVER (PARTITION BY w1), 4) AS cond_p
              |FROM cnt WHERE n >= 3 ORDER BY w1, w2""".stripMargin)),
 
+    // Per-doc perplexity under the corpus bigram LM — the LM-based
+    // quality filter next to the heuristic scores (q_text_quality,
+    // q_repetition): boilerplate scores low, word salad scores high.
+    // Three shuffles, all on bounded keys: bigram counts (vocab²-bounded),
+    // unigram-context counts (vocab-bounded), and the per-doc agg; the
+    // doc-bigram → LM join reuses the bigram-key partitioning, and no
+    // corpus-wide state ever sits on the driver.
+    QueryDef("q_doc_ppl",
+      (s, d) => {
+        val big = bigrams(T.documents(s, d))
+        val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_big"))
+        val uni = big.groupBy(col("w1")).agg(count(lit(1)).as("n_uni"))
+        val lm = cnt.join(uni, "w1")
+          .select(col("w1"), col("w2"), (col("n_big") / col("n_uni")).as("p"))
+        big.join(lm, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(exp(-avg(log(col("p")))), 4).as("ppl"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |big  AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+             |cnt  AS (SELECT w1, w2, count(*) AS n_big FROM big GROUP BY w1, w2),
+             |uni  AS (SELECT w1, count(*) AS n_uni FROM big GROUP BY w1),
+             |lm   AS (SELECT c.w1, c.w2, c.n_big * 1.0 / u.n_uni AS p
+             |         FROM cnt c JOIN uni u ON c.w1 = u.w1)
+             |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |       round(exp(-avg(ln(p))), 4) AS ppl
+             |FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
     // Gopher-style repetition score: the share of a doc's bigrams taken
     // by its most-repeated bigram. Per-doc agg keyed on doc_id — the
     // explode stays narrow and the shuffle payload is (doc_id, w1, w2).

@@ -25,7 +25,8 @@ object KMeansLite {
 
   /** Assign each vector its nearest centroid id as column `cid`. */
   def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val adjust = array(cents.map(c => lit(c.map(x => x * x).sum / 2.0)): _*)
+    val adjust = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.map(c => lit(c.map(x => x * x).sum / 2.0))): _*)
     emb
       .withColumn("scores", zip_with(
         VecExprs.dotProducts(col("emb"), cents), adjust, (d, a) => d - a))
@@ -36,7 +37,9 @@ object KMeansLite {
 
   /** Within-cluster sum of squared distances (convergence metric). */
   def wcss(assigned: DataFrame, cents: Array[Array[Double]]): Double = {
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val centArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.map(c => array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        c.map(lit)): _*))): _*)
     assigned
       .withColumn("c", element_at(centArr, col("cid") + 1))
       .select(aggregate(zip_with(col("emb"), col("c"), (x, y) => (x - y) * (x - y)),

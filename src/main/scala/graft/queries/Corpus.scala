@@ -263,6 +263,18 @@ object Corpus {
              |SELECT lang, n_docs, n_tokens,
              |       round(least(1.0, 50000.0 / n_tokens), 4) AS rate,
              |       CAST(floor(n_tokens * round(least(1.0, 50000.0 / n_tokens), 4)) AS BIGINT) AS est_tokens
-             |FROM agg ORDER BY lang""".stripMargin))
+             |FROM agg ORDER BY lang""".stripMargin)),
+
+    // The composed end-to-end corpus build (quality gate → exact dedup →
+    // MinHash near-dedup → benchmark decontamination → deterministic
+    // split) as ONE query — the headline flow a training-data user runs.
+    // MinHash clustering is engine-hash-specific → no SQL oracle;
+    // CorpusPipelineSpec verifies each stage and the composition on
+    // planted fixtures.
+    QueryDef("q_corpus_build",
+      (s, d) => CorpusPipeline.buildFrame(T.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id")),
+      None)
   )
 }

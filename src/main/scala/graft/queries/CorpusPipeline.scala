@@ -96,6 +96,14 @@ object CorpusPipeline {
       when(h < "1", "test").when(h < "2", "val").otherwise("train"))
   }
 
+  /** The composed flow as one declarative frame, no audit counts — the
+    * q_corpus_build query surface ([[build]] adds the per-stage counts).
+    * Bench set = doc_id % 10, matching q_decontam's convention.
+    */
+  def buildFrame(docs: DataFrame): DataFrame =
+    withSplit(decontaminate(nearDedup(exactDedup(qualityFilter(docs))),
+      docs.filter(col("doc_id") % 10 === 0)))
+
   /** The full composition, returning the train-ready frame and the
     * per-stage audit counts. Counts cost one action per stage — a
     * production run caches the stage boundaries it counts.

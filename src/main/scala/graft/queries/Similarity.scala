@@ -424,7 +424,8 @@ object Similarity {
     * (dot(x,c) − ‖c‖²/2), all centroids in one codegen'd kernel call.
     */
   def centroidScores(emb: Column, cents: Array[Array[Double]]): Column = {
-    val adjust = array(cents.map(cc => lit(cc.map(x => x * x).sum / 2.0)): _*)
+    val adjust = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      cents.map(cc => lit(cc.map(x => x * x).sum / 2.0))): _*)
     zip_with(graft.functions.VecExprs.dotProducts(emb, cents), adjust, (dd, a) => dd - a)
   }
 

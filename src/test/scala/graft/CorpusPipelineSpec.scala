@@ -57,6 +57,13 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     out.unpersist()
   }
 
+  test("buildFrame (the q_corpus_build surface) equals build's output frame") {
+    val frame = CorpusPipeline.buildFrame(Tables.documents(spark, sf))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = built._1.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(frame.nonEmpty && frame == full)
+  }
+
   test("planted pipeline: quality reject, exact dup, near dup, contaminated doc all removed") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val keep = "the quick brown fox jumps over the lazy dog today"

@@ -20,10 +20,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
 
   private val heavy = Seq(
-    "q_sim_lsh", "q_sim_ivf", "q_sim_topk", "q_dedup_ngram", "q_dedup_near",
-    "q_dedup_simhash", "q_dedup_exact", "q_media_sim", "q_join_smj", "q_agg_q1",
-    "q_dedup_embed", "q_tfidf", "q_freq_terms", "q_outliers", "q_sessionize",
-    "q_bloom_prefilter", "q_tpch_q3", "q_tpch_q5", "q_decontam", "q_pack")
+    "q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf", "q_sim_topk", "q_dedup_ngram",
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_exact", "q_media_sim",
+    "q_join_smj", "q_agg_q1", "q_dedup_embed", "q_tfidf", "q_freq_terms",
+    "q_outliers", "q_sessionize", "q_bloom_prefilter", "q_tpch_q3", "q_tpch_q5",
+    "q_decontam", "q_pack", "q_doc_ppl", "q_corpus_build")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

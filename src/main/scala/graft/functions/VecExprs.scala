@@ -81,6 +81,31 @@ object VecKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Adjusted centroid scores: dot(v, c_i) − ‖c_i‖²/2 for every centroid
+    * — argmax over these ≡ nearest centroid by L2 (the IVF/k-means
+    * assignment rule). One call per row; the literal-array formulation
+    * (k literals + zip_with) grows generated code linearly in k, which
+    * matters once the list count is adaptive (√n lists). Dimension
+    * mismatch throws, as in [[dotProducts]].
+    */
+  def centroidScores(v: ArrayData, mat: Array[Array[Double]],
+      halfNorms: Array[Double]): ArrayData = {
+    val out = new Array[Double](mat.length)
+    val vn = v.numElements()
+    var i = 0
+    while (i < mat.length) {
+      val row = mat(i)
+      if (vn != row.length) throw new IllegalArgumentException(
+        s"centroid_scores: vector dim $vn != centroid dim ${row.length}")
+      var s = 0.0
+      var j = 0
+      while (j < vn) { s += elem(v, j) * row(j); j += 1 }
+      out(i) = s - halfNorms(i)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Cosine similarity with zero-vector guard (0.0, never NaN); null
     * elements count as 0.0, trailing unmatched dimensions are ignored.
     */
@@ -127,6 +152,23 @@ case class SrpBuckets(child: Expression, mat: Array[Array[Double]],
     copy(child = newChild)
 }
 
+case class CentroidScores(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+  private val halfNorms: Array[Double] = mat.map(c => c.map(x => x * x).sum / 2.0)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_scores"
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.centroidScores(input.asInstanceOf[ArrayData], mat, halfNorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    val hnRef = ctx.addReferenceObj("halfNorms", halfNorms, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.centroidScores($c, $matRef, $hnRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidScores =
+    copy(child = newChild)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -144,6 +186,8 @@ object VecExprs {
     ColumnBridge.column(DotProducts(ColumnBridge.expression(c), mat))
   def srpBuckets(c: Column, mat: Array[Array[Double]], nTables: Int, bits: Int): Column =
     ColumnBridge.column(SrpBuckets(ColumnBridge.expression(c), mat, nTables, bits))
+  def centroidScores(c: Column, mat: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidScores(ColumnBridge.expression(c), mat))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

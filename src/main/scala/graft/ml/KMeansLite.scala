@@ -24,28 +24,24 @@ import org.apache.spark.sql.functions._
 object KMeansLite {
 
   /** Assign each vector its nearest centroid id as column `cid`. */
-  def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val adjust = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      cents.map(c => lit(c.map(x => x * x).sum / 2.0))): _*)
+  def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
     emb
-      .withColumn("scores", zip_with(
-        VecExprs.dotProducts(col("emb"), cents), adjust, (d, a) => d - a))
+      .withColumn("scores", VecExprs.centroidScores(col("emb"), cents))
       .withColumn("cid",
         expr("array_position(scores, array_max(scores)) - 1").cast("int"))
       .drop("scores")
-  }
 
-  /** Within-cluster sum of squared distances (convergence metric). */
-  def wcss(assigned: DataFrame, cents: Array[Array[Double]]): Double = {
-    val centArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      cents.map(c => array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        c.map(lit)): _*))): _*)
+  /** Within-cluster sum of squared distances (convergence metric), via
+    * ‖x−c‖² = ‖x‖² − 2·(dot(x,c) − ‖c‖²/2) so the centroid matrix rides
+    * inside the kernel instead of as a k×dim literal array (which would
+    * grow generated code with the adaptive list count).
+    */
+  def wcss(assigned: DataFrame, cents: Array[Array[Double]]): Double =
     assigned
-      .withColumn("c", element_at(centArr, col("cid") + 1))
-      .select(aggregate(zip_with(col("emb"), col("c"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("scores", VecExprs.centroidScores(col("emb"), cents))
+      .select((aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)
+        - lit(2.0) * element_at(col("scores"), col("cid") + 1)).as("d2"))
       .agg(sum("d2")).head().getDouble(0)
-  }
 
   /** Lloyd iterations from the given seeds; returns final centroids.
     * Empty clusters keep their previous centroid.

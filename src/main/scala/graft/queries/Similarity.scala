@@ -421,13 +421,13 @@ object Similarity {
   }
 
   /** Per-centroid nearest-list scores: argmin ‖x−c‖² as adjusted dots
-    * (dot(x,c) − ‖c‖²/2), all centroids in one codegen'd kernel call.
+    * (dot(x,c) − ‖c‖²/2), all centroids AND the adjustment in one
+    * codegen'd kernel call (functions.CentroidScores) — the k-literal
+    * adjustment array would grow generated code linearly in k now that
+    * the list count is adaptive.
     */
-  def centroidScores(emb: Column, cents: Array[Array[Double]]): Column = {
-    val adjust = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      cents.map(cc => lit(cc.map(x => x * x).sum / 2.0))): _*)
-    zip_with(graft.functions.VecExprs.dotProducts(emb, cents), adjust, (dd, a) => dd - a)
-  }
+  def centroidScores(emb: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.VecExprs.centroidScores(emb, cents)
 
   /** Scale-aware inverted-list count: lists ≈ √(n/16) so the per-list
     * length (n/lists) and the per-row centroid-scoring cost (lists dots)

@@ -32,6 +32,7 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     plan.linesIterator
       .map(_.replaceAll("#\\d+", "#x")
         .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("RDD\\[\\d+\\]", "RDD[x]") // session-global RDD id counter
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x") // JIT class name
         .replaceAll("@[0-9a-fA-F]{6,}", "@x") // JVM identity hash
         .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n") // session-global HOF var counter

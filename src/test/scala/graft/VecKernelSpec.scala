@@ -46,6 +46,28 @@ class VecKernelSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("centroidScores equals dot minus half squared norm, argmax picks the nearest centroid") {
+    val rnd = new scala.util.Random(17)
+    val k = 9; val dim = 12
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = Seq.fill(30)(Array.fill(dim)(rnd.nextGaussian()))
+    val got = embFrame(vecs)
+      .withColumn("s", VecExprs.centroidScores(col("emb"), cents))
+      .orderBy("vec_id").select("s")
+      .collect().map(_.getSeq[Double](0).toArray)
+    vecs.zip(got).foreach { case (v, scores) =>
+      val want = cents.map { c =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += v(j) * c(j); j += 1 }
+        s - c.map(x => x * x).sum / 2.0
+      }
+      assert(scores.sameElements(want))
+      // the assignment rule: argmax of adjusted dots == argmin of L2
+      def d2(c: Array[Double]) = v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(scores.indexOf(scores.max) == cents.map(d2).zipWithIndex.minBy(_._1)._2)
+    }
+  }
+
   test("srpBuckets hard-fails on a plane/vector dimension mismatch") {
     val planes = Array.fill(4)(Array.fill(8)(1.0))
     val bad = embFrame(Seq(Array.fill(5)(1.0)))

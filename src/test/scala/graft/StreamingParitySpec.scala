@@ -80,6 +80,31 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
       s"stream≠batch: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("streaming near-dedup signature store survives operational compaction") {
+    // the 100-TB composition: appendable band store → Maintenance
+    // compaction clustered on the join key → further micro-batches join
+    // against the compacted store; the final pair set must still equal
+    // the one-shot batch path over all docs
+    val tmp = Files.createTempDirectory("graft_sd_compact").toString
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 2 === 0).repartition(2).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
+      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck").stop()
+    graft.sources.Maintenance.compactParquet(spark, s"$tmp/store", s"$tmp/store2",
+      Seq("band", "band_hash"), targetFiles = 2)
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
+      .write.mode("append").parquet(s"$tmp/in")
+    StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
+      s"$tmp/store2", s"$tmp/pairs", s"$tmp/ck").stop()
+    val got = spark.read.schema(StreamingDedup.PairsSchema).parquet(s"$tmp/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.queries.Similarity.minhashPairsOf(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("streaming near-dedup pair set is independent of the batch split") {
     val oneShot = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -83,6 +83,50 @@ object Relational {
              |  AND ts <= (SELECT max(ts) FROM events)
              |ORDER BY event_id""".stripMargin)),
 
+    // Recursive CTE (Spark 4 SQL surface): a gap-aware month spine from
+    // min to max order month — the date-dimension utility a reporting
+    // layer derives instead of storing. Bounds are carried THROUGH the
+    // recursion (no correlated subquery in the recursive leg); depth =
+    // month span (~81 on TPC-H dates), well under Spark's default
+    // 100-level recursion limit. Zero-order months survive via the
+    // left join against the pre-aggregated counts.
+    QueryDef("q_recursive_spine",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders_rs")
+        s.sql("""WITH RECURSIVE bounds AS (
+                |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                |         date_trunc('month', max(o_orderdate)) AS hi
+                |  FROM orders_rs
+                |), spine(m, hi) AS (
+                |  SELECT lo, hi FROM bounds
+                |  UNION ALL
+                |  SELECT m + INTERVAL '1' MONTH, hi FROM spine WHERE m < hi
+                |), agg AS (
+                |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+                |  FROM orders_rs GROUP BY 1
+                |)
+                |SELECT date_format(s.m, 'yyyy-MM') AS month,
+                |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders
+                |FROM spine s LEFT JOIN agg a ON a.m = s.m
+                |ORDER BY month""".stripMargin)
+      },
+      Some("""WITH RECURSIVE bounds AS (
+             |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             |         date_trunc('month', max(o_orderdate)) AS hi
+             |  FROM orders
+             |), spine(m, hi) AS (
+             |  SELECT lo, hi FROM bounds
+             |  UNION ALL
+             |  SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+             |), agg AS (
+             |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT strftime(s.m, '%Y-%m') AS month,
+             |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders
+             |FROM spine s LEFT JOIN agg a ON a.m = s.m
+             |ORDER BY month""".stripMargin)),
+
     // R9/R12: left join + na.fill(0) — the reference's fillna after its
     // mismatched-schema concat (prisma_report/lambda.py:178,405).
     QueryDef("q_fill_null",

@@ -112,6 +112,26 @@ object Scalars {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // VARIANT (Spark 4 semi-structured type): props parsed ONCE into an
+    // open-schema variant, then any number of typed path extractions
+    // read the binary-encoded value — the shred-at-read pattern for
+    // JSON at 100 TB (get_json_object re-parses the string per path;
+    // variant parses per row). try_variant_get on a missing path yields
+    // NULL instead of failing — the DQ-friendly accessor.
+    QueryDef("q_variant_funcs",
+      (s, d) => T.events(s, d)
+        .withColumn("v", expr("parse_json(props)"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(v, '$.absent', 'string')").as("absent"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |       json_extract_string(props, '$.k') AS k_str,
+             |       json_extract_string(props, '$.absent') AS absent
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Second string pack: edit distance, padding, translate, reverse,
     // repeat — the fuzzy-matching / normalization toolkit.
     QueryDef("q_str_funcs2",

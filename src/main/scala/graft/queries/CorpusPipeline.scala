@@ -60,7 +60,10 @@ object CorpusPipeline {
   def nearDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = Similarity.minhashPairsOf(docs, threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val drop = StarComponents.connectedComponents(pairs)
+    // production path: skip the star-forest post-check jobs — the
+    // fingerprint-certified fixpoint suffices here, and the invariant
+    // checks stay on in StarComponentsSpec where they gate correctness
+    val drop = StarComponents.connectedComponents(pairs, validate = false)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")

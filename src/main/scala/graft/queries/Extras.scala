@@ -386,6 +386,28 @@ object Extras {
              |       TRY_CAST(event_type AS BIGINT) AS bad_num
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ANSI-safe arithmetic family (completes q_try_cast): try_divide
+    // null-on-zero, try_add null-on-overflow, try_to_number null-on-
+    // format-mismatch — the error-tolerant scalar layer a DQ pipeline
+    // uses instead of job-failing exceptions. All map-side.
+    QueryDef("q_try_arith",
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          round(expr("try_divide(o_totalprice, o_custkey % 3)"), 4).as("div_r"),
+          // explicit BIGINT cast: the bare max-long literal parses as
+          // DECIMAL, whose try_add widens instead of overflowing
+          expr("try_add(o_orderkey, CAST(9223372036854775807 AS BIGINT))").as("add_ovf"),
+          expr("try_to_number(substr(o_orderpriority, 1, 1), '9')")
+            .cast("bigint").as("prio_num"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_custkey % 3 = 0 THEN NULL
+             |            ELSE round(o_totalprice / (o_custkey % 3), 4) END AS div_r,
+             |       CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+             |            ELSE CAST(NULL AS BIGINT) END AS add_ovf,
+             |       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Typed join surface: Dataset.joinWith yields typed pairs; flattened
     // to columns for the oracle compare. The flatten is a columnar select
     // on the pair structs (not a typed .map): a lambda here forces full

@@ -56,6 +56,27 @@ object Udx {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // SQL-body UDF (Spark 4 CREATE FUNCTION ... RETURN expr): unlike the
+    // JVM-closure UDF above, the body is parsed into Catalyst expressions
+    // — it inlines into the plan, codegens, and pushes down like any
+    // built-in. The oracle states the inlined expression directly.
+    QueryDef("q_sql_udf",
+      (s, d) => {
+        // integer body on purpose: a 3-factor double product rounded to
+        // 4 dp hit a cross-engine half-edge (Spark BigDecimal HALF_UP vs
+        // DuckDB rint) on one fixture row — the surface under test is
+        // the SQL UDF mechanism, so the body stays hazard-free
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION urgency_code(p STRING)
+                |RETURNS BIGINT RETURN CAST(substr(p, 1, 1) AS BIGINT) * 1000 + length(p)""".stripMargin)
+        T.orders(s, d).createOrReplaceTempView("orders_su")
+        s.sql("""SELECT o_orderkey, urgency_code(o_orderpriority) AS ucode
+                |FROM orders_su ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) * 1000
+             |         + length(o_orderpriority) AS ucode
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // R22/R23: header'd, quoted CSV sink + schema'd read-back. The write
     // goes through Spark's commit protocol (no hand-rolled rollback, R24).
     QueryDef("q_csv_roundtrip",

@@ -275,6 +275,17 @@ object Corpus {
       (s, d) => CorpusPipeline.buildFrame(T.documents(s, d))
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id")),
+      None),
+
+    // Leakage-safe splitting: tags keyed on the near-dup cluster
+    // representative (clustered at a weaker threshold than dedup), so
+    // surviving weak near-dups never straddle train/test. Engine-hash
+    // clustering → scalatest (CorpusPipelineSpec proves zero straddles
+    // AND that the doc-keyed split leaks on the same corpus).
+    QueryDef("q_split_safe",
+      (s, d) => CorpusPipeline.withClusterSplit(T.documents(s, d))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split")),
       None)
   )
 }

@@ -99,6 +99,31 @@ object CorpusPipeline {
       when(h < "1", "test").when(h < "2", "val").otherwise("train"))
   }
 
+  /** Leakage-safe split: tags keyed on each doc's near-dup CLUSTER
+    * representative, clustered at a LOWER threshold than the dedup
+    * stage — the weak near-duplicates (est. Jaccard between the two
+    * thresholds) that survive dedup are exactly the pairs a doc-keyed
+    * split lets straddle train/test, silently leaking eval content into
+    * training. Keying the hash on the cluster minimum keeps every
+    * member of a weak-dup cluster in ONE split; singletons key on
+    * themselves and get the identical tag [[withSplit]] would give.
+    * Same shuffle shape as the dedup stage (band join + star
+    * contraction on ids only); CorpusPipelineSpec proves zero
+    * straddling pairs.
+    */
+  def withClusterSplit(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = Similarity.minhashPairsOf(docs, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = StarComponents.connectedComponents(pairs, validate = false)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "rep")
+    val h = substring(md5(concat(lit("s:"),
+      coalesce(col("rep"), col("doc_id")).cast("string"))), 1, 1)
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(h < "1", "test").when(h < "2", "val").otherwise("train"))
+      .drop("rep")
+  }
+
   /** The composed flow as one declarative frame, no audit counts — the
     * q_corpus_build query surface ([[build]] adds the per-stage counts).
     * Bench set = doc_id % 10, matching q_decontam's convention.

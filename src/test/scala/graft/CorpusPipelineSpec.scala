@@ -64,6 +64,20 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(frame.nonEmpty && frame == full)
   }
 
+  test("cluster-keyed split: no weak near-dup pair straddles splits; doc-keyed split does leak") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.queries.Similarity.minhashPairsOf(docs, 0.3).cache()
+    assert(pairs.count() > 0, "fixture must have weak near-dup pairs at 0.3")
+    def leaks(tagged: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(tagged.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(tagged.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks(CorpusPipeline.withClusterSplit(docs, 0.3)) == 0)
+    // the motivating bug: the doc-keyed split separates near-dup pairs
+    assert(leaks(CorpusPipeline.withSplit(docs)) > 0)
+    pairs.unpersist()
+  }
+
   test("planted pipeline: quality reject, exact dup, near dup, contaminated doc all removed") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val keep = "the quick brown fox jumps over the lazy dog today"

@@ -505,8 +505,11 @@ object Similarity {
     QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     // JL-composed ANN: bucket on the 16-d projection, re-rank on 64-d
     QueryDef("q_sim_lsh_jl", (s, d) => lshTopKProjected(s, d, Seq(0L, 1L, 2L), 5), None),
-    // Adaptive list count (≡ fixed 16 at fixture scale; √n beyond)
-    QueryDef("q_sim_ivf", (s, d) => ivfTopKAdaptive(s, d, Seq(0L, 1L, 2L), 5), None),
+    // Amortized ANN: probe the persisted on-disk index (train-once via
+    // IvfIndex.ensureBuilt) — adaptive geometry (≡ fixed 16 at fixture
+    // scale; √n beyond), results ≡ ivfTopKAdaptive (IvfIndexSpec)
+    QueryDef("q_sim_ivf", (s, d) =>
+      graft.sources.IvfIndex.topKPersisted(s, d, Seq(0L, 1L, 2L), 5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

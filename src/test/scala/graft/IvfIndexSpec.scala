@@ -60,6 +60,30 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(disk.toSeq == mem.toSeq)
   }
 
+  test("q_sim_ivf persisted probe ≡ in-memory adaptive path, and build runs once") {
+    // clear any cache left by a previous JVM so this test exercises the
+    // build-then-reuse sequence end to end
+    val cache = new java.io.File(IvfIndex.cachePathFor(sf))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (cache.exists()) rm(cache)
+    val persisted = IvfIndex.topKPersisted(spark, sf, probeIds, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val mem = Similarity.ivfTopKAdaptive(spark, sf, probeIds, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(persisted.toSeq == mem.toSeq,
+      "persisted probe must not change ANN semantics")
+    // reuse: the second call must NOT rewrite the index files
+    val listFiles = new java.io.File(s"${cache.getPath}/lists")
+    def mtimes = listFiles.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes
+    val again = IvfIndex.topKPersisted(spark, sf, probeIds, 5).count()
+    assert(again == persisted.length.toLong)
+    assert(mtimes == before, "second probe must reuse the persisted index, not rebuild")
+  }
+
   test("search hits known planted near-duplicates") {
     // plant: copies of vectors 0 and 1 at new ids; index must route the
     // copy to the same list as its original and rank it first

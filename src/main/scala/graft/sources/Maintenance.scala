@@ -21,13 +21,21 @@ object Maintenance {
     * streaming appends as snappy, compact to zstd: ~25-40% smaller on
     * text at 100-TB scale, one-time cost).
     */
+  /** `partitionCols`: hive-partition columns to PRESERVE through the
+    * compaction (e.g. a streaming store's batch_id) — omitting them
+    * would demote the partition column to a data column and the next
+    * partitioned append to the same dataset would produce a conflicting
+    * directory layout.
+    */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-      keys: Seq[String], targetFiles: Int, codec: String = "zstd"): Unit = {
+      keys: Seq[String], targetFiles: Int, codec: String = "zstd",
+      partitionCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inDir)
-    df.repartitionByRange(targetFiles, keys.map(col): _*)
+    val w = df.repartitionByRange(targetFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("compression", codec)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(outDir)
   }
 

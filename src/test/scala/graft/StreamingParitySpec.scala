@@ -91,13 +91,15 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     val schema = spark.read.parquet(s"$tmp/in").schema
     StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
       s"$tmp/store", s"$tmp/pairs", s"$tmp/ck").stop()
+    // batch_id is the store's idempotence partition — compaction must
+    // preserve it or the next micro-batch's partitioned write conflicts
     graft.sources.Maintenance.compactParquet(spark, s"$tmp/store", s"$tmp/store2",
-      Seq("band", "band_hash"), targetFiles = 2)
+      Seq("band", "band_hash"), targetFiles = 2, partitionCols = Seq("batch_id"))
     docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
       .write.mode("append").parquet(s"$tmp/in")
     StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
       s"$tmp/store2", s"$tmp/pairs", s"$tmp/ck").stop()
-    val got = spark.read.schema(StreamingDedup.PairsSchema).parquet(s"$tmp/pairs")
+    val got = StreamingDedup.readPairs(spark, s"$tmp/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val want = graft.queries.Similarity.minhashPairsOf(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -111,6 +113,31 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     val manyBatches = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(oneShot == manyBatches)
+  }
+
+  test("streaming near-dedup commit is idempotent under micro-batch replay") {
+    val tmp = Files.createTempDirectory("graft_sd_replay").toString
+    val docs = Tables.documents(spark, sf)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 =!= 0)
+    StreamingDedup.commitBatch(b0, 0L, s"$tmp/store", s"$tmp/pairs", 0.5)
+    StreamingDedup.commitBatch(b1, 1L, s"$tmp/store", s"$tmp/pairs", 0.5)
+    def pairRows = StreamingDedup.readPairs(spark, s"$tmp/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def storeCount = spark.read.parquet(s"$tmp/store").count()
+    val before = pairRows.sorted
+    val storeBefore = storeCount
+    assert(before.nonEmpty)
+    // at-least-once replay: foreachBatch re-delivers batch 1 (a crash
+    // after the writes but before the checkpoint commit) — the commit
+    // must leave both sinks unchanged, rows included (not just the set)
+    StreamingDedup.commitBatch(b1, 1L, s"$tmp/store", s"$tmp/pairs", 0.5)
+    assert(pairRows.sorted == before, "replayed batch must not change the pair rows")
+    assert(storeCount == storeBefore, "replayed batch must not grow the store")
+    // and the accumulated set still equals the one-shot batch path
+    val want = graft.queries.Similarity.minhashPairsOf(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairRows.toSet == want)
   }
 
   test("foreachBatch sink with Trigger.AvailableNow drains all input then stops") {

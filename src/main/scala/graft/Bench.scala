@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,29 +24,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.keys.map(n => n -> time(n)).toMap
-    // Single-run timings are vulnerable to one-off interference (GC pause,
-    // co-tenant CPU contention): round 4 measured two queries at 26-36 s
-    // that run in <2 s solo. Re-run anything far above the pack and keep
-    // the min — a legitimately heavy query repeats its time; an outlier
-    // collapses back to its real cost.
-    val sorted = firstPass.values.toSeq.sorted
-    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val cutoff = math.max(5.0, 10 * median)
-    val results = firstPass.map { case (n, v) =>
-      n -> (if (v > cutoff) math.min(v, time(n)) else v)
-    }
+    // Median of `runs` full passes per query: single-run timings flip-
+    // flopped sub-second queries by 2-3x across rounds (GC pause,
+    // co-tenant CPU contention) and cost a triage cycle each time. Full
+    // passes (not back-to-back repeats of one query) keep any one
+    // interference burst from hitting all repeats of the same query;
+    // the median discards one outlier per query in either direction.
+    // Amortized paths (e.g. the IVF index build) pay their one-time cost
+    // in pass 1 and the median reports the steady state.
+    val names = SparkEntry.queries.keys.toSeq
+    val passes = (1 to runs).map(_ => names.map(n => n -> time(n)).toMap)
+    def sortedTimes(n: String): Seq[Double] = passes.map(_(n)).sorted
+    val results = names.map(n => n -> sortedTimes(n)(runs / 2)).toMap
+    val spread = names.map(n => {
+      val ts = sortedTimes(n); n -> (ts.last - ts.head)
+    }).toMap
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail goes to a sidecar file; the stdout line is kept
     // under ~1.8 KB because the driver parses it from a 2000-char output
     // tail (a full 101-query line overflows that window and parses as null).
     val full = results.toSeq.sortBy(-_._2)
-    val fullJson = full.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val fullJson = full.map { case (k, v) =>
+      s"\"" + k + "\":{\"med\":" + fmt(v) + ",\"spread\":" + fmt(spread(k)) + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":$fullJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val budget = 1550 // chars available for the queries object on stdout
@@ -55,7 +60,7 @@ object Bench {
       val entry = (if (shown == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); shown += 1 }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"shown":$shown,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"shown":$shown,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,6 +88,25 @@ object ScaleSlope {
 
   private def runsAt(q: String, m: Int): Boolean = m <= 10 || !MaxMult10(q)
 
+  /** ANN queries whose recall@k vs brute force is measured at every tier
+    * — adaptive geometry trades recall for bounded candidates, so the
+    * recall curve is the other half of the slope story: a flat slope
+    * with collapsing recall would just mean the work was dropped.
+    */
+  private val AnnRecall = Seq("q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf")
+
+  /** recall@5 of `name`'s (probe_id, vec_id) hits against the exact
+    * brute-force top-5 on the same tier (probes 0,1,2 — the declared
+    * query surface's probe set).
+    */
+  private def recallOf(spark: SparkSession, dir: String, name: String,
+      bf: Set[(Long, Long)]): Double = {
+    val ann = SparkEntry.queries(name)(spark, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (bf.isEmpty) 1.0 else ann.intersect(bf).size.toDouble / bf.size
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_scale")
     val mults = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
@@ -125,15 +144,33 @@ object ScaleSlope {
       }.toMap
     }.toMap
 
+    // recall@5 vs exact brute force for the ANN family at every tier
+    // (after the timed region — collects are probe-bounded, 15 rows each)
+    val recalls: Map[Int, Map[String, Double]] = mults.map { m =>
+      val dir = s"$base/x$m"
+      val bf = graft.queries.Similarity.bruteForceTopK(spark, dir, Seq(0L, 1L, 2L), 5)
+        .select(col("probe_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      m -> AnnRecall.map(q => q -> recallOf(spark, dir, q, bf)).toMap
+    }.toMap
+
     // every measured mult's time is emitted (a 1,10,100 run yields both
     // the 10× and 100× columns in one pass); "slope" is lo→hi over the
-    // mults the query actually ran at, with "slope_over" naming that span
-    val slopes = Heavy.map { q =>
+    // mults the query actually ran at, with "slope_over" naming that
+    // span. A query whose every tier was filtered out (e.g. a MaxMult10
+    // query in a 100-only run) is skipped, not a crash at report time.
+    val slopes = Heavy.flatMap { q =>
       val qm = mults.sorted.filter(m => times(m).contains(q))
-      val lo = qm.min; val hi = qm.max
-      val ts = qm.map(m => s""""t_x$m":${times(m)(q)}""").mkString(",")
-      s""""$q":{$ts,"slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0},""" +
-        s""""slope_over":${hi.toDouble / lo}}"""
+      if (qm.isEmpty) None
+      else {
+        val lo = qm.min; val hi = qm.max
+        val ts = qm.map(m => s""""t_x$m":${times(m)(q)}""").mkString(",")
+        val rc = if (AnnRecall.contains(q))
+          qm.map(m => s""","recall_x$m":${recalls(m)(q)}""").mkString
+        else ""
+        Some(s""""$q":{$ts,"slope":${math.round(times(hi)(q) / times(lo)(q) * 100) / 100.0},""" +
+          s""""slope_over":${hi.toDouble / lo}$rc}""")
+      }
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_slope","ratio":${mults.max.toDouble / mults.min},"queries":$slopes}""")
     spark.stop()

@@ -109,12 +109,26 @@ object CorpusPipeline {
     * themselves and get the identical tag [[withSplit]] would give.
     * Same shuffle shape as the dedup stage (band join + star
     * contraction on ids only); CorpusPipelineSpec proves zero
-    * straddling pairs.
+    * straddling pairs. Unlike the dedup stage, the hot-bucket cap here
+    * is compensated: docs the cap drops from pair generation are tied
+    * to their bucket's minimum via linear star edges
+    * ([[Similarity.bucketOverflowEdges]]), so the zero-leakage guarantee
+    * holds even on corpora dense enough to overflow buckets — the cost
+    * is conservative over-merging of band-colliding docs into one split.
     */
   def withClusterSplit(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = Similarity.minhashPairsOf(docs, threshold)
+    val banded = Similarity.bandedSignaturesOf(docs)
+    val capped = Similarity.capBuckets(banded, Seq("band", "band_hash"))
+    val pairs = Similarity.estPairsFromBands(capped, capped)
+      .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comp = StarComponents.connectedComponents(pairs, validate = false)
+    // the hot-bucket cap bounds pair GENERATION but must not let
+    // capped-out docs escape their cluster (and so the split
+    // guarantee): each dropped row contributes one star edge to its
+    // bucket's minimum instead — linear in bucket size, conservatively
+    // over-merging (CorpusPipelineSpec exercises a 200-doc hot bucket)
+    val edges = pairs.unionByName(Similarity.bucketOverflowEdges(banded))
+    val comp = StarComponents.connectedComponents(edges, validate = false)
       .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "rep")
     val h = substring(md5(concat(lit("s:"),
       coalesce(col("rep"), col("doc_id")).cast("string"))), 1, 1)
@@ -133,14 +147,20 @@ object CorpusPipeline {
       docs.filter(col("doc_id") % 10 === 0)))
 
   /** The full composition, returning the train-ready frame and the
-    * per-stage audit counts. Counts cost one action per stage — a
-    * production run caches the stage boundaries it counts.
+    * per-stage audit counts. Each audited boundary is localCheckpointed
+    * (eagerly materialized) so the count action AND the next stage both
+    * read the materialized boundary instead of recomputing the whole
+    * prefix — without it, counting stage k re-ran stages 1..k, making
+    * the audit path quadratic in stages. On a cluster the same pattern
+    * uses reliable checkpoints/cached tables; the trade (materialized
+    * boundary storage vs recompute) is the standard one for multi-action
+    * pipelines.
     */
   def build(docs: DataFrame): (DataFrame, Summary) = {
-    val q = qualityFilter(docs)
-    val e = exactDedup(q)
-    val n = nearDedup(e)
-    val d = decontaminate(n, docs.filter(col("doc_id") % 10 === 0))
+    val q = qualityFilter(docs).localCheckpoint(true)
+    val e = exactDedup(q).localCheckpoint(true)
+    val n = nearDedup(e).localCheckpoint(true)
+    val d = decontaminate(n, docs.filter(col("doc_id") % 10 === 0)).localCheckpoint(true)
     val out = withSplit(d)
     (out, Summary(docs.count(), q.count(), e.count(), n.count(), d.count()))
   }

@@ -44,6 +44,25 @@ object Similarity {
       .drop("bucket_rank")
   }
 
+  /** Linear connectivity edges for the rows the hot-bucket cap DROPS:
+    * every row ranked past [[MaxBandBucket]] in its band bucket gets one
+    * edge to the bucket's minimum doc. Pair generation stays capped (the
+    * B² blow-up the cap exists to bound); these B−cap star edges only
+    * preserve cluster MEMBERSHIP, so consumers that need "same cluster"
+    * semantics (the leakage-safe split) don't silently lose capped-out
+    * members. A band collision certifies agreement on 4 of 32 MinHash
+    * rows — for split safety the over-merge is conservative: it can only
+    * co-locate docs into one split, never separate a true pair.
+    */
+  private[graft] def bucketOverflowEdges(banded: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    banded.withColumn("bucket_rank", row_number().over(w))
+      .withColumn("hub", first(col("doc_id")).over(w)) // bucket min (ordered frame)
+      .filter(col("bucket_rank") > MaxBandBucket)
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
+      .distinct()
+  }
+
   /** Token-3-gram shingle set per doc as an array column — one
     * codegen'd expression (functions.TokenShingles) inside the scan
     * stage: no self-join, no shuffle, no interpreted lambda per element.

@@ -78,6 +78,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     pairs.unpersist()
   }
 
+  test("cluster split survives a hot band bucket past the cap") {
+    // 200 identical docs: every band bucket holds all 200, the cap (64)
+    // drops 136 of them from pair generation — the overflow star edges
+    // must still pull every one into a single cluster → a single split.
+    // Without them the capped-out docs key the split hash on themselves
+    // and scatter across train/val/test while being mutual near-dups.
+    val docs = (0L until 200L)
+      .map(i => (1000L + i,
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+      .toDF("doc_id", "text")
+    val splits = CorpusPipeline.withClusterSplit(docs, 0.3)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(splits.size == 1,
+      s"identical docs past the bucket cap must share one split, got $splits")
+  }
+
   test("planted pipeline: quality reject, exact dup, near dup, contaminated doc all removed") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val keep = "the quick brown fox jumps over the lazy dog today"

@@ -286,6 +286,14 @@ object Corpus {
       (s, d) => CorpusPipeline.withClusterSplit(T.documents(s, d))
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split")),
+      None),
+
+    // Incremental corpus build: the full pipeline maintained across
+    // foreachBatch micro-batches — arriving docs only are processed;
+    // result ≡ the one-shot q_corpus_build over the union
+    // (IncrementalCorpusSpec). Engine-hash clustering → scalatest.
+    QueryDef("q_corpus_inc",
+      (s, d) => graft.streaming.IncrementalCorpus.fixtureRun(s, d),
       None)
   )
 }

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.queries.{Corpus, CorpusPipeline}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus build: the composed q_corpus_build pipeline
+  * (quality gate → exact dedup → near-dup cluster dedup →
+  * decontamination → split) maintained continuously — a new micro-batch
+  * of documents updates the train-ready corpus WITHOUT re-shingling,
+  * re-signing, or re-screening the documents already ingested.
+  *
+  * What is (and is not) recomputed per batch, and why it matches the
+  * one-shot batch `CorpusPipeline.buildFrame` over the union of batches
+  * (IncrementalCorpusSpec asserts exact equality, any batch split):
+  *
+  *  - '''signatures/shingles''': computed for ARRIVING docs only
+  *    ([[StreamingDedup.commitBatch]] — map-only kernels + band join
+  *    against the accumulated store).
+  *  - '''dedup survivors''': the batch pipeline keeps, per connected
+  *    component of (exact ∪ near-dup) relations, the minimum doc_id.
+  *    Incrementally, the same survivor set falls out of connected
+  *    components over the ACCUMULATED edge list: MinHash candidate
+  *    pairs (near-dups; byte-identical dups collide in every band and
+  *    pair at est 1.0) plus per-digest star edges (normalization-variant
+  *    exact dups whose raw-text signatures differ). Components are
+  *    recomputed per snapshot — but over ids only, never documents;
+  *    the edge list is the thing that grows incrementally.
+  *  - '''contamination flags''': each (corpus doc, bench doc) overlap
+  *    score is pairwise (common shingles / doc's shingles), so the flag
+  *    set accumulates from two bounded per-batch screens: new docs vs
+  *    the benchmark set so far, and previously-ingested docs vs the
+  *    batch's NEW benchmark docs. No pair is ever re-scored.
+  *  - '''split tags''': derived (md5 of doc_id), map-only at snapshot.
+  *
+  * Every per-batch write is keyed on the micro-batch id via dynamic
+  * partition overwrite ([[StreamingDedup.writeBatchPartition]]) and
+  * every per-batch read is restricted to strictly-earlier batches, so
+  * replaying a batch (foreachBatch is at-least-once) recomputes and
+  * rewrites identical partitions — a no-op, same contract as
+  * [[StreamingDedup]].
+  *
+  * State layout under `base`:
+  * {{{
+  *   raw/     quality-pass docs + digest   (batch-partitioned)
+  *   bench/   benchmark docs (doc_id%10==0, the q_corpus_build convention)
+  *   store/   MinHash band store           (StreamingDedup)
+  *   pairs/   near-dup candidate pairs     (StreamingDedup)
+  *   dedges/  per-digest star edges        (batch-partitioned)
+  *   flags/   contaminated doc_ids         (batch-partitioned)
+  * }}}
+  */
+object IncrementalCorpus {
+
+  private def readOr(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch { case _: AnalysisException => None }
+
+  /** Batch-partitioned read restricted to batches strictly before
+    * `beforeBatch` (replay safety), minus the partition column.
+    */
+  private def readBefore(spark: SparkSession, dir: String,
+      beforeBatch: Long): Option[DataFrame] =
+    readOr(spark, dir).map(_.filter(col("batch_id") < beforeBatch).drop("batch_id"))
+
+  /** Ingest one micro-batch (the foreachBatch body; idempotent under
+    * replay). `threshold` is the near-dup dedup threshold, `minOverlap`
+    * the decontamination bar — both matching CorpusPipeline's defaults.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, base: String,
+      threshold: Double = 0.5, minOverlap: Double = 0.3): Unit = {
+    val spark = batch.sparkSession
+    // one materialization of the arriving docs: feeds the bench split,
+    // the quality gate, and (via commitBatch) signature generation
+    val b = batch.localCheckpoint(true)
+    val benchDelta = b.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val q = CorpusPipeline.qualityFilter(b)
+      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .localCheckpoint(true)
+
+    // near-dup candidate pairs + band store, batch-keyed (train-once
+    // signatures; the band join prunes to buckets the batch touches)
+    StreamingDedup.commitBatch(q.drop("digest"), batchId,
+      s"$base/store", s"$base/pairs", threshold)
+
+    // exact-dup connectivity: one star edge per new doc sharing a digest
+    // with an earlier doc (hub = the accumulated minimum) or with a
+    // batch-mate (hub = the batch minimum) — linear, ids only
+    val rawOld = readBefore(spark, s"$base/raw", batchId)
+    val oldMin = rawOld.map(_.groupBy("digest").agg(min(col("doc_id")).as("old_hub")))
+    val bmin = q.groupBy("digest").agg(min(col("doc_id")).as("bmin"))
+    val withHub = {
+      val base0 = q.select(col("doc_id"), col("digest")).join(bmin, "digest")
+      oldMin match {
+        case Some(om) => base0.join(om, Seq("digest"), "left")
+          .withColumn("hub", coalesce(col("old_hub"), col("bmin")))
+        case None => base0.withColumn("hub", col("bmin"))
+      }
+    }
+    val dedges = withHub.filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
+    StreamingDedup.writeBatchPartition(dedges, batchId, s"$base/dedges")
+
+    // contamination: new docs vs all benchmark docs so far, and already-
+    // ingested docs vs the batch's new benchmark docs — each a bounded
+    // broadcast-bench shingle join; no (doc, bench) pair scored twice
+    val benchOld = readBefore(spark, s"$base/bench", batchId)
+    val benchSoFar = benchOld match {
+      case Some(old) => old.unionByName(benchDelta)
+      case None      => benchDelta
+    }
+    val newVsAll = Corpus.decontamAgainst(q.drop("digest"), benchSoFar, minOverlap)
+      .select(col("doc_id"))
+    val oldVsNew = rawOld match {
+      case Some(old) => Corpus.decontamAgainst(old.drop("digest"), benchDelta, minOverlap)
+        .select(col("doc_id"))
+      case None => newVsAll.limit(0)
+    }
+    val flags = newVsAll.unionByName(oldVsNew).distinct()
+    StreamingDedup.writeBatchPartition(flags, batchId, s"$base/flags")
+    StreamingDedup.writeBatchPartition(benchDelta, batchId, s"$base/bench")
+    StreamingDedup.writeBatchPartition(q, batchId, s"$base/raw")
+  }
+
+  /** The current train-ready corpus: connected components over the
+    * accumulated edge list (ids only — document text is read exactly
+    * once, from raw/), drop non-minimum cluster members, benchmark docs,
+    * and flagged docs, then tag splits. Equals
+    * `CorpusPipeline.buildFrame` over everything ingested so far.
+    */
+  def snapshot(spark: SparkSession, base: String): DataFrame = {
+    val raw = spark.read.parquet(s"$base/raw").drop("batch_id", "digest")
+    val pairs = StreamingDedup.readPairs(spark, s"$base/pairs")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val dedges = readOr(spark, s"$base/dedges")
+      .map(_.select(col("src"), col("dst"))).getOrElse(pairs.limit(0))
+    val drop = graft.ml.StarComponents
+      .connectedComponents(pairs.unionByName(dedges), validate = false)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val benchIds = readOr(spark, s"$base/bench")
+      .map(_.select(col("doc_id"))).getOrElse(drop.limit(0))
+    val flagged = readOr(spark, s"$base/flags")
+      .map(_.select(col("doc_id"))).getOrElse(drop.limit(0))
+    CorpusPipeline.withSplit(
+      raw.join(drop, Seq("doc_id"), "left_anti")
+        .join(benchIds, Seq("doc_id"), "left_anti")
+        .join(flagged, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Self-contained fixture run (the q_corpus_inc query surface): land
+    * the documents table as a multi-file dir, stream it through
+    * [[ingestBatch]] batch by batch via foreachBatch, return the final
+    * [[snapshot]]. The temp state is deleted after localCheckpointing
+    * the result, as in [[StreamingDedup.nearDedupFixtureRun]].
+    */
+  def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 3): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_corpus")
+    graft.Tables.documents(spark, sfDir)
+      .repartition(nFiles).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = StreamingDedup.docsStream(spark, s"$tmp/in", schema)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, s"$tmp/state")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = snapshot(spark, s"$tmp/state")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    import scala.util.Try
+    java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
+    out
+  }
+}

@@ -115,7 +115,7 @@ object StreamingDedup {
     * ONLY its own partition with the identical recomputed rows and never
     * touches other batches' output.
     */
-  private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+  private[streaming] def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
     df.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.CorpusPipeline
+import graft.streaming.IncrementalCorpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental corpus build (streaming/IncrementalCorpus.scala): N
+  * ingested micro-batches must yield EXACTLY the corpus the one-shot
+  * batch pipeline builds over the union — survivors, contamination
+  * flags, and split tags included — while only ever processing the
+  * arriving documents. Also locks the replay no-op contract and the
+  * two genuinely incremental behaviors a naive design gets wrong:
+  * survivor displacement by a later smaller-id duplicate, and
+  * retroactive contamination by a benchmark doc arriving after the
+  * docs it contaminates.
+  */
+class IncrementalCorpusSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("N ingested batches equal batch buildFrame over the union") {
+    val base = Files.createTempDirectory("graft_inc_c").toString
+    val docs = Tables.documents(spark, sf)
+    (0 until 3).foreach { i =>
+      IncrementalCorpus.ingestBatch(
+        docs.filter(col("doc_id") % 3 === i), i.toLong, base)
+    }
+    val got = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val want = CorpusPipeline.buildFrame(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+  }
+
+  test("replaying an already-ingested batch leaves the snapshot unchanged") {
+    val base = Files.createTempDirectory("graft_inc_r").toString
+    val docs = Tables.documents(spark, sf)
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalCorpus.ingestBatch(b, i.toLong, base)
+    }
+    val before = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // at-least-once replay of a mid-stream batch
+    IncrementalCorpus.ingestBatch(batches(1), 1L, base)
+    val after = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(after == before)
+  }
+
+  test("a later smaller-id duplicate displaces the earlier survivor") {
+    val base = Files.createTempDirectory("graft_inc_d").toString
+    val t = "the quick brown fox jumps over the lazy dog tonight"
+    val u = "completely different sentence with many unique tokens inside"
+    IncrementalCorpus.ingestBatch(
+      Seq((21L, t), (33L, u)).toDF("doc_id", "text"), 0L, base)
+    val s0 = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s0 == Set(21L, 33L))
+    IncrementalCorpus.ingestBatch(Seq((7L, t)).toDF("doc_id", "text"), 1L, base)
+    val s1 = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(7L, 33L),
+      s"smaller-id arrival must displace the earlier survivor, got $s1")
+  }
+
+  test("a benchmark doc arriving later retroactively flags an earlier survivor") {
+    val base = Files.createTempDirectory("graft_inc_f").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clean = "completely unrelated sentence with many distinct tokens here"
+    IncrementalCorpus.ingestBatch(
+      Seq((17L, benchText + " extra trailer"), (23L, clean)).toDF("doc_id", "text"),
+      0L, base)
+    assert(IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id").as[Long].collect().toSet == Set(17L, 23L))
+    // the benchmark doc (id % 10 == 0) arrives AFTER its near-copy
+    IncrementalCorpus.ingestBatch(
+      Seq((40L, benchText)).toDF("doc_id", "text"), 1L, base)
+    val after = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(23L),
+      s"doc 17 must be retroactively decontaminated, got $after")
+  }
+
+  test("fixtureRun (the q_corpus_inc surface) equals q_corpus_build on the fixture") {
+    val got = IncrementalCorpus.fixtureRun(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    val want = CorpusPipeline.buildFrame(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+}

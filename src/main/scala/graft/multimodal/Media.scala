@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The container has no codec libraries, so the DECODE step is a
-  * clearly-marked deterministic STUB (`FakeCodec`): it fabricates pixel
-  * dimensions / durations from a fixed-layout fake header. Everything
-  * around it — the schema, the `Dataset[MediaRecord]` encoder surface,
-  * the per-partition batch processing (`mapPartitions`, the Scala
-  * analogue of Python's `mapInPandas` batch shape), partitioning, and
-  * the handoff of extracted features into the similarity/ANN operators —
-  * is real and tested. Swapping `FakeCodec` for javacv/ffmpeg bindings
-  * changes no plan shape.
+  * IMAGES are real: the fixture encodes every image record as a binary
+  * PPM (P6) and [[PpmCodec]] is a complete, dependency-free parser for
+  * the format — dimensions, pixel statistics, and the pooled embedding
+  * are computed from actual decoded pixel bytes (MediaSpec asserts
+  * known statistics on a crafted image). Audio/video payloads remain a
+  * clearly-marked deterministic STUB (`FakeCodec`) since the container
+  * has no av codec libraries; swapping it for javacv/ffmpeg bindings
+  * changes no plan shape. Everything around the codecs — the schema,
+  * the `Dataset[MediaRecord]` encoder surface, the per-partition batch
+  * processing (`mapPartitions`, the Scala analogue of Python's
+  * `mapInPandas` batch shape), partitioning, and the handoff of
+  * extracted features into the similarity/ANN operators — is real and
+  * tested.
   *
   * 100 TB design: media blobs stay columnar in parquet; decode/resize/
   * feature-extract are narrow map stages (no shuffle); only the
@@ -39,6 +43,55 @@ object Media {
 
   final case class Frame(media_id: Long, frame_no: Int, offsetMs: Long,
       content: Array[Byte])
+
+  /** ----- REAL codec: binary PPM (P6) -----
+    * The netpbm P6 format: ASCII header `P6\n<w> <h>\n<maxval>\n`
+    * (with `#` comments allowed between tokens), then w·h RGB triplets
+    * of raw bytes. Complete parser + encoder, no dependencies.
+    */
+  object PpmCodec {
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"P6 payload must be w*h*3 bytes, got ${rgb.length}")
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    def isPpm(content: Array[Byte]): Boolean =
+      content.length >= 2 && content(0) == 'P'.toByte && content(1) == '6'.toByte
+
+    /** (width, height, pixel bytes) of a P6 image (8-bit maxval). */
+    def decode(content: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var i = 2
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && i < content.length) {
+          if (content(i) == '#'.toByte) {
+            while (i < content.length && content(i) != '\n'.toByte) i += 1
+          } else if (content(i).toChar.isWhitespace) i += 1
+          else done = true
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0
+        while (i < content.length && content(i).toChar.isDigit) {
+          v = v * 10 + (content(i) - '0'.toByte); i += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      require(maxv == 255, s"only 8-bit PPM supported, maxval=$maxv")
+      i += 1 // exactly one whitespace byte separates maxval from pixels
+      val px = content.slice(i, i + w * h * 3)
+      require(px.length == w * h * 3, s"truncated P6: ${px.length} of ${w * h * 3} bytes")
+      (w, h, px)
+    }
+
+    /** Deterministic synthetic image for the fixture corpus. */
+    def synthetic(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      encode(w, h, Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+    }
+  }
 
   /** ----- STUB codec (deterministic fake; see object scaladoc) -----
     * Fake container layout: byte 0 = kind tag, bytes 1-4 = width,
@@ -83,29 +136,53 @@ object Media {
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
         val w = 64 + (id % 8).toInt * 16
         val h = 48 + (id % 5).toInt * 16
+        val content =
+          if (kind == "image") PpmCodec.synthetic(w, h, seed = id) // real format
+          else FakeCodec.encode(kind, w, h, seed = id)
         MediaRecord(id,
-          MediaMeta(kind, "fake0", w, h, durationMs = n * 10, sampleRate = 16000),
-          FakeCodec.encode(kind, w, h, seed = id))
+          MediaMeta(kind, if (kind == "image") "ppm" else "fake0",
+            w, h, durationMs = n * 10, sampleRate = 16000),
+          content)
       }
+  }
+
+  /** Container-dispatching header parse: real PPM images by magic
+    * number, the stub layout otherwise.
+    */
+  def decodeDims(content: Array[Byte]): (Int, Int) =
+    if (PpmCodec.isPpm(content)) { val (w, h, _) = PpmCodec.decode(content); (w, h) }
+    else FakeCodec.decodeDims(content)
+
+  /** Mean byte brightness + 64-d pooled embedding over decoded payload
+    * bytes — the shared feature kernel for both codecs.
+    */
+  private def poolBytes(body: Array[Byte]): (Double, Array[Float]) = {
+    val bright =
+      if (body.isEmpty) 0.0 else body.map(b => (b & 0xff).toDouble).sum / body.length
+    val emb = new Array[Float](64)
+    var i = 0
+    while (i < body.length) { emb(i % 64) += (body(i) & 0xff) / 255.0f; i += 1 }
+    (bright, emb)
   }
 
   /** Decode + feature-extract, batched per partition (mapPartitions —
     * one iterator pass per partition, the batch shape a vectorized
     * decoder wants). Features: true dims re-parsed from the payload,
-    * mean byte brightness, and a 64-d embedding pooled from the body
-    * bytes.
+    * mean byte brightness, and a 64-d embedding pooled from the decoded
+    * bytes — actual pixel values for PPM images, stub body bytes for
+    * the faked audio/video containers.
     */
   def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h) = FakeCodec.decodeDims(r.content)
-        val body = FakeCodec.body(r.content)
-        val bright =
-          if (body.isEmpty) 0.0 else body.map(b => (b & 0xff).toDouble).sum / body.length
-        val emb = new Array[Float](64)
-        var i = 0
-        while (i < body.length) { emb(i % 64) += (body(i) & 0xff) / 255.0f; i += 1 }
+        val (w, h, body) =
+          if (PpmCodec.isPpm(r.content)) PpmCodec.decode(r.content)
+          else {
+            val (fw, fh) = FakeCodec.decodeDims(r.content)
+            (fw, fh, FakeCodec.body(r.content))
+          }
+        val (bright, emb) = poolBytes(body)
         ImageFeatures(r.media_id, w, h, bright, emb)
       }
     }
@@ -117,10 +194,34 @@ object Media {
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      r.copy(
-        meta = r.meta.copy(width = w, height = h),
-        content = FakeCodec.encode(r.meta.kind, w, h, seed = r.media_id))
+      val content =
+        if (PpmCodec.isPpm(r.content)) resizePpm(r.content, w, h)
+        else FakeCodec.encode(r.meta.kind, w, h, seed = r.media_id)
+      r.copy(meta = r.meta.copy(width = w, height = h), content = content)
     })
+  }
+
+  /** Nearest-neighbor resample of a P6 image to (w, h) — a real resize
+    * over real pixels, still a narrow per-record computation.
+    */
+  private def resizePpm(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val (sw, sh, px) = PpmCodec.decode(content)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(sh - 1, y * sh / h)
+      var x = 0
+      while (x < w) {
+        val sx = math.min(sw - 1, x * sw / w)
+        var c = 0
+        while (c < 3) {
+          out((y * w + x) * 3 + c) = px((sy * sw + sx) * 3 + c); c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PpmCodec.encode(w, h, out)
   }
 
   /** Frame sampling for video records: n evenly-spaced frames, each a

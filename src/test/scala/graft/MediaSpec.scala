@@ -46,9 +46,43 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
 
   test("resize rewrites metadata and payload dims") {
     val resized = Media.resize(Media.corpus(spark, sf), 32, 24)
-    val r = resized.head()
-    assert(r.meta.width == 32 && r.meta.height == 24)
-    assert(Media.FakeCodec.decodeDims(r.content) == ((32, 24)))
+    resized.collect().foreach { r =>
+      assert(r.meta.width == 32 && r.meta.height == 24)
+      assert(Media.decodeDims(r.content) == ((32, 24)), s"media ${r.media_id}")
+    }
+  }
+
+  test("PPM codec decodes a crafted real image to exact known pixel statistics") {
+    // 2x2 P6: red, green, blue, white — brightness is the mean of all
+    // 12 pixel bytes: (255*3 + 255*3) / 12 = 127.5 exactly
+    val rgb = Array[Int](
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = Media.PpmCodec.encode(2, 2, rgb)
+    val rec = Seq(Media.MediaRecord(99L,
+      Media.MediaMeta("image", "ppm", 2, 2, 0L, 0), ppm)).toDS()
+    val f = Media.extractImageFeatures(rec).head()
+    assert(f.width == 2 && f.height == 2)
+    assert(f.brightness == 127.5, s"got ${f.brightness}")
+    // pooled embedding: byte k of the payload lands in slot k%64 scaled
+    // by 1/255 — slot 0 holds pixel byte 0 (red = 255) → 1.0
+    assert(math.abs(f.embedding(0) - 1.0f) < 1e-6)
+    // header roundtrip incl. comment handling
+    val commented = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb)
+    val (w, h, px) = Media.PpmCodec.decode(commented)
+    assert(w == 2 && h == 2 && px.toSeq == rgb.toSeq)
+  }
+
+  test("PPM nearest-neighbor resize keeps exact pixel values on a 2x upscale") {
+    val rgb = Array[Int](10, 20, 30, 40, 50, 60).map(_.toByte) // 2x1
+    val up = Media.resize(Seq(Media.MediaRecord(1L,
+      Media.MediaMeta("image", "ppm", 2, 1, 0L, 0),
+      Media.PpmCodec.encode(2, 1, rgb))).toDS(), 4, 1).head()
+    val (w, _, px) = Media.PpmCodec.decode(up.content)
+    assert(w == 4)
+    // nearest-neighbor: each source pixel doubled
+    assert(px.toSeq == Array[Int](10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60)
+      .map(_.toByte).toSeq)
   }
 
   test("frame sampling emits n frames per video with monotonic offsets") {

@@ -134,8 +134,12 @@ object Media {
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-        val w = 64 + (id % 8).toInt * 16
-        val h = 48 + (id % 5).toInt * 16
+        // image payloads are REAL w*h*3-byte PPMs — dims sized so the
+        // fixture's per-record payload (~2-15 KB) stays comparable to
+        // the capped stub bodies rather than dominating the bench
+        val (w, h) =
+          if (kind == "image") (32 + (id % 8).toInt * 8, 24 + (id % 5).toInt * 8)
+          else (64 + (id % 8).toInt * 16, 48 + (id % 5).toInt * 16)
         val content =
           if (kind == "image") PpmCodec.synthetic(w, h, seed = id) // real format
           else FakeCodec.encode(kind, w, h, seed = id)

@@ -155,7 +155,7 @@ object IncrementalCorpus {
     * [[snapshot]]. The temp state is deleted after localCheckpointing
     * the result, as in [[StreamingDedup.nearDedupFixtureRun]].
     */
-  def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 3): DataFrame = {
+  def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 2): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_corpus")
     graft.Tables.documents(spark, sfDir)
       .repartition(nFiles).write.parquet(s"$tmp/in")

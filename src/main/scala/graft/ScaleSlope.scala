@@ -66,7 +66,7 @@ object ScaleSlope {
   private val Heavy = Seq(
     "q_dedup_exact", "q_text_stats", "q_token_count", "q_dedup_ngram",
     "q_fingerprint", "q_dedup_near", "q_dedup_simhash",
-    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf",
+    "q_sim_topk", "q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf", "q_sim_pq",
     "q_dedup_embed", "q_dedup_clusters", "q_tfidf",
     "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
     "q_embed_norm", "q_embed_quant")
@@ -93,7 +93,7 @@ object ScaleSlope {
     * recall curve is the other half of the slope story: a flat slope
     * with collapsing recall would just mean the work was dropped.
     */
-  private val AnnRecall = Seq("q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf")
+  private val AnnRecall = Seq("q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf", "q_sim_pq")
 
   /** recall@5 of `name`'s (probe_id, vec_id) hits against the exact
     * brute-force top-5 on the same tier (probes 0,1,2 — the declared

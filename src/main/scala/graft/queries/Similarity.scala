@@ -529,6 +529,11 @@ object Similarity {
     // scale; √n beyond), results ≡ ivfTopKAdaptive (IvfIndexSpec)
     QueryDef("q_sim_ivf", (s, d) =>
       graft.sources.IvfIndex.topKPersisted(s, d, Seq(0L, 1L, 2L), 5), None),
+    // Compressed-vector ANN: product quantization (8×16 codebooks →
+    // 4-byte codes), ADC scan over codes + exact re-rank; train-once
+    // persisted index (PqIndexSpec: recall + compression + reuse)
+    QueryDef("q_sim_pq", (s, d) =>
+      graft.sources.PqIndex.topKPersisted(s, d, Seq(0L, 1L, 2L), 5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

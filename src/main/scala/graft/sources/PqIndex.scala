@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.KMeansLite
+import graft.queries.Similarity
+
+/** On-disk IVF-PQ index — the compressed-vector ANN path. At 100 TB the
+  * raw float corpus does not fit executor memory or scan budgets; this
+  * index stores each vector as a coarse list id plus M=8 subspace
+  * codebook ids (16-entry codebooks → 4 bytes of codes/vector, a 64×
+  * compression of the 64-d float payload), and queries scan CODES, not
+  * vectors.
+  *
+  * PQ is RESIDUAL-encoded (the FAISS IVF-PQ design): codes quantize
+  * `x − centroid(list(x))`, not x. On clustered corpora the plain-PQ
+  * codebooks must span the global space, so within-cluster differences
+  * sit far below cell resolution and ADC ordering inside a cluster is
+  * noise — measured recall@5 collapsed 0.93 → 0.47 going 1×→10× on the
+  * synthetic clustered corpus. Residuals live at noise scale, so the
+  * same 8×16 codebooks resolve exactly the differences that rank
+  * near-neighbors.
+  *
+  *  1. '''train''' (once): coarse k-means lists (the house IVF recipe,
+  *     √n adaptive list count) + an independent k-means per 8-d
+  *     RESIDUAL subspace;
+  *  2. '''encode''' (once, map-side): subtract the broadcast-joined
+  *     list centroid, then per-subspace nearest-centroid id via the
+  *     codegen'd CentroidScores kernel — no shuffle beyond the tiny
+  *     centroid broadcast;
+  *  3. '''search''' (per query): route each probe to its nprobe lists,
+  *     build one (subspace × centroid) squared-distance LUT per
+  *     (probe, list) from the probe's residual — bounded driver-side
+  *     work — then the code scan joins the broadcast LUTs on list id,
+  *     sums M table lookups per row (no float math against the
+  *     corpus), and the ADC top-`rerank` candidates re-rank EXACTLY by
+  *     cosine against their original vectors (a join pruned to the
+  *     candidate ids — the only touch of the float corpus).
+  *
+  * Layout: `<path>/codes` (vec_id, cid, codes), `<path>/books`
+  * (sub, cid, centroid) and `<path>/coarse` (cid, centroid) so
+  * query-time routing and LUTs use the identical quantizers that
+  * encoded the corpus.
+  */
+object PqIndex {
+
+  val Subspaces = 8   // M: 64-d → 8 × 8-d subvectors
+  val Codebook = 16   // K: centroids per subspace (4-bit codes)
+
+  private val BuildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Residual frame: (vec_id, emb, cid, res) with res = emb − coarse
+    * centroid of the vector's list, via a broadcast join on cid (a k×64
+    * literal array would breach codegen limits at the 4096-list cap).
+    */
+  private def residualsOf(assigned: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+    assigned.select(col("vec_id"), col("emb"), col("cid").cast("int").as("cid"))
+      .join(broadcast(centsDf), "cid")
+      .withColumn("res", zip_with(col("emb"), col("centroid"), (a, b) => a - b))
+      .drop("centroid")
+  }
+
+  /** Per-subspace residual codebooks via deterministic data-sampled
+    * seeds + 2 Lloyd iterations, mirroring the IVF training recipe.
+    */
+  def train(residuals: DataFrame, m: Int = Subspaces, k: Int = Codebook,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val n = residuals.count()
+    val step = math.max(1L, n / k)
+    val sub = Similarity.EmbedDim / m
+    (0 until m).map { j =>
+      val sl = residuals.select(col("vec_id"), slice(col("res"), j * sub + 1, sub).as("emb"))
+      val seeds = sl.filter(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(k)
+        .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+      KMeansLite.fit(sl, seeds, iters)
+    }.toArray
+  }
+
+  /** Map-side encoder: per-subspace argmin of the RESIDUAL against the
+    * broadcast codebooks — one CentroidScores kernel call per subspace
+    * per row.
+    */
+  def encode(residuals: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = Similarity.EmbedDim / m
+    // name each subspace's kernel output so the argmin expression
+    // references it once instead of re-invoking the kernel
+    val withScores = (0 until m).foldLeft(residuals) { (d, j) =>
+      d.withColumn(s"pq_scores_$j", graft.functions.VecExprs.centroidScores(
+        slice(col("res"), j * sub + 1, sub), books(j)))
+    }
+    withScores
+      .select(col("vec_id") +: col("cid") +: (0 until m).map(j =>
+        (expr(s"array_position(pq_scores_$j, array_max(pq_scores_$j))") - 1)
+          .cast("int").as(s"c_$j")): _*)
+      .select(col("vec_id"), col("cid"),
+        array((0 until m).map(j => col(s"c_$j")): _*).as("codes"))
+  }
+
+  def build(embeddings: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = Similarity.corpusOf(embeddings).count()
+    val lists = Similarity.adaptiveCentroids(n)
+    val (assigned, coarse) = Similarity.ivfAssignOf(embeddings, lists)
+    val residuals = residualsOf(assigned, coarse).localCheckpoint(true)
+    val books = train(residuals)
+    encode(residuals, books)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  def cachePathFor(sfDir: String): String =
+    IvfIndex.cachePathFor(sfDir) + "-pq"
+
+  /** Train-once cache, same freshness contract as [[IvfIndex.ensureBuilt]]:
+    * reuse when the codes total matches the corpus count and the book
+    * table has M×K rows, rebuild otherwise. Returns (path, corpus size).
+    */
+  def ensureBuilt(spark: SparkSession, sfDir: String): (String, Long) = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val path = cachePathFor(sfDir)
+    val lock = BuildLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val fresh =
+        try spark.read.parquet(s"$path/codes").count() == n &&
+          spark.read.parquet(s"$path/books").count() == Subspaces.toLong * Codebook
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!fresh) build(emb, path)
+    }
+    (path, n)
+  }
+
+  /** Scale-aware re-rank depth: ~4√n clamped to [50, 1024]. ADC's
+    * within-cluster ordering is noisy exactly where neighbors are close
+    * (quantization error vs neighbor separation), so the exact-re-rank
+    * window widens as clusters grow; the cap keeps the re-rank join
+    * bounded (≤ 1024 × |probes| candidate rows) no matter the corpus.
+    */
+  def rerankFor(n: Long): Int =
+    math.min(1024, math.max(50, (4 * math.sqrt(n.toDouble)).toInt))
+
+  /** IVF-ADC search. Routing and LUT construction are driver-side over
+    * the bounded probe set (the same contract as every ANN query
+    * surface here); the code scan is pruned to the probed lists and
+    * joins the broadcast LUTs on list id. Output layout matches the
+    * other ANN queries: (probe_id, rn, vec_id, cosine).
+    */
+  def search(spark: SparkSession, path: String, probes: DataFrame,
+      corpus: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    val m = Subspaces; val kk = Codebook
+    val books: Map[(Int, Int), Array[Double]] =
+      spark.read.parquet(s"$path/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val coarse: Array[Array[Double]] =
+      spark.read.parquet(s"$path/coarse").orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    val sub = Similarity.EmbedDim / m
+    val nprobe = math.max(Similarity.IvfProbes,
+      coarse.length * Similarity.IvfProbes / Similarity.IvfCentroids)
+    // bounded collect: the declared probe set (3 vectors), as in
+    // Similarity's LSH probe prep
+    val probeVecs: Array[(Long, Array[Double])] = probes
+      .select(col("probe_id"), col("p_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // route each probe to its nprobe best lists (same adjusted-dot
+    // scoring as build-time assignment), then one residual LUT per
+    // (probe, list): lut[j*K + c] = ‖(q − coarse_cid)_j − book_{j,c}‖²
+    val luts = probeVecs.toSeq.flatMap { case (pid, q) =>
+      val scores = coarse.map { cent =>
+        var dot = 0.0; var n2 = 0.0; var t = 0
+        while (t < q.length) { dot += q(t) * cent(t); n2 += cent(t) * cent(t); t += 1 }
+        dot - n2 / 2
+      }
+      val probed = scores.zipWithIndex.sortBy { case (s, c) => (-s, c) }
+        .take(nprobe).map(_._2)
+      probed.map { cid =>
+        val cent = coarse(cid)
+        val lut = new Array[Double](m * kk)
+        for (j <- 0 until m; c <- 0 until kk) {
+          val book = books((j, c))
+          var d2 = 0.0
+          var t = 0
+          while (t < sub) {
+            val d = (q(j * sub + t) - cent(j * sub + t)) - book(t)
+            d2 += d * d; t += 1
+          }
+          lut(j * kk + c) = d2
+        }
+        (pid, cid, lut.toSeq)
+      }
+    }.toDF("probe_id", "cid", "lut")
+    val probedCids = luts.select("cid").as[Int].collect().distinct.toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(probedCids: _*)) // row-group pruning on cid stats
+    val scored = codes.join(broadcast(luts), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (cv, j) => element_at(col("lut"), j * lit(kk) + cv + 1)),
+        lit(0.0d), (a, x) => a + x))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+    val cands = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    val pv = probes.select(col("probe_id").as("pid"), col("p_emb"))
+    val exact = cands
+      .join(corpus.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(pv), col("probe_id") === col("pid"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VecExprs.cosineSim(col("emb"), col("p_emb")).as("cos"))
+    val wk = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** The amortized IVF-PQ query (q_sim_pq's surface): train-once via
+    * [[ensureBuilt]], ADC-scan the 4-byte codes of the probed lists,
+    * exact re-rank.
+    */
+  def topKPersisted(spark: SparkSession, sfDir: String, probeIds: Seq[Long],
+      k: Int): DataFrame = {
+    val (path, n) = ensureBuilt(spark, sfDir)
+    val corpus = Similarity.corpusOf(graft.Tables.embeddings(spark, sfDir))
+    val probes = corpus.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    search(spark, path, probes, corpus, k, rerank = rerankFor(n))
+  }
+}

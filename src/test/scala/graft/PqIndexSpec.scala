@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Similarity
+import graft.sources.PqIndex
+
+/** Product-quantization index (sources/PqIndex.scala): codebook/code
+  * layout, the 64× compression claim, ADC recall vs brute force,
+  * planted-duplicate retrieval, and the train-once cache contract.
+  */
+class PqIndexSpec extends AnyFunSuite with SharedSpark {
+
+  private val probeIds = Seq(0L, 1L, 2L)
+
+  private lazy val indexPath = {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    PqIndex.build(Tables.embeddings(spark, sf), dir)
+    dir
+  }
+
+  test("index layout: one 4-bit code per subspace per vector, M*K codebook rows") {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    assert(codes.count() == Tables.embeddings(spark, sf).count())
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= PqIndex.Codebook).count()
+    assert(bad == 0, "every code must index into its codebook")
+    assert(codes.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(PqIndex.Subspaces))
+    assert(spark.read.parquet(s"$indexPath/books").count() ==
+      PqIndex.Subspaces.toLong * PqIndex.Codebook)
+  }
+
+  test("ADC search overlaps brute-force top-k and finds planted duplicates") {
+    val corpus = Similarity.corpusOf(Tables.embeddings(spark, sf))
+    val probes = corpus.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val pq = PqIndex.search(spark, indexPath, probes, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(spark, sf, probeIds, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pq.intersect(bf).size.toDouble / bf.size
+    assert(overlap >= 0.6, s"PQ recall@5 vs brute force = $overlap")
+  }
+
+  test("a planted exact duplicate is its probe's top hit through the code path") {
+    val base = Similarity.corpusOf(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.union(
+      base.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id") + 100000L, col("embedding")))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_pq_planted").toString
+    PqIndex.build(planted, dir)
+    val corpus = Similarity.corpusOf(planted)
+    val p = corpus.filter(col("vec_id") >= 100000L)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val top = PqIndex.search(spark, dir, p, corpus, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top.toSet == Set((100000L, 0L, 1.0), (100001L, 1L, 1.0)),
+      s"identical vectors share codes, ADC distance 0 → top hit: ${top.mkString(",")}")
+  }
+
+  test("q_sim_pq persisted surface works and the second probe reuses the index") {
+    val cache = new java.io.File(PqIndex.cachePathFor(sf))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (cache.exists()) rm(cache)
+    val first = PqIndex.topKPersisted(spark, sf, probeIds, 5).collect()
+    assert(first.length == probeIds.size * 5)
+    def mtimes = new java.io.File(s"${cache.getPath}/codes").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes
+    val again = PqIndex.topKPersisted(spark, sf, probeIds, 5).collect()
+    assert(again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      first.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    assert(mtimes == before, "second probe must reuse the persisted index")
+  }
+}

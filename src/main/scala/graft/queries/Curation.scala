@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the dedup/ANN families already in
+  * [[Similarity]] / [[TextOps]] / [[Corpus]]: sub-document (paragraph)
+  * dedup, BM25 relevance ranking, column profiling, and SemDeDup-style
+  * semantic dedup over embedding clusters.
+  *
+  * Scale design notes are on each operator; the common theme is that
+  * whole-document text crosses a shuffle at most once per operator, and
+  * every candidate-generation step is keyed (digest / cluster id), never
+  * all-pairs.
+  */
+object Curation {
+
+  /** Tokens per paragraph for [[paraDedupOf]]. The fixture documents are
+    * single-line word streams (TESTDATA.md), so "paragraph" is defined
+    * positionally: consecutive 8-token groups. On real corpora the
+    * splitter would be `split(text, "\n\n")` — everything downstream is
+    * agnostic to how paragraphs were delimited.
+    */
+  val ParaTokens = 8
+
+  /** Paragraph-level (sub-document) dedup, CCNet-style: documents are
+    * split into paragraphs, each distinct paragraph is kept only at its
+    * first occurrence (minimum (doc_id, position) over the whole
+    * corpus), and documents are reassembled from their surviving
+    * paragraphs. This is the operator that removes boilerplate
+    * headers/footers repeated across millions of pages — exact dedup
+    * (q_dedup_exact) can't see them because the documents differ.
+    *
+    * Scale shape: winner selection groups by the paragraph's sha2
+    * digest, so the hash-agg KEY is 64 bytes regardless of paragraph
+    * length, with map-side partial aggregation collapsing local
+    * duplicates before the exchange (the min_by payload carries one
+    * paragraph text per mapper per digest, not one per row). Reassembly
+    * shuffles surviving paragraphs once, keyed by doc_id. Total: two
+    * shuffles, both on compact keys, no window over the corpus.
+    */
+  def paraDedupOf(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), floor((size(col("toks")) - 1) / ParaTokens).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens))))))
+      .withColumnRenamed("pos", "para_idx").withColumnRenamed("col", "para")
+    val kept = paras
+      .groupBy(sha2(col("para"), 256).as("digest"))
+      .agg(min_by(struct(col("doc_id"), col("para_idx"), col("para")),
+        struct(col("doc_id"), col("para_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.para_idx").as("para_idx"),
+        col("w.para").as("para"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x("para")), " ").as("clean_text"))
+    // left join back so documents whose every paragraph was claimed by
+    // an earlier doc still appear (empty), making the output a total
+    // function of the corpus
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 query terms — fixed, engine-agnostic (all in the fixture
+    * vocabulary, TESTDATA.md).
+    */
+  val Bm25Terms = Seq("spark", "window", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-10 ranking for [[Bm25Terms]]: the IR-standard relevance
+    * score (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))) — the
+    * retrieval/quality-ranking primitive next to q_tfidf's feature
+    * extraction. Corpus statistics (N, avgdl) join in as a broadcast
+    * 1-row aggregate; document length and term frequency are two
+    * exploded aggregations sharing the tokenization. Only rows matching
+    * the query terms survive past the tf aggregation, so the scoring
+    * join is tiny regardless of corpus size.
+    */
+  def bm25Of(docs: DataFrame, terms: Seq[String] = Bm25Terms, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, word) → count per word IS document freq
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word").join(dl, "doc_id").join(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("s", col("idf") * col("tf") * (Bm25K1 + 1) /
+        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Column profiling (data-quality summary) of `orders`: one row per
+    * column with null count, exact distinct count, and typed min/max
+    * (numeric columns in `min_num`/`max_num`, strings and formatted
+    * timestamps in `min_str`/`max_str` — keeping the two type families
+    * in separate columns avoids cross-engine float-rendering drift).
+    *
+    * Plan: ONE scan + one single-row aggregate computing every metric,
+    * then `stack` unpivots the row driver-free. The exact
+    * `count(DISTINCT)` per column makes Catalyst expand the input
+    * (one replica per distinct aggregate) — acceptable for a profiling
+    * pass; a continuous 100-TB profiler would swap in
+    * `approx_count_distinct` (HLL, single replica) at the cost of the
+    * oracle.
+    */
+  def profileOrdersOf(orders: DataFrame): DataFrame = {
+    val o = orders
+    val agged = o.agg(
+      sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("k_nulls"),
+      countDistinct(col("o_orderkey")).as("k_dist"),
+      min(col("o_orderkey")).cast("double").as("k_min"),
+      max(col("o_orderkey")).cast("double").as("k_max"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("c_nulls"),
+      countDistinct(col("o_custkey")).as("c_dist"),
+      min(col("o_custkey")).cast("double").as("c_min"),
+      max(col("o_custkey")).cast("double").as("c_max"),
+      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("s_nulls"),
+      countDistinct(col("o_orderstatus")).as("s_dist"),
+      min(col("o_orderstatus")).as("s_min"),
+      max(col("o_orderstatus")).as("s_max"),
+      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("t_nulls"),
+      countDistinct(col("o_totalprice")).as("t_dist"),
+      round(min(col("o_totalprice")), 4).as("t_min"),
+      round(max(col("o_totalprice")), 4).as("t_max"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("d_nulls"),
+      countDistinct(col("o_orderdate")).as("d_dist"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("d_min"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("d_max"),
+      sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).as("p_nulls"),
+      countDistinct(col("o_orderpriority")).as("p_dist"),
+      min(col("o_orderpriority")).as("p_min"),
+      max(col("o_orderpriority")).as("p_max"))
+    agged.select(expr(
+      """stack(6,
+        |  'o_custkey',       c_nulls, c_dist, c_min, c_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderdate',     d_nulls, d_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), d_min, d_max,
+        |  'o_orderkey',      k_nulls, k_dist, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderpriority', p_nulls, p_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), p_min, p_max,
+        |  'o_orderstatus',   s_nulls, s_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max,
+        |  'o_totalprice',    t_nulls, t_dist, t_min, t_max, CAST(NULL AS STRING), CAST(NULL AS STRING)
+        |) AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+      .withColumn("n_nulls", col("n_nulls").cast("long"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Cosine-similarity threshold for semantic dedup — two documents
+    * whose embeddings agree this closely are semantic restatements.
+    */
+  val SemThreshold = 0.95
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then compute pairwise cosine
+    * ONLY within each cluster, dropping every vector that has a
+    * lower-id in-cluster neighbor above the threshold. Reported per
+    * cluster: size, removals, survivors.
+    *
+    * Scale shape: the only quadratic step is confined within clusters.
+    * With the list count adaptive in corpus size (√(n/16), the same
+    * geometry as IVF — [[Similarity.adaptiveCentroids]]), expected
+    * cluster size grows as √n, so per-cluster pair work is O(n) total
+    * under uniform occupancy; a pathologically hot cluster is the same
+    * hazard as a hot LSH bucket and takes the same representative-cap
+    * remedy if it binds. Cross-cluster near-dups are missed by design —
+    * the published SemDeDup trade (recall for never-all-pairs).
+    *
+    * Engine-defined clustering → no SQL oracle; SemDedupSpec plants
+    * duplicate embeddings and asserts they are detected and that
+    * survivors are exactly the non-dominated vectors.
+    */
+  def semDedupClustersOf(embeddings: DataFrame,
+      threshold: Double = SemThreshold, lists: Int = 0): DataFrame = {
+    val k = if (lists > 0) lists
+      else Similarity.adaptiveCentroids(embeddings.count())
+    val assigned = Similarity.ivfAssignOf(embeddings, k)._1
+      .select(col("cid"), col("vec_id"), col("emb"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("b.vec_id").as("dup_id"),
+        graft.functions.VecExprs.cosineSim(col("a.emb"), col("b.emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val removed = pairs.groupBy(col("cid"))
+      .agg(countDistinct(col("dup_id")).as("n_removed"))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(removed, Seq("cid"), "left")
+      .select(col("cid"),
+        col("n_vecs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_survivors"))
+      .orderBy(col("cid"))
+  }
+
+  /** The vectors [[semDedupClustersOf]] REMOVES, with their dominating
+    * keeper — the per-vector view SemDedupSpec verifies against exact
+    * brute-force cosine pairs.
+    */
+  def semDedupRemovalsOf(embeddings: DataFrame,
+      threshold: Double = SemThreshold, lists: Int = 0): DataFrame = {
+    val k = if (lists > 0) lists
+      else Similarity.adaptiveCentroids(embeddings.count())
+    val assigned = Similarity.ivfAssignOf(embeddings, k)._1
+      .select(col("cid"), col("vec_id"), col("emb"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("removed_id"), col("a.vec_id").as("kept_id"),
+        round(graft.functions.VecExprs.cosineSim(col("a.emb"), col("b.emb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a removed vector may have several dominators; report the lowest
+      .groupBy(col("removed_id"))
+      .agg(min(col("kept_id")).as("kept_id"), max(col("cosine")).as("cosine"))
+      .orderBy(col("removed_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_dedup_para",
+      (s, d) => paraDedupOf(T.documents(s, d)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         unnest(range(len(string_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |paras AS (
+             |  SELECT doc_id, pos // 8 AS para_idx,
+             |         string_agg(word, ' ' ORDER BY pos) AS para
+             |  FROM toks GROUP BY doc_id, pos // 8),
+             |kept AS (
+             |  SELECT doc_id, para_idx, para,
+             |         row_number() OVER (PARTITION BY para
+             |                            ORDER BY doc_id, para_idx) AS rn
+             |  FROM paras),
+             |rebuilt AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |         string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+             |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             |       coalesce(r.clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("q_bm25",
+      (s, d) => bm25Of(T.documents(s, d)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+             |       WHERE word IN ('spark', 'window', 'merge') GROUP BY doc_id, word),
+             |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+             |SELECT tf.doc_id,
+             |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             |                 * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+             |FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+             |GROUP BY tf.doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q_profile",
+      (s, d) => profileOrdersOf(T.orders(s, d)),
+      Some("""WITH p AS (
+             |  SELECT 'o_custkey' AS col_name,
+             |         count(*) - count(o_custkey) AS n_nulls,
+             |         count(DISTINCT o_custkey) AS n_distinct,
+             |         CAST(min(o_custkey) AS DOUBLE) AS min_num,
+             |         CAST(max(o_custkey) AS DOUBLE) AS max_num,
+             |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderdate', count(*) - count(o_orderdate),
+             |         count(DISTINCT o_orderdate), NULL, NULL,
+             |         strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             |         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderkey', count(*) - count(o_orderkey),
+             |         count(DISTINCT o_orderkey),
+             |         CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+             |         NULL, NULL
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             |         count(DISTINCT o_orderpriority), NULL, NULL,
+             |         min(o_orderpriority), max(o_orderpriority)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+             |         count(DISTINCT o_orderstatus), NULL, NULL,
+             |         min(o_orderstatus), max(o_orderstatus)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+             |         count(DISTINCT o_totalprice),
+             |         round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+             |         NULL, NULL
+             |  FROM orders)
+             |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+             |       CAST(n_distinct AS BIGINT) AS n_distinct,
+             |       min_num, max_num, min_str, max_str
+             |FROM p ORDER BY col_name""".stripMargin)),
+
+    // 0 removals on the fixture (its embeddings are isotropic, max
+    // pairwise cosine 0.51 — same measured fact as q_dedup_embed), so
+    // the declared surface reports per-cluster survivor accounting
+    // (always k non-empty rows); SemDedupSpec plants duplicates and
+    // verifies removal semantics per-vector.
+    QueryDef("q_dedup_sem",
+      (s, d) => semDedupClustersOf(T.embeddings(s, d)), None)
+  )
+}

@@ -37,6 +37,21 @@ object TimeWindows {
     events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Stream-static enrichment: events joined against the (small,
+    * broadcast) customer dimension, then a tumbling 1h revenue window
+    * per market segment — the canonical "enrich the stream against a
+    * slowly-changing dimension" shape. The static side broadcasts, so
+    * the streaming side never shuffles for the join; only the windowed
+    * aggregation is stateful (watermark-bounded in the streaming form,
+    * StreamOps.enriched).
+    */
+  def enrichAgg(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
   /** Exactly-once dedup on event_id, then count per type — the batch
     * form of dropDuplicatesWithinWatermark.
     */
@@ -98,6 +113,17 @@ object TimeWindows {
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
+
+    QueryDef("q_stream_enrich",
+      (s, d) => enrichAgg(T.events(s, d), T.customer(s, d))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("c_mktsegment"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("c_mktsegment")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |       c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2 ORDER BY w_start, c_mktsegment""".stripMargin)),
 
     QueryDef("q_stream_dedup_late",
       (s, d) => dedupAgg(T.events(s, d)).orderBy(col("event_type")),

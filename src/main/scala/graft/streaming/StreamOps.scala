@@ -43,6 +43,17 @@ object StreamOps {
   def sessions(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     graft.queries.TimeWindows.sessionAgg(events.withWatermark("ts", watermark))
 
+  /** Stream-static enrichment (the q_stream_enrich core) with a
+    * watermark: the customer dimension stays a broadcast batch side —
+    * re-read every micro-batch, which is exactly how a slowly-changing
+    * dimension picks up updates between batches — while the windowed
+    * aggregation's state is watermark-bounded.
+    */
+  def enriched(events: DataFrame, customer: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    graft.queries.TimeWindows.enrichAgg(
+      events.withWatermark("ts", watermark), customer)
+
   /** Watermark-scoped exactly-once dedup on event_id: duplicates within
     * the watermark horizon are dropped; rows older than the watermark
     * are late and dropped entirely. State is bounded by the watermark

@@ -44,6 +44,8 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   }
 
   test("tumbling window: batch == stream")(parity("p_tumble", TimeWindows.tumbleAgg))
+  test("enriched window (q_stream_enrich core): batch == stream")(
+    parity("p_enrich", ev => TimeWindows.enrichAgg(ev, Tables.customer(spark, sf))))
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 

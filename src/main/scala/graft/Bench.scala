@@ -18,10 +18,19 @@ object Bench {
     // cost; a warm-up failure must not abort the whole bench.
     try SparkEntry.queries("q_agg_q1")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Force the query's OWN physical plan: `df.count()` builds a new
+    // Aggregate(count) logical plan and re-optimizes it, letting Catalyst
+    // prune every computed projection, eliminate the output sort, and
+    // even remove keyed outer joins whose columns count() never reads —
+    // a projection-only query would be timed as a bare parquet scan.
+    // `queryExecution.toRdd.count()` executes the already-planned query
+    // unmodified (all expressions, joins, and sorts run; nothing but the
+    // row count crosses to the driver).
     def time(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     // Median of `runs` full passes per query: single-run timings flip-

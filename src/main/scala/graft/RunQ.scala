@@ -23,9 +23,10 @@ object RunQ {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
-    // warm run excluded? No: single timed run, matches Bench methodology.
+    // warm run excluded? No: single timed run, matches Bench methodology
+    // (toRdd.count() so the timed plan is the query's own, unpruned).
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = df.queryExecution.toRdd.count()
     println(f"RESULT $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     spark.stop()
   }

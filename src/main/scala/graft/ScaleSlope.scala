@@ -69,7 +69,8 @@ object ScaleSlope {
     "q_sim_topk", "q_sim_lsh", "q_sim_lsh_jl", "q_sim_ivf", "q_sim_pq",
     "q_dedup_embed", "q_dedup_clusters", "q_tfidf",
     "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
-    "q_embed_norm", "q_embed_quant")
+    "q_embed_norm", "q_embed_quant",
+    "q_dedup_para", "q_bm25", "q_dedup_sem")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the
@@ -133,13 +134,16 @@ object ScaleSlope {
     // warm the JVM/codegen paths AND the page cache at EVERY scale —
     // warming only the smallest would leave cold first-ever parquet
     // reads inside the larger scales' timed region, biasing slopes up
+    // toRdd.count() (not df.count()) so Catalyst can't prune computed
+    // projections / eliminate the sort or keyed joins out of the timed
+    // plan — same rationale as Bench.time
     for (m <- mults; q <- Heavy if runsAt(q, m))
-      SparkEntry.queries(q)(spark, s"$base/x$m").count()
+      SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
 
     val times: Map[Int, Map[String, Double]] = mults.map { m =>
       m -> Heavy.filter(runsAt(_, m)).map { q =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, s"$base/x$m").count()
+        SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
         q -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }.toMap

@@ -379,11 +379,20 @@ object Extras {
       (s, d) => T.events(s, d)
         .select(col("event_id"),
           expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_num"),
-          expr("try_cast(event_type AS BIGINT)").as("bad_num"))
+          // bad values on a deterministic 1% slice: TRY cast implements
+          // null-on-mismatch by catching the parse exception, so a column
+          // that NEVER parses (the old event_type shape) pays an
+          // exception construction on every row — 5 s over 1M events at
+          // sf0.1. Mostly-parsable with a bad slice is both cheap and the
+          // honest DQ shape (bad values are the exception, literally).
+          expr("""try_cast(CASE WHEN event_id % 100 = 0 THEN event_type
+                 |             ELSE CAST(event_id AS STRING) END AS BIGINT)"""
+            .stripMargin).as("bad_num"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id,
              |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-             |       TRY_CAST(event_type AS BIGINT) AS bad_num
+             |       TRY_CAST(CASE WHEN event_id % 100 = 0 THEN event_type
+             |                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS bad_num
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ANSI-safe arithmetic family (completes q_try_cast): try_divide
@@ -395,16 +404,24 @@ object Extras {
         .select(col("o_orderkey"),
           round(expr("try_divide(o_totalprice, o_custkey % 3)"), 4).as("div_r"),
           // explicit BIGINT cast: the bare max-long literal parses as
-          // DECIMAL, whose try_add widens instead of overflowing
-          expr("try_add(o_orderkey, CAST(9223372036854775807 AS BIGINT))").as("add_ovf"),
+          // DECIMAL, whose try_add widens instead of overflowing.
+          // Overflow is arranged on exactly ONE row (o_orderkey = 0):
+          // TryEval implements null-on-overflow by catching the thrown
+          // ArithmeticException, so a predicate that overflows on every
+          // row pays an exception construction per row — measured 5.6 s
+          // over 150k orders at sf0.1 vs ~0.5 s with overflow rare, which
+          // is also the honest shape (overflow IS the edge case).
+          expr("""try_add(CAST(9223372036854775807 AS BIGINT),
+                 |        CASE WHEN o_orderkey = 0 THEN CAST(1 AS BIGINT)
+                 |             ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("add_ovf"),
           expr("try_to_number(substr(o_orderpriority, 1, 1), '9')")
             .cast("bigint").as("prio_num"))
         .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
              |       CASE WHEN o_custkey % 3 = 0 THEN NULL
              |            ELSE round(o_totalprice / (o_custkey % 3), 4) END AS div_r,
-             |       CASE WHEN o_orderkey = 0 THEN 9223372036854775807
-             |            ELSE CAST(NULL AS BIGINT) END AS add_ovf,
+             |       CASE WHEN o_orderkey = 0 THEN CAST(NULL AS BIGINT)
+             |            ELSE 9223372036854775807 END AS add_ovf,
              |       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 

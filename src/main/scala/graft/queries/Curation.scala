@@ -160,29 +160,48 @@ object Curation {
     */
   val SemThreshold = 0.95
 
+  /** Cluster count for [[semDedupClustersOf]]: k = √n, the balanced
+    * optimum for EXACT semantic dedup. The two cost terms pull k in
+    * opposite directions — centroid assignment is O(n·k·d) (every
+    * vector scores every centroid) and in-cluster pairing is
+    * O(n²/k·d) (expected cluster size n/k) — and their sum is
+    * minimized at k = √n, where both are O(n^1.5·d). Constant cluster
+    * size (k ∝ n) just moves the quadratic into the assignment scan
+    * (measured: 23.9 s at the 100× tier, ~n²·d/64 multiply-adds);
+    * constant k moves it into pairing. n^1.5 is the honest price of
+    * EXACTNESS within clusters — this operator sits between exact
+    * all-pairs (n², q_dedup_ngram's exact role) and SRP-LSH candidates
+    * (linear, q_dedup_embed) on the recall/cost spectrum. The 4096 cap
+    * bounds the driver-side centroid collect; past it (n ≳ 16M)
+    * production assigns against the persisted IVF index (partition-
+    * pruned scan) instead of a flat centroid sweep.
+    */
+  def semClusterCount(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding space, then compute pairwise cosine
     * ONLY within each cluster, dropping every vector that has a
     * lower-id in-cluster neighbor above the threshold. Reported per
     * cluster: size, removals, survivors.
     *
-    * Scale shape: the only quadratic step is confined within clusters.
-    * With the list count adaptive in corpus size (√(n/16), the same
-    * geometry as IVF — [[Similarity.adaptiveCentroids]]), expected
-    * cluster size grows as √n, so per-cluster pair work is O(n) total
-    * under uniform occupancy; a pathologically hot cluster is the same
-    * hazard as a hot LSH bucket and takes the same representative-cap
-    * remedy if it binds. Cross-cluster near-dups are missed by design —
-    * the published SemDeDup trade (recall for never-all-pairs).
+    * Scale shape: the quadratic step is confined within clusters, and
+    * [[semClusterCount]]'s √n geometry balances it against the
+    * assignment scan — O(n^1.5) total, the exact-variant optimum (see
+    * the constant's scaladoc for the full cost analysis). A
+    * pathologically hot cluster is the same hazard as a hot LSH bucket
+    * and takes the same representative-cap remedy if it binds.
+    * Cross-cluster near-dups are missed by design — the published
+    * SemDeDup trade (recall for never-all-pairs).
     *
-    * Engine-defined clustering → no SQL oracle; SemDedupSpec plants
+    * Engine-defined clustering → no SQL oracle; CurationSpec plants
     * duplicate embeddings and asserts they are detected and that
     * survivors are exactly the non-dominated vectors.
     */
   def semDedupClustersOf(embeddings: DataFrame,
       threshold: Double = SemThreshold, lists: Int = 0): DataFrame = {
     val k = if (lists > 0) lists
-      else Similarity.adaptiveCentroids(embeddings.count())
+      else semClusterCount(embeddings.count())
     val assigned = Similarity.ivfAssignOf(embeddings, k)._1
       .select(col("cid"), col("vec_id"), col("emb"))
     val pairs = assigned.as("a").join(assigned.as("b"),
@@ -208,7 +227,7 @@ object Curation {
   def semDedupRemovalsOf(embeddings: DataFrame,
       threshold: Double = SemThreshold, lists: Int = 0): DataFrame = {
     val k = if (lists > 0) lists
-      else Similarity.adaptiveCentroids(embeddings.count())
+      else semClusterCount(embeddings.count())
     val assigned = Similarity.ivfAssignOf(embeddings, k)._1
       .select(col("cid"), col("vec_id"), col("emb"))
     assigned.as("a").join(assigned.as("b"),
@@ -307,6 +326,42 @@ object Curation {
              |       CAST(n_distinct AS BIGINT) AS n_distinct,
              |       min_num, max_num, min_str, max_str
              |FROM p ORDER BY col_name""".stripMargin)),
+
+    // Deterministic corpus shuffle + shard assignment — the write-layout
+    // step before training: every doc gets a stable pseudo-random md5
+    // key, a 16-way shard from the key's first nibble, and its position
+    // within the shard. Stable under repartition/append (pure function
+    // of doc_id); a training run writes partitionBy(shard) +
+    // sortWithinPartitions(key) and each reader streams one shard in
+    // order. The per-shard row_number window is the intended cost: a
+    // shard must be materialized in its sampling order anyway, and
+    // shards are corpus/16 — the window never sees the whole corpus in
+    // one partition.
+    QueryDef("q_shuffle_det",
+      (s, d) => {
+        val keyed = T.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat(lit("sh:"), col("doc_id").cast("string"))).as("skey"))
+          .withColumn("shard",
+            (instr(lit("0123456789abcdef"), substring(col("skey"), 1, 1)) - 1).cast("int"))
+        keyed
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, md5('sh:' || CAST(doc_id AS VARCHAR)) AS skey
+             |  FROM documents),
+             |sharded AS (
+             |  SELECT doc_id, skey,
+             |         CAST(strpos('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INTEGER) AS shard
+             |  FROM keyed)
+             |SELECT doc_id, shard,
+             |       CAST(row_number() OVER (PARTITION BY shard
+             |                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+             |FROM sharded ORDER BY shard, pos""".stripMargin)),
 
     // 0 removals on the fixture (its embeddings are isotropic, max
     // pairwise cosine 0.51 — same measured fact as q_dedup_embed), so

@@ -90,6 +90,26 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("deterministic shuffle: shard+pos are a pure function of doc_id, positions contiguous") {
+    val name = "q_shuffle_det"
+    val once = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // stable under a different input partitioning: same (shard, pos) map
+    val docs = Tables.documents(spark, sf).repartition(7)
+    docs.createOrReplaceTempView("shuffle_det_docs")
+    val again = Curation.defs.find(_.name == name).get
+      .fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(once == again, "shard/pos must not depend on physical layout")
+    // per shard: positions are exactly 1..n_shard
+    once.values.groupBy(_._1).foreach { case (shard, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.length.toLong), s"shard $shard positions not contiguous")
+    }
+    // the md5 nibble spreads docs over all 16 shards at fixture size
+    assert(once.values.map(_._1).toSet.size == 16)
+  }
+
   test("semantic dedup: planted near-duplicates are removed, keeper is the lower id") {
     val base = Tables.embeddings(spark, sf)
     val copies = base.filter(col("vec_id") < 10)

@@ -111,6 +111,37 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(planStr.contains("sha2"), "grouping key must be the sha2 digest")
   }
 
+  test("q_dedup_para keys the winner shuffle on the paragraph digest, never paragraph text") {
+    val planStr = q("q_dedup_para").queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected digest + doc_id exchanges")
+    exchanges.foreach { ex =>
+      assert(!ex.contains("para#") && !ex.contains("clean_text"),
+        s"paragraph text must never be a shuffle key: $ex")
+    }
+    assert(planStr.contains("sha2"), "winner selection must key on the sha2 digest")
+  }
+
+  test("q_profile computes the whole column profile from ONE scan of orders") {
+    val plan = formattedPlan(q("q_profile"))
+    val scans = plan.linesIterator.count(_.trim.matches(raw"\(\d+\) Scan parquet.*"))
+    assert(scans == 1, s"profile must be a single-pass aggregate, found $scans scans")
+    assert(plan.contains("Expand"), "multi-distinct profile aggregates via Expand")
+  }
+
+  test("q_stream_enrich broadcasts the customer dimension (fact side never shuffles for the join)") {
+    val plan = formattedPlan(q("q_stream_enrich"))
+    assert(plan.contains("BroadcastHashJoin"), "dimension join must broadcast")
+  }
+
+  test("q_bm25 broadcasts the corpus statistics and document-frequency sides") {
+    val plan = formattedPlan(q("q_bm25"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"df and corpus-stats joins must broadcast, got $bhj broadcast joins")
+  }
+
   test("CBO: with ANALYZE TABLE stats present, the 3-table chain keeps its broadcasts") {
     import org.apache.spark.sql.functions._
     // Catalyst's CBO only reads catalog statistics, so land the chain's

@@ -112,10 +112,16 @@ object IncrementalCorpus {
     }
     val newVsAll = Corpus.decontamAgainst(q.drop("digest"), benchSoFar, minOverlap)
       .select(col("doc_id"))
+    // the old-corpus rescreen is only owed when this batch actually adds
+    // benchmark docs — without the guard every batch would re-shingle the
+    // ENTIRE previously-ingested corpus (a full-corpus pass per batch at
+    // 100 TB) to join against an empty benchmark delta. The isEmpty probe
+    // is a limit-1 action on the already-checkpointed batch slice.
     val oldVsNew = rawOld match {
-      case Some(old) => Corpus.decontamAgainst(old.drop("digest"), benchDelta, minOverlap)
-        .select(col("doc_id"))
-      case None => newVsAll.limit(0)
+      case Some(old) if !benchDelta.isEmpty =>
+        Corpus.decontamAgainst(old.drop("digest"), benchDelta, minOverlap)
+          .select(col("doc_id"))
+      case _ => newVsAll.limit(0)
     }
     val flags = newVsAll.unionByName(oldVsNew).distinct()
     StreamingDedup.writeBatchPartition(flags, batchId, s"$base/flags")

@@ -21,12 +21,14 @@ object RunQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    // warm run excluded? No: single timed run, matches Bench methodology
-    // (toRdd.count() so the timed plan is the query's own, unpruned).
+    if (args.contains("explain"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // warm run excluded? No: single timed run, matches Bench methodology:
+    // the query FUNCTION runs inside the timed region (fixture-backed
+    // streaming queries do their work eagerly in the call), and
+    // toRdd.count() executes the returned plan unpruned.
     val t0 = System.nanoTime()
-    val n = df.queryExecution.toRdd.count()
+    val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     println(f"RESULT $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     spark.stop()
   }

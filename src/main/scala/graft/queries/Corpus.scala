@@ -55,9 +55,21 @@ object Corpus {
     */
   def decontamAgainst(corpusDocs: org.apache.spark.sql.DataFrame,
       benchDocs: org.apache.spark.sql.DataFrame,
+      minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame =
+    decontamAgainstShingles(corpusDocs,
+      Similarity.shinglesOf(benchDocs)
+        .select(col("doc_id").as("bench_id"), col("shingle")),
+      minOverlap)
+
+  /** [[decontamAgainst]] with the benchmark side PRE-SHINGLED
+    * (bench_id, shingle) — for callers that maintain the benchmark
+    * shingle set incrementally (streaming.IncrementalCorpus persists
+    * per-batch bench shingles so a growing benchmark is never
+    * re-shingled from text on every micro-batch).
+    */
+  def decontamAgainstShingles(corpusDocs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
       minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame = {
-    val bench = Similarity.shinglesOf(benchDocs)
-      .select(col("doc_id").as("bench_id"), col("shingle"))
     val corpus = Similarity.shinglesOf(corpusDocs)
     val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     corpus.join(broadcast(bench), "shingle")

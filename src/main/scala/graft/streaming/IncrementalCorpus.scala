@@ -44,6 +44,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   raw/     quality-pass docs + digest   (batch-partitioned)
   *   bench/   benchmark docs (doc_id%10==0, the q_corpus_build convention)
+  *   benchsh/ benchmark (bench_id, shingle) rows (batch-partitioned) —
+  *            the accumulated decontam join side. Persisting shingles
+  *            keeps per-batch decontam cost proportional to the BATCH:
+  *            without it every micro-batch re-shingled the whole
+  *            benchmark-so-far from text, and the benchmark grows with
+  *            the corpus (10% of docs), i.e. per-batch work growing
+  *            linearly with everything ever ingested. Raw shingle
+  *            STRINGS are stored (≈3× bench text) so results match the
+  *            one-shot batch build exactly; a deployment trading exact
+  *            parity for state size would store xxhash64(shingle).
   *   store/   MinHash band store           (StreamingDedup)
   *   pairs/   near-dup candidate pairs     (StreamingDedup)
   *   dedges/  per-digest star edges        (batch-partitioned)
@@ -104,13 +114,17 @@ object IncrementalCorpus {
 
     // contamination: new docs vs all benchmark docs so far, and already-
     // ingested docs vs the batch's new benchmark docs — each a bounded
-    // broadcast-bench shingle join; no (doc, bench) pair scored twice
-    val benchOld = readBefore(spark, s"$base/bench", batchId)
-    val benchSoFar = benchOld match {
-      case Some(old) => old.unionByName(benchDelta)
-      case None      => benchDelta
+    // broadcast-bench shingle join; no (doc, bench) pair scored twice.
+    // The bench side joins as the PERSISTED shingle store (see the state
+    // layout note): only the delta is shingled from text here.
+    val benchShDelta = graft.queries.Similarity.shinglesOf(benchDelta)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val benchShOld = readBefore(spark, s"$base/benchsh", batchId)
+    val benchShSoFar = benchShOld match {
+      case Some(old) => old.unionByName(benchShDelta)
+      case None      => benchShDelta
     }
-    val newVsAll = Corpus.decontamAgainst(q.drop("digest"), benchSoFar, minOverlap)
+    val newVsAll = Corpus.decontamAgainstShingles(q.drop("digest"), benchShSoFar, minOverlap)
       .select(col("doc_id"))
     // the old-corpus rescreen is only owed when this batch actually adds
     // benchmark docs — without the guard every batch would re-shingle the
@@ -126,6 +140,7 @@ object IncrementalCorpus {
     val flags = newVsAll.unionByName(oldVsNew).distinct()
     StreamingDedup.writeBatchPartition(flags, batchId, s"$base/flags")
     StreamingDedup.writeBatchPartition(benchDelta, batchId, s"$base/bench")
+    StreamingDedup.writeBatchPartition(benchShDelta, batchId, s"$base/benchsh")
     StreamingDedup.writeBatchPartition(q, batchId, s"$base/raw")
   }
 

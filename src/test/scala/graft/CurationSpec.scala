@@ -90,6 +90,22 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("approx profile: HLL distincts within 5% of exact, nulls identical, no Expand") {
+    val orders = Tables.orders(spark, sf)
+    val exact = Curation.profileOrdersOf(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approxDf = Curation.profileOrdersApproxOf(orders)
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "the HLL profile must not expand the input")
+    approxDf.collect().foreach { r =>
+      val (nulls, dist) = exact(r.getString(0))
+      assert(r.getLong(1) == nulls, s"${r.getString(0)} null count must be exact")
+      val est = r.getLong(2)
+      assert(math.abs(est - dist) <= math.max(1L, (dist * 0.05).toLong),
+        s"${r.getString(0)} estimate $est vs exact $dist")
+    }
+  }
+
   test("deterministic shuffle: shard+pos are a pure function of doc_id, positions contiguous") {
     val name = "q_shuffle_det"
     val once = SparkEntry.queries(name)(spark, sf).collect()

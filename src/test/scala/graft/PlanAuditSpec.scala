@@ -123,11 +123,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(planStr.contains("sha2"), "winner selection must key on the sha2 digest")
   }
 
-  test("q_profile computes the whole column profile from ONE scan of orders") {
+  test("q_profile: one column-pruned scan per branch, never an Expand") {
     val plan = formattedPlan(q("q_profile"))
     val scans = plan.linesIterator.count(_.trim.matches(raw"\(\d+\) Scan parquet.*"))
-    assert(scans == 1, s"profile must be a single-pass aggregate, found $scans scans")
-    assert(plan.contains("Expand"), "multi-distinct profile aggregates via Expand")
+    assert(scans == 6, s"one branch per profiled column, found $scans scans")
+    // each branch reads exactly its own column (pruned), and the exact
+    // multi-distinct Expand formulation (measured 4x slower) must not
+    // come back
+    assert(!plan.contains("Expand"), "profile must not expand the input")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.forall(_.count(_ == ',') == 0),
+      s"every branch scan must read a single column: $readSchemas")
   }
 
   test("q_stream_enrich broadcasts the customer dimension (fact side never shuffles for the join)") {

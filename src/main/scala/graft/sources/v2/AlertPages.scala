@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,12 +17,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * ≤ 100 alerts/sec, sequential).
   *
   * Re-expressed Spark-first: each page is an InputPartition, so pages
-  * are fetched in PARALLEL across executor threads, and `df.limit(n)`
-  * reaches the source via SupportsPushDownLimit — only ⌈n/pageSize⌉
-  * pages are planned at all, the engine-side equivalent of stopping the
-  * pagination loop early. Offline build: rows are deterministic
-  * synthetic alerts (seeded per page); a live connector would issue the
-  * HTTP call inside the partition reader with the same structure.
+  * are fetched in PARALLEL across executor threads, and the three
+  * classic pushdowns reach the source:
+  *
+  *  - '''limit''' (SupportsPushDownLimit): only ⌈n/pageSize⌉ pages are
+  *    planned — the engine-side equivalent of stopping the pagination
+  *    loop early. Applied ONLY when no filter was pushed: a pushed
+  *    filter reduces per-page yield, so page-count reduction could
+  *    under-deliver rows that later pages contain (classic source bug;
+  *    guarded + spec-tested instead).
+  *  - '''column pruning''' (SupportsPushDownRequiredColumns): the
+  *    reader materializes only the requested fields — the analog of an
+  *    API `fields=` parameter shrinking the response payload.
+  *  - '''equality filters''' (SupportsPushDownFilters): `EqualTo` on
+  *    any alert attribute is applied INSIDE the partition reader (the
+  *    analog of the API's server-side filter body — the reference POSTs
+  *    a `filters: [...]` JSON); other predicates are left for Spark.
+  *    Pushed filters are fully applied, so they are not returned for
+  *    re-evaluation.
+  *
+  * Offline build: rows are deterministic synthetic alerts (seeded per
+  * page); a live connector would issue the HTTP call inside the
+  * partition reader with the same structure.
   *
   * Usage:
   * {{{
@@ -51,6 +68,18 @@ object AlertPages {
     StructField("account", StringType, nullable = false),
     StructField("accountId", StringType, nullable = false),
     StructField("cloudType", StringType, nullable = false)))
+
+  /** Field value of synthetic alert #n — single source of truth for the
+    * reader and the pushed-filter evaluation.
+    */
+  def fieldValue(name: String, n: Long): String = name match {
+    case "alert_id"  => s"alert-$n"
+    case "policyId"  => s"policy-${n % 7}"
+    case "account"   => s"acct-name-${n % 5}"
+    case "accountId" => s"acct-${n % 13}"
+    case "cloudType" => if (n % 2 == 0) "aws" else "azure"
+    case other       => throw new IllegalArgumentException(s"no such field: $other")
+  }
 }
 
 class AlertPagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
@@ -63,50 +92,80 @@ class AlertPagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead
 }
 
 class AlertScanBuilder(pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var limit: Int = Int.MaxValue
+  private var required: StructType = AlertPages.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // Pages over-deliver up to pageSize-1 rows beyond the limit, so Spark
   // must keep its Limit operator: partial push, stated explicitly rather
   // than relying on the interface default.
   override def isPartiallyPushed: Boolean = true
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (eq, rest) = filters.partition {
+      case EqualTo(attr, _: String) => AlertPages.schema.fieldNames.contains(attr)
+      case _ => false
+    }
+    pushed = eq
+    rest // equality filters are FULLY applied in the reader; the rest stay Spark-side
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
+    // Page-count reduction from the limit is only sound when every page
+    // yields pageSize rows toward it — i.e. when no filter was pushed.
     // Long arithmetic: (limit + pageSize - 1) overflows Int for limits
     // near Int.MaxValue, which would plan zero pages.
     val neededPages =
-      if (limit == Int.MaxValue) pages
+      if (limit == Int.MaxValue || pushed.nonEmpty) pages
       else math.min(pages.toLong, (limit.toLong + pageSize - 1) / pageSize).toInt
-    new AlertScan(neededPages, pageSize)
+    val eqPairs = pushed.collect { case EqualTo(a, v: String) => (a, v) }
+    new AlertScan(neededPages, pageSize, required, eqPairs)
   }
 }
 
-class AlertScan(pages: Int, pageSize: Int) extends Scan with Batch {
-  override def readSchema(): StructType = AlertPages.schema
+class AlertScan(pages: Int, pageSize: Int, required: StructType,
+    eqFilters: Array[(String, String)]) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"AlertScan(pages=$pages, pageSize=$pageSize)"
+  override def description(): String =
+    s"AlertScan(pages=$pages, pageSize=$pageSize, " +
+      s"columns=[${required.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${eqFilters.map { case (a, v) => s"$a=$v" }.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => AlertPagePartition(p, pageSize): InputPartition).toArray
+    (0 until pages).map(p =>
+      AlertPagePartition(p, pageSize, required.fieldNames, eqFilters): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new AlertPageReaderFactory
 }
 
-case class AlertPagePartition(page: Int, pageSize: Int) extends InputPartition
+case class AlertPagePartition(page: Int, pageSize: Int,
+    columns: Array[String], eqFilters: Array[(String, String)]) extends InputPartition
 
 class AlertPageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AlertPagePartition]
     new PartitionReader[InternalRow] {
-      // A live connector performs the page POST here (executor-side).
+      // A live connector performs the page POST here (executor-side),
+      // carrying the pushed filters in the request body and the pruned
+      // column list as the response field selection.
       private var i = -1
-      override def next(): Boolean = { i += 1; i < p.pageSize }
-      override def get(): InternalRow = {
-        val n = p.page.toLong * p.pageSize + i
-        InternalRow(
-          UTF8String.fromString(s"alert-$n"),
-          UTF8String.fromString(s"policy-${n % 7}"),
-          UTF8String.fromString(s"acct-name-${n % 5}"),
-          UTF8String.fromString(s"acct-${n % 13}"),
-          UTF8String.fromString(if (n % 2 == 0) "aws" else "azure"))
+      private def alertNo: Long = p.page.toLong * p.pageSize + i
+      private def matches(n: Long): Boolean =
+        p.eqFilters.forall { case (a, v) => AlertPages.fieldValue(a, n) == v }
+      override def next(): Boolean = {
+        i += 1
+        while (i < p.pageSize && !matches(alertNo)) i += 1
+        i < p.pageSize
       }
+      override def get(): InternalRow =
+        InternalRow(p.columns.map(c =>
+          UTF8String.fromString(AlertPages.fieldValue(c, alertNo)): Any): _*)
       override def close(): Unit = ()
     }
   }

@@ -345,6 +345,44 @@ object Curation {
              |       min_num, max_num, min_str, max_str
              |FROM p ORDER BY col_name""".stripMargin)),
 
+    // Vocabulary coverage: the tokenizer-coverage check a training
+    // pipeline runs before committing to a vocab — top-20 corpus terms
+    // (count desc, word tiebreak) as the "vocabulary", then per-doc
+    // in-vocab token share and OOV count. The vocab is a tiny ranked
+    // aggregate joined back BROADCAST; per-doc coverage is one exploded
+    // aggregation keyed by doc_id. At 100 TB the vocab side stays
+    // k rows regardless of corpus size.
+    QueryDef("q_tok_vocab",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        // top-k via sort+limit, NOT a global row_number window: this
+        // plans as TakeOrderedAndProject (per-partition heap + driver
+        // merge of k rows) where the window would single-partition the
+        // whole distinct-word table
+        val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word")).limit(20)
+          .select(col("word"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long").as("n_oov"),
+            round(sum(coalesce(col("in_vocab"), lit(0))).cast("double") /
+              count(lit(1)), 4).as("coverage"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |vocab AS (
+             |  SELECT word FROM (
+             |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+             |    FROM toks GROUP BY word) WHERE rk <= 20)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+             |       round(CAST(count(v.word) AS DOUBLE) / count(*), 4) AS coverage
+             |FROM toks t LEFT JOIN vocab v ON t.word = v.word
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // Single-pass HLL profile — the continuous-profiler form of
     // q_profile (no oracle: estimates are engine-specific; CurationSpec
     // bounds them against the exact profile)

@@ -129,6 +129,41 @@ object TimeWindows {
       (s, d) => dedupAgg(T.events(s, d)).orderBy(col("event_type")),
       None),
 
+    // Windowed anomaly detection: per (event_type, 1h tumble) mean value
+    // vs the type's overall mean/σ of WINDOW MEANS — flags the windows
+    // whose hourly behavior deviates > 2σ from that type's norm (the
+    // time-series complement of q_outliers' per-event z-score). Two
+    // aggregations sharing the first's shuffle; the per-type moment
+    // table is tiny and broadcast. Membership decided on the ROUNDED
+    // z (hazard H1).
+    QueryDef("q_anomaly_window",
+      (s, d) => {
+        val wm = T.events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), avg(col("value")).as("wmean"))
+        val stats = wm.groupBy(col("event_type"))
+          .agg(avg(col("wmean")).as("gmean"), stddev(col("wmean")).as("gstd"))
+        wm.join(broadcast(stats), "event_type")
+          .withColumn("z", round((col("wmean") - col("gmean")) / col("gstd"), 4))
+          .filter(abs(col("z")) > 2.0)
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"), col("n"), round(col("wmean"), 4).as("wmean"), col("z"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""WITH wm AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+             |         CAST(count(*) AS BIGINT) AS n, avg(value) AS wmean
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, avg(wmean) AS gmean, stddev_samp(wmean) AS gstd
+             |  FROM wm GROUP BY event_type)
+             |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, n,
+             |       round(wmean, 4) AS wmean,
+             |       round((wmean - gmean) / gstd, 4) AS z
+             |FROM wm JOIN stats USING (event_type)
+             |WHERE abs(round((wmean - gmean) / gstd, 4)) > 2.0
+             |ORDER BY w_start, event_type""".stripMargin)),
+
     // Per-EVENT session assignment (vs q_stream_session's per-session
     // aggregate): a session id as a column on every event — lag to flag
     // 30-min breaks, running sum to number them. One shuffle on user_id

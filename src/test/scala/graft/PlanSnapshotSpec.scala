@@ -24,7 +24,10 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     "q_dedup_near", "q_dedup_simhash", "q_dedup_exact", "q_media_sim",
     "q_join_smj", "q_agg_q1", "q_dedup_embed", "q_tfidf", "q_freq_terms",
     "q_outliers", "q_sessionize", "q_bloom_prefilter", "q_tpch_q3", "q_tpch_q5",
-    "q_decontam", "q_pack", "q_doc_ppl", "q_corpus_build")
+    "q_decontam", "q_pack", "q_doc_ppl", "q_corpus_build",
+    // round-8 additions
+    "q_dedup_para", "q_bm25", "q_dedup_sem", "q_profile", "q_tok_vocab",
+    "q_shuffle_det", "q_anomaly_window", "q_stream_enrich")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

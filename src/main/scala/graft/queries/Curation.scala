@@ -154,6 +154,15 @@ object Curation {
     * continuous profiler runs over 100 TB; exactness (and the DuckDB
     * oracle) belongs to [[profileOrdersOf]]. CurationSpec bounds the
     * estimates against the exact profile.
+    *
+    * Measured caveat (sf0.1, fresh plans): this runs ~1.1 s vs the
+    * exact branches' ~0.6 s — HyperLogLogPlusPlus is an IMPERATIVE
+    * aggregate, so the agg drops out of whole-stage codegen and pays
+    * interpreted per-row eval, which dominates when the scan is
+    * page-cache-cheap. The single scan wins where it matters: when
+    * scans are IO-bound (6 column reads vs 1) and when sketches must
+    * merge across ingest increments — the continuous-profiler case,
+    * not the one-shot fixture case.
     */
   def profileOrdersApproxOf(orders: DataFrame): DataFrame = {
     val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",

@@ -99,6 +99,31 @@ object Udx {
         s.read.schema(schema).option("header", "true").csv(out)
           .orderBy(col("event_id"))
       },
+      None),
+
+    // JSONL round-trip (completes the source-format axis next to CSV and
+    // parquet): nested struct + array columns survive the write/read with
+    // a DECLARED schema — no inference on the read path (the 100-TB rule:
+    // schema inference is a full extra pass over the data). UdxSpec
+    // asserts content equality with the pre-write frame.
+    QueryDef("q_json_roundtrip",
+      (s, d) => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_json_roundtrip_${s.sparkContext.applicationId}").toString
+        val docsSlice = T.documents(s, d)
+          .select(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"),
+            slice(split(col("text"), " "), 1, 3).as("head_toks"),
+            col("n_chars"))
+        docsSlice.write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("meta", StructType(Seq(
+            StructField("lang", StringType), StructField("source", StringType)))),
+          StructField("head_toks", ArrayType(StringType)),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(out).orderBy(col("doc_id"))
+      },
       None)
   )
 }

@@ -29,6 +29,18 @@ class UdxSpec extends AnyFunSuite with SharedSpark {
       orig.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("json roundtrip preserves nested struct and array columns (q_json_roundtrip)") {
+    val back = SparkEntry.queries("q_json_roundtrip")(spark, sf)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source")).as("meta"),
+        slice(split(col("text"), " "), 1, 3).as("head_toks"),
+        col("n_chars"))
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   test("JSON-lines and ORC sinks roundtrip rows and schema") {
     val slice = Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"),

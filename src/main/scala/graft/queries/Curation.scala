@@ -248,7 +248,7 @@ object Curation {
   }
 
   /** The vectors [[semDedupClustersOf]] REMOVES, with their dominating
-    * keeper — the per-vector view SemDedupSpec verifies against exact
+    * keeper — the per-vector view CurationSpec verifies against exact
     * brute-force cosine pairs.
     */
   def semDedupRemovalsOf(embeddings: DataFrame,
@@ -437,7 +437,7 @@ object Curation {
     // 0 removals on the fixture (its embeddings are isotropic, max
     // pairwise cosine 0.51 — same measured fact as q_dedup_embed), so
     // the declared surface reports per-cluster survivor accounting
-    // (always k non-empty rows); SemDedupSpec plants duplicates and
+    // (always k non-empty rows); CurationSpec plants duplicates and
     // verifies removal semantics per-vector.
     QueryDef("q_dedup_sem",
       (s, d) => semDedupClustersOf(T.embeddings(s, d)), None)

@@ -13,11 +13,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM, codegen, parquet reader paths) on the bench
-    // dataset so the first timed query doesn't absorb one-time startup
-    // cost; a warm-up failure must not abort the whole bench.
-    try SparkEntry.queries("q_agg_q1")(spark, sfDir).count()
-    catch { case _: Throwable => () }
     // Force the query's OWN physical plan: `df.count()` builds a new
     // Aggregate(count) logical plan and re-optimizes it, letting Catalyst
     // prune every computed projection, eliminate the output sort, and
@@ -42,6 +37,19 @@ object Bench {
     // Amortized paths (e.g. the IVF index build) pay their one-time cost
     // in pass 1 and the median reports the steady state.
     val names = SparkEntry.queries.keys.toSeq
+    // Pass 0, untimed: one throwaway execution of EVERY query so all
+    // one-time state lands before any timed pass — the persisted ANN
+    // indexes (IvfIndex/PqIndex ensureBuilt), streaming/corpus fixture
+    // machinery, codegen and parquet reader caches. Without it the
+    // amortized paths paid their cold build inside timed pass 1
+    // (q_corpus_inc spread 61.7 s, q_corpus_build 15.2 s in round 8)
+    // and one contended pass could shift a median. Failures are
+    // swallowed here — a genuinely broken query still reports -1 from
+    // the timed passes.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
     val passes = (1 to runs).map(_ => names.map(n => n -> time(n)).toMap)
     def sortedTimes(n: String): Seq[Double] = passes.map(_(n)).sorted
     val results = names.map(n => n -> sortedTimes(n)(runs / 2)).toMap

@@ -268,6 +268,25 @@ object Curation {
       .orderBy(col("removed_id"))
   }
 
+  /** Deterministic shard/pos assignment for an arbitrary docs frame —
+    * factored out of q_shuffle_det so CurationSpec can prove layout
+    * independence by feeding the SAME logic a differently-partitioned
+    * input (the declared query always reads the parquet layout).
+    */
+  def shuffleDetOf(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat(lit("sh:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("skey"), 1, 1)) - 1).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q_dedup_para",
@@ -409,19 +428,7 @@ object Curation {
     // shards are corpus/16 — the window never sees the whole corpus in
     // one partition.
     QueryDef("q_shuffle_det",
-      (s, d) => {
-        val keyed = T.documents(s, d)
-          .select(col("doc_id"),
-            md5(concat(lit("sh:"), col("doc_id").cast("string"))).as("skey"))
-          .withColumn("shard",
-            (instr(lit("0123456789abcdef"), substring(col("skey"), 1, 1)) - 1).cast("int"))
-        keyed
-          .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
-          .select(col("doc_id"), col("shard"), col("pos"))
-          .orderBy(col("shard"), col("pos"))
-      },
+      (s, d) => shuffleDetOf(T.documents(s, d)),
       Some("""WITH keyed AS (
              |  SELECT doc_id, md5('sh:' || CAST(doc_id AS VARCHAR)) AS skey
              |  FROM documents),

@@ -105,25 +105,45 @@ object Udx {
     // parquet): nested struct + array columns survive the write/read with
     // a DECLARED schema — no inference on the read path (the 100-TB rule:
     // schema inference is a full extra pass over the data). UdxSpec
-    // asserts content equality with the pre-write frame.
+    // asserts nested content equality via jsonRoundtripNested; the
+    // DECLARED query serializes the nested columns in its final
+    // projection only (struct fields flattened, array joined) so the
+    // result is scalar-sortable — which also makes it oracle-eligible.
     QueryDef("q_json_roundtrip",
-      (s, d) => {
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_json_roundtrip_${s.sparkContext.applicationId}").toString
-        val docsSlice = T.documents(s, d)
-          .select(col("doc_id"),
-            struct(col("lang"), col("source")).as("meta"),
-            slice(split(col("text"), " "), 1, 3).as("head_toks"),
-            col("n_chars"))
-        docsSlice.write.mode("overwrite").json(out)
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("meta", StructType(Seq(
-            StructField("lang", StringType), StructField("source", StringType)))),
-          StructField("head_toks", ArrayType(StringType)),
-          StructField("n_chars", LongType)))
-        s.read.schema(schema).json(out).orderBy(col("doc_id"))
-      },
-      None)
+      (s, d) => jsonRoundtripNested(s, d)
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"), col("meta.source").as("source"),
+          array_join(col("head_toks"), " ").as("head_txt"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, source,
+             |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+             |         AS head_txt,
+             |       n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
+
+  /** The JSONL write + schema'd read-back itself, nested columns intact.
+    * Kept as the shared core so the spec verifies exactly what the
+    * declared query consumes (struct + array survive the format), while
+    * the query's own output stays scalar for the driver's dump/sort.
+    */
+  def jsonRoundtripNested(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_json_roundtrip_${s.sparkContext.applicationId}").toString
+    val docsSlice = T.documents(s, d)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source")).as("meta"),
+        slice(split(col("text"), " "), 1, 3).as("head_toks"),
+        col("n_chars"))
+    docsSlice.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("source", StringType)))),
+      StructField("head_toks", ArrayType(StringType)),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+  }
 }

@@ -80,6 +80,20 @@ object IncrementalCorpus {
   def ingestBatch(batch: DataFrame, batchId: Long, base: String,
       threshold: Double = 0.5, minOverlap: Double = 0.3): Unit = {
     val spark = batch.sparkSession
+    // State-layout compatibility guard, BEFORE any state mutation: a dir
+    // written before the benchsh/ store existed has earlier bench/
+    // batches but no benchsh/ directory — continuing would silently
+    // screen new docs against only this batch's shingle delta (missed
+    // contamination flags, no error). Fail fast and name the remedy.
+    // The bench/ probe only runs when benchsh/ is absent (fresh dirs
+    // pass trivially; replay passes: the two are written together).
+    if (readBefore(spark, s"$base/benchsh", batchId).isEmpty) {
+      val legacyBench = readBefore(spark, s"$base/bench", batchId)
+      require(legacyBench.forall(_.isEmpty),
+        s"$base: bench/ has batches before $batchId but benchsh/ is missing — " +
+          "pre-benchsh state layout. Discard the state dir (or backfill " +
+          "benchsh/ by shingling the persisted bench/ docs) before resuming.")
+    }
     // one materialization of the arriving docs: feeds the bench split,
     // the quality gate, and (via commitBatch) signature generation
     val b = batch.localCheckpoint(true)

@@ -107,14 +107,12 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("deterministic shuffle: shard+pos are a pure function of doc_id, positions contiguous") {
-    val name = "q_shuffle_det"
-    val once = SparkEntry.queries(name)(spark, sf).collect()
+    val once = SparkEntry.queries("q_shuffle_det")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
-    // stable under a different input partitioning: same (shard, pos) map
+    // stable under a different input partitioning: run the SAME sharding
+    // logic over a repartitioned (and differently-ordered) input frame
     val docs = Tables.documents(spark, sf).repartition(7)
-    docs.createOrReplaceTempView("shuffle_det_docs")
-    val again = Curation.defs.find(_.name == name).get
-      .fn(spark, sf).collect()
+    val again = Curation.shuffleDetOf(docs).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(once == again, "shard/pos must not depend on physical layout")
     // per shard: positions are exactly 1..n_shard

@@ -35,6 +35,20 @@ class IncrementalCorpusSpec extends AnyFunSuite with SharedSpark {
       s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("resuming a pre-benchsh state dir fails fast instead of missing contamination") {
+    val base = Files.createTempDirectory("graft_inc_legacy").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalCorpus.ingestBatch(docs.filter(col("doc_id") % 3 === 0), 0L, base)
+    // simulate a state dir written before the benchsh/ store existed
+    val benchsh = java.nio.file.Paths.get(base, "benchsh")
+    Files.walk(benchsh).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalCorpus.ingestBatch(docs.filter(col("doc_id") % 3 === 1), 1L, base)
+    }
+    assert(ex.getMessage.contains("benchsh"))
+  }
+
   test("replaying an already-ingested batch leaves the snapshot unchanged") {
     val base = Files.createTempDirectory("graft_inc_r").toString
     val docs = Tables.documents(spark, sf)

@@ -30,7 +30,7 @@ class UdxSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("json roundtrip preserves nested struct and array columns (q_json_roundtrip)") {
-    val back = SparkEntry.queries("q_json_roundtrip")(spark, sf)
+    val back = graft.queries.Udx.jsonRoundtripNested(spark, sf)
     val orig = Tables.documents(spark, sf)
       .select(col("doc_id"),
         struct(col("lang"), col("source")).as("meta"),
@@ -39,6 +39,22 @@ class UdxSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() == orig.count())
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
     assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  test("q_json_roundtrip declared output is scalar-only and matches the nested source") {
+    val q = SparkEntry.queries("q_json_roundtrip")(spark, sf)
+    // every column scalar (driver's pandas sort/hash requires it)
+    assert(q.schema.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }), "declared q_json_roundtrip output must be flat scalars")
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("head_txt"),
+        col("n_chars"))
+    assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty)
   }
 
   test("JSON-lines and ORC sinks roundtrip rows and schema") {

@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
@@ -17,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ≤ 100 alerts/sec, sequential).
   *
   * Re-expressed Spark-first: each page is an InputPartition, so pages
-  * are fetched in PARALLEL across executor threads, and the three
+  * are fetched in PARALLEL across executor threads, and the four
   * classic pushdowns reach the source:
   *
   *  - '''limit''' (SupportsPushDownLimit): only ⌈n/pageSize⌉ pages are
@@ -35,6 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a `filters: [...]` JSON); other predicates are left for Spark.
   *    Pushed filters are fully applied, so they are not returned for
   *    re-evaluation.
+  *  - '''aggregates''' (SupportsPushDownAggregates): count/min/max
+  *    grouped by alert attributes — the analog of the API's server-side
+  *    `groupBy=` aggregation (the reference requests
+  *    `groupBy=cloud.service` and receives grouped counts,
+  *    `prisma_report/lambda.py:13,145`). Partial pushdown: each page
+  *    returns ≤ |groups| partial rows and Spark merges, so a
+  *    count-per-policy ships group tallies, not alert rows.
   *
   * Offline build: rows are deterministic synthetic alerts (seeded per
   * page); a live connector would issue the HTTP call inside the
@@ -93,10 +101,15 @@ class AlertPagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead
 
 class AlertScanBuilder(pages: Int, pageSize: Int)
     extends ScanBuilder with SupportsPushDownLimit
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var limit: Int = Int.MaxValue
   private var required: StructType = AlertPages.schema
   private var pushed: Array[Filter] = Array.empty
+  // pushed aggregation: group-by column names + (func, column) descriptors
+  private var aggGroups: Array[String] = Array.empty
+  private var aggFuncs: Array[(String, String)] = Array.empty
+  private var aggPushed = false
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // Pages over-deliver up to pageSize-1 rows beyond the limit, so Spark
@@ -105,7 +118,10 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
   override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // After an aggregation push the scan output IS the aggregation
+    // schema (already minimal); pruning requests then reference agg
+    // column names, not alert fields, and must not clobber it.
+    if (!aggPushed) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (eq, rest) = filters.partition {
@@ -117,7 +133,48 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Server-side aggregation — the analog of the reference API's
+    * `groupBy=` parameter (`prisma_report/lambda.py:13,145` groups by
+    * cloud.service server-side). PARTIAL pushdown: each page partition
+    * returns per-group partial rows (count/min/max over its own page,
+    * pushed filters already applied) and Spark's final aggregate merges
+    * them — exactly map-side partial aggregation, moved into the source
+    * so a count-per-policy ships ≤ groups rows per page instead of
+    * pageSize alert rows. Complete pushdown is declined (default
+    * supportCompletePushDown = false): pages are independent partitions,
+    * so globally-merged groups would need a single-partition scan — the
+    * sequential pagination loop this connector exists to avoid.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          AlertPages.schema.fieldNames.contains(f.fieldNames()(0)) =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+    val groups = aggregation.groupByExpressions.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(("count", _))
+      case m: Min => fieldOf(m.column).map(("min", _))
+      case m: Max => fieldOf(m.column).map(("max", _))
+      case _ => None
+    }
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return false
+    aggGroups = groups.map(_.get)
+    aggFuncs = funcs.map(_.get)
+    aggPushed = true
+    true
+  }
+
   override def build(): Scan = {
+    val eqPairs = pushed.collect { case EqualTo(a, v: String) => (a, v) }
+    if (aggPushed)
+      // a Limit above an Aggregate never maps to a page count (every
+      // page contributes partials to every group), so no page reduction
+      return new AlertAggScan(pages, pageSize, aggGroups, aggFuncs, eqPairs)
     // Page-count reduction from the limit is only sound when every page
     // yields pageSize rows toward it — i.e. when no filter was pushed.
     // Long arithmetic: (limit + pageSize - 1) overflows Int for limits
@@ -125,7 +182,6 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
     val neededPages =
       if (limit == Int.MaxValue || pushed.nonEmpty) pages
       else math.min(pages.toLong, (limit.toLong + pageSize - 1) / pageSize).toInt
-    val eqPairs = pushed.collect { case EqualTo(a, v: String) => (a, v) }
     new AlertScan(neededPages, pageSize, required, eqPairs)
   }
 }
@@ -142,6 +198,83 @@ class AlertScan(pages: Int, pageSize: Int, required: StructType,
     (0 until pages).map(p =>
       AlertPagePartition(p, pageSize, required.fieldNames, eqFilters): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new AlertPageReaderFactory
+}
+
+/** Scan variant for a pushed aggregation: each page partition emits one
+  * partial row per group it observed — (group cols..., partial agg
+  * vals...) — instead of pageSize alert rows. Spark's final aggregate
+  * merges partials (sums counts, re-mins mins), the standard partial-
+  * pushdown contract.
+  */
+class AlertAggScan(pages: Int, pageSize: Int, groups: Array[String],
+    funcs: Array[(String, String)], eqFilters: Array[(String, String)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groups.map(g => StructField(g, StringType, nullable = false)) ++
+      funcs.map {
+        case ("count_star", _) => StructField("count_star", LongType, nullable = false)
+        case ("count", c)      => StructField(s"count_$c", LongType, nullable = false)
+        case (f, c)            => StructField(s"${f}_$c", StringType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"AlertAggScan(pages=$pages, pageSize=$pageSize, " +
+      s"groupBy=[${groups.mkString(",")}], " +
+      s"aggs=[${funcs.map { case (f, c) => s"$f($c)" }.mkString(",")}], " +
+      s"pushedFilters=[${eqFilters.map { case (a, v) => s"$a=$v" }.mkString(",")}])"
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p =>
+      AlertAggPartition(p, pageSize, groups, funcs, eqFilters): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new AlertAggReaderFactory
+}
+
+case class AlertAggPartition(page: Int, pageSize: Int, groups: Array[String],
+    funcs: Array[(String, String)], eqFilters: Array[(String, String)]) extends InputPartition
+
+class AlertAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AlertAggPartition]
+    // A live connector issues the page POST with the API's groupBy=
+    // parameter here and streams back the grouped response; the offline
+    // build aggregates the page's synthetic alerts in one bounded pass
+    // (≤ pageSize rows, the page buffer a live reader holds anyway).
+    val partials = collection.mutable.LinkedHashMap.empty[Seq[String], Array[Any]]
+    val first = p.page.toLong * p.pageSize
+    (first until first + p.pageSize).foreach { n =>
+      val keep = p.eqFilters.forall { case (a, v) => AlertPages.fieldValue(a, n) == v }
+      if (keep) {
+        val key = p.groups.toSeq.map(AlertPages.fieldValue(_, n))
+        val acc = partials.getOrElseUpdate(key, p.funcs.map {
+          case ("count_star", _) | ("count", _) => 0L: Any
+          case _ => null: Any
+        })
+        p.funcs.indices.foreach { i =>
+          p.funcs(i) match {
+            case ("count_star", _) | ("count", _) =>
+              acc(i) = acc(i).asInstanceOf[Long] + 1L
+            case ("min", c) =>
+              val v = AlertPages.fieldValue(c, n)
+              if (acc(i) == null || v < acc(i).asInstanceOf[String]) acc(i) = v
+            case ("max", c) =>
+              val v = AlertPages.fieldValue(c, n)
+              if (acc(i) == null || v > acc(i).asInstanceOf[String]) acc(i) = v
+            case (other, _) =>
+              throw new IllegalStateException(s"unpushable agg func: $other")
+          }
+        }
+      }
+    }
+    val rows = partials.iterator.map { case (key, acc) =>
+      InternalRow((key.map(UTF8String.fromString(_): Any) ++
+        acc.map { case s: String => UTF8String.fromString(s): Any; case v => v }): _*)
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class AlertPagePartition(page: Int, pageSize: Int,

@@ -13,6 +13,35 @@ class AlertPagesSourceSpec extends AnyFunSuite with SharedSpark {
     spark.read.format("graft.sources.v2.AlertPages")
       .option("pages", pages.toString).option("pageSize", pageSize.toString).load()
 
+  /** The scan node, descending through the AQE wrapper aggregate plans
+    * carry (scan-only plans have no shuffle, so no wrapper).
+    */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case other => other.children.view.flatMap(find(_)).headOption
+    }
+    find(df.queryExecution.executedPlan).get
+  }
+
+  /** Rows the source actually transfers, counted through the public
+    * reader API (executing the leaf node alone would skip the unsafe
+    * projection the real plan inserts above it).
+    */
+  private def shippedRows(scan: BatchScanExec): Int = {
+    val batch = scan.scan.toBatch
+    val factory = batch.createReaderFactory()
+    batch.planInputPartitions().map { p =>
+      val r = factory.createReader(p)
+      var c = 0
+      while (r.next()) c += 1
+      r.close()
+      c
+    }.sum
+  }
+
   test("reads pages x pageSize rows with one partition per page (parallel pagination)") {
     val df = read(6, 50)
     assert(df.count() == 300)
@@ -87,5 +116,72 @@ class AlertPagesSourceSpec extends AnyFunSuite with SharedSpark {
       .groupBy("policyId").agg(count(lit(1)).as("n"))
     assert(perPolicy.count() == 7)
     assert(perPolicy.agg(sum("n")).head().getLong(0) == 100)
+  }
+
+  test("grouped count pushes into the source: partials shipped, result equals raw scan") {
+    val agg = read(6, 50).groupBy("policyId").agg(count(lit(1)).as("n"))
+    val scan = scanOf(agg)
+    assert(scan.scan.description().contains("groupBy=[policyId]"),
+      s"aggregation must reach the scan: ${scan.scan.description()}")
+    // pre-aggregated transfer: each page ships ≤ 7 group partials, not 50 alerts
+    assert(shippedRows(scan) == 6 * 7,
+      s"expected 42 partial rows (6 pages x 7 groups), got ${shippedRows(scan)}")
+    // parity with the unpushed computation over raw collected rows
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = read(6, 50).collect().toSeq
+      .groupBy(_.getAs[String]("policyId")).map { case (k, v) => k -> v.length.toLong }
+    assert(got == raw)
+  }
+
+  test("min/max push with the group-by and match the raw scan") {
+    val agg = read(4, 50).groupBy("cloudType")
+      .agg(min("account").as("mn"), max("accountId").as("mx"), count(lit(1)).as("n"))
+    val scan = scanOf(agg)
+    assert(scan.scan.description().contains("min(account)") &&
+      scan.scan.description().contains("max(accountId)"),
+      s"min/max must reach the scan: ${scan.scan.description()}")
+    val got = agg.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val raw = read(4, 50).collect().toSeq.groupBy(_.getAs[String]("cloudType"))
+      .map { case (k, v) =>
+        k -> ((v.map(_.getAs[String]("account")).min,
+          v.map(_.getAs[String]("accountId")).max, v.length.toLong))
+      }
+    assert(got == raw)
+  }
+
+  test("pushed filter composes with pushed aggregation") {
+    val agg = read(4, 50).filter(col("cloudType") === "aws")
+      .groupBy("policyId").agg(count(lit(1)).as("n"))
+    val scan = scanOf(agg)
+    assert(scan.scan.description().contains("cloudType=aws") &&
+      scan.scan.description().contains("groupBy=[policyId]"),
+      s"filter AND aggregation must both reach the scan: ${scan.scan.description()}")
+    assert(agg.agg(sum("n")).head().getLong(0) == 100,
+      "aggregation must run over the FILTERED rows (the aws half of 200)")
+  }
+
+  test("an unpushable aggregate falls back to the row scan and stays correct") {
+    val agg = read(3, 30).groupBy("policyId").agg(countDistinct("account").as("d"))
+    val scan = scanOf(agg)
+    assert(!scan.scan.description().contains("AlertAggScan"),
+      s"count(distinct) must not be claimed as pushed: ${scan.scan.description()}")
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = read(3, 30).collect().toSeq.groupBy(_.getAs[String]("policyId"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("account")).distinct.length.toLong }
+    assert(got == raw)
+  }
+
+  test("a global count (no grouping) ships one partial row per page") {
+    val df = read(8, 25)
+    assert(df.count() == 200)
+    // the count's own plan: the scan under the Aggregate carries the push
+    val cnt = df.groupBy().agg(count(lit(1)).as("n"))
+    val scan = scanOf(cnt)
+    assert(scan.scan.description().contains("aggs=[count_star()]") ||
+      scan.scan.description().contains("aggs=[count()]"),
+      s"global count must reach the scan: ${scan.scan.description()}")
+    assert(shippedRows(scan) == 8, "one partial per page")
+    assert(cnt.head().getLong(0) == 200)
   }
 }

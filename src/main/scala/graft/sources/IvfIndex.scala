@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,37 +17,141 @@ import graft.queries.Similarity
   * {{{
   *   <path>/lists/cid=<c>/…parquet   // (vec_id, emb) per inverted list
   *   <path>/centroids/…parquet       // (cid, centroid) — k rows
+  *   <path>/meta/…parquet            // (k, train_residual) — 1 row
+  *   <path>/delta/batch_id=<b>/cid=<c>/…parquet  // appended vectors
   * }}}
   *
   * The centroid matrix is persisted next to the lists so query-time
   * routing uses the *identical* scoring as build-time assignment
   * (Similarity.centroidScores); a drifted centroid set would silently
-  * degrade recall.
+  * degrade recall. A continuously-ingesting pipeline composes
+  * [[append]] per micro-batch (batch_id-keyed dynamic-overwrite delta
+  * partitions — replay is a no-op) with the [[AppendStats]] drift
+  * signal and [[retrain]] when the appended mass outgrows the trained
+  * centroids.
   */
 object IvfIndex {
 
+  /** ‖x − argmax-centroid‖ from the adjusted-dot scores: centroidScores
+    * returns dot(x,c) − ‖c‖²/2, so ‖x−c‖² = ‖x‖² − 2·max(scores). The
+    * per-row routing residual — its corpus mean is the drift metric.
+    */
+  private def routingResidual: Column =
+    sqrt(greatest(lit(0d),
+      expr("aggregate(emb, 0d, (acc, x) -> acc + x * x)")
+        - lit(2.0) * array_max(col("dots"))))
+
   /** Build the index: assign lists (k-means-refined data-sampled
     * centroids, map-side argmin) and write corpus partitioned by cid.
+    * Also records the train-time mean routing residual — the baseline
+    * [[append]] prices drift against.
     */
   def build(embeddings: DataFrame, path: String,
       k: Int = Similarity.IvfCentroids): Unit = {
     val spark = embeddings.sparkSession
     val (assigned, cents) = Similarity.ivfAssignOf(embeddings, k)
-    assigned.select(col("vec_id"), col("emb"), col("cid"))
+    val pinned = assigned.localCheckpoint(true) // one assignment feeds both writes
+    pinned.select(col("vec_id"), col("emb"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val trainRes = pinned.agg(avg(routingResidual)).head().getDouble(0)
+    Seq((k, trainRes)).toDF("k", "train_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readOr(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Double) =
+    readOr(spark, s"$path/meta").map { m =>
+      val r = m.head(); (r.getInt(0), r.getDouble(1))
+    }.getOrElse(throw new IllegalStateException(
+      s"$path has no meta/ (pre-append index layout) — rebuild with " +
+        "IvfIndex.build before appending"))
+
+  /** Drift report from one appended batch: the batch's mean routing
+    * residual against the train-time baseline. `retrainAdvised` trips
+    * when the ratio exceeds the append's driftBound — the appended mass
+    * is then far from every trained centroid, recall decays, and the
+    * remedy is [[retrain]].
+    */
+  final case class AppendStats(appended: Long, meanResidual: Double,
+      trainResidual: Double, retrainAdvised: Boolean)
+
+  /** Route a batch of NEW vectors onto the existing lists — no
+    * retraining, no touch of the base layout. Assignment uses the
+    * persisted centroids with the identical scoring as build; rows land
+    * in a batch_id-keyed delta subtree via dynamic partition overwrite,
+    * so replaying a micro-batch (foreachBatch is at-least-once)
+    * rewrites exactly its own partitions — a no-op, the same
+    * idempotence contract as streaming.StreamingDedup. [[search]] reads
+    * base and delta lists with the same cid partition pruning.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, driftBound: Double = 1.5): AppendStats = {
+    val (_, trainRes) = readMeta(spark, path)
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    val assigned = Similarity.corpusOf(batch)
+      .withColumn("dots", Similarity.centroidScores(col("emb"), cents))
+      .withColumn("cid",
+        expr("array_position(dots, array_max(dots)) - 1").cast("int"))
+      .localCheckpoint(true) // pin one routing for the stats AND the write
+    val agg = assigned.agg(count(lit(1)), avg(routingResidual)).head()
+    val n = agg.getLong(0)
+    val meanRes = if (n == 0) 0.0 else agg.getDouble(1)
+    assigned
+      .select(col("vec_id"), col("emb"), lit(batchId).as("batch_id"), col("cid"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cid").parquet(s"$path/delta")
+    AppendStats(n, meanRes, trainRes, meanRes > driftBound * trainRes)
+  }
+
+  /** Re-train from everything the index holds (base lists + all deltas):
+    * fresh centroids at the adaptive k for the grown corpus, lists/ and
+    * meta/ rewritten, delta/ cleared. The answer to a tripped
+    * [[AppendStats.retrainAdvised]].
+    */
+  def retrain(spark: SparkSession, path: String): Unit = {
+    val all = allListRows(spark, path)
+      .select(col("vec_id"), col("emb").as("embedding"))
+      .localCheckpoint(true) // we rewrite the dirs this frame reads
+    build(all, path, Similarity.adaptiveCentroids(all.count()))
+    val delta = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(delta, true)
+    ()
+  }
+
+  /** Base + delta list rows as one (vec_id, emb, cid) frame. */
+  private def allListRows(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/lists")
+    readOr(spark, s"$path/delta") match {
+      case Some(d) => base.unionByName(d.drop("batch_id"))
+      case None    => base
+    }
   }
 
   /** The pruned list scan for a probe set: reads ONLY the partitions in
-    * `cids` (assert `PartitionFilters` in the plan — see IvfIndexSpec).
-    * Exposed separately so tests can explain() exactly the frame that
-    * must prune.
+    * `cids` — from the base layout and, when present, the delta subtree
+    * (cid is a partition column in both, so pruning happens at file
+    * listing in each). Assert `PartitionFilters` in the plan — see
+    * IvfIndexSpec. Exposed separately so tests can explain() exactly
+    * the frame that must prune.
     */
-  def prunedLists(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/lists").filter(col("cid").isin(cids: _*))
+  def prunedLists(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame = {
+    val base = spark.read.parquet(s"$path/lists").filter(col("cid").isin(cids: _*))
+    readOr(spark, s"$path/delta") match {
+      case Some(d) =>
+        base.unionByName(d.filter(col("cid").isin(cids: _*)).drop("batch_id"))
+      case None => base
+    }
+  }
 
   /** Per-path build locks so two threads in one JVM (e.g. parallel test
     * suites) never race a rebuild of the same cached index.

@@ -102,4 +102,94 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(top.toSet == Set((100000L, 0L, 1.0), (100001L, 1L, 1.0)),
       s"planted duplicates must be each probe's top hit: ${top.mkString(",")}")
   }
+
+  // ——— incremental maintenance (append / drift / retrain) ———
+
+  private def clustered(n: Long) =
+    ScaleSlope.genEmbeddings(spark, n).select("vec_id", "embedding")
+
+  test("appended near-duplicates route to their originals' lists and are searchable") {
+    val dir = Files.createTempDirectory("graft_ivf_app").toString
+    val base = clustered(2000)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(2000))
+    val dup = base.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)))
+    val stats = IvfIndex.append(spark, dir, dup, batchId = 0L)
+    assert(stats.appended == 10)
+    assert(!stats.retrainAdvised,
+      s"near-dups of in-distribution vectors must not trip drift: $stats")
+    val probes = Similarity.corpusOf(base).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val top = IvfIndex.search(spark, dir, probes, k = 1).collect()
+    top.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) + 100000L,
+        s"probe ${r.getLong(0)}'s top hit must be its appended near-dup, got ${r.getLong(2)}")
+    }
+  }
+
+  test("N appended batches match a full rebuild on the union (recall@5 bound)") {
+    val dirA = Files.createTempDirectory("graft_ivf_incr").toString
+    val dirB = Files.createTempDirectory("graft_ivf_full").toString
+    val all = clustered(3000)
+    IvfIndex.build(all.filter(col("vec_id") < 1500), dirA,
+      Similarity.adaptiveCentroids(1500))
+    (0 until 3).foreach { i =>
+      IvfIndex.append(spark, dirA,
+        all.filter(col("vec_id") >= 1500 && col("vec_id") % 3 === i), i.toLong)
+    }
+    IvfIndex.build(all, dirB, Similarity.adaptiveCentroids(3000))
+    // every vector is in exactly one list across base + delta
+    val held = spark.read.parquet(s"$dirA/lists").count() +
+      spark.read.parquet(s"$dirA/delta").count()
+    assert(held == 3000)
+    val probes = Similarity.corpusOf(all)
+      .filter(col("vec_id").isin(0L, 700L, 1600L, 2200L, 2900L))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    def hits(path: String) = IvfIndex.search(spark, path, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (a, b) = (hits(dirA), hits(dirB))
+    val recall = a.intersect(b).size.toDouble / b.size
+    assert(recall >= 0.9,
+      s"appended index must track the rebuilt index: recall@5 = $recall")
+  }
+
+  test("replaying an appended batch is a no-op (batch_id dynamic overwrite)") {
+    val dir = Files.createTempDirectory("graft_ivf_replay").toString
+    val base = clustered(1000)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(1000))
+    val batch = clustered(1200).filter(col("vec_id") >= 1000)
+    IvfIndex.append(spark, dir, batch, batchId = 7L)
+    val probes = Similarity.corpusOf(base).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val before = IvfIndex.search(spark, dir, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    IvfIndex.append(spark, dir, batch, batchId = 7L) // at-least-once replay
+    assert(spark.read.parquet(s"$dir/delta").count() == 200,
+      "replay must rewrite the same partitions, not add rows")
+    val after = IvfIndex.search(spark, dir, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after == before, "replay must not change search results")
+  }
+
+  test("out-of-distribution batch trips drift; retrain absorbs it and clears delta") {
+    val dir = Files.createTempDirectory("graft_ivf_drift").toString
+    val base = clustered(1000)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(1000))
+    // a batch far from every trained centroid: +10 on every dimension
+    val far = clustered(1100).filter(col("vec_id") >= 1000)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(10.0f)))
+    val stats = IvfIndex.append(spark, dir, far, batchId = 0L)
+    assert(stats.retrainAdvised,
+      s"mean residual ${stats.meanResidual} vs train ${stats.trainResidual} must advise retrain")
+    IvfIndex.retrain(spark, dir)
+    assert(!new java.io.File(s"$dir/delta").exists(), "retrain must clear the delta")
+    assert(spark.read.parquet(s"$dir/lists").count() == 1100,
+      "retrained base must hold base + appended vectors")
+    // post-retrain, an in-distribution batch no longer advises retrain
+    val near = clustered(1200).filter(col("vec_id") >= 1100)
+    val stats2 = IvfIndex.append(spark, dir, near, batchId = 1L)
+    assert(!stats2.retrainAdvised, s"in-distribution append after retrain: $stats2")
+  }
 }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * Math.random, no wall clock) and distributed (spark.range + map-only
   * expressions; nothing driver-side).
   *
-  * Usage: runMain graft.ScaleSlope [baseDir] [mults]   (defaults
-  * /tmp/graft_scale and 1,10)
+  * Usage: runMain graft.ScaleSlope [baseDir] [mults] [recallonly]
+  * (defaults /tmp/graft_scale and 1,10; "recallonly" skips the timed
+  * slope passes and measures only the recall tables — the cheap loop
+  * for iterating on the adversarial-geometry corpora)
   */
 object ScaleSlope {
 
@@ -55,6 +57,35 @@ object ScaleSlope {
     // 10 clusters: v_d = center(label, d) ± noise(id, d), floats in ~[-1.2, 1.2]
     spark.range(n).toDF("vec_id")
       .withColumn("label", pmod(xxhash64(col("vec_id"), lit(-3)), lit(10)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (((pmod(xxhash64(col("label").cast("long"), d), lit(2001)) - 1000) / 1000.0) +
+          ((pmod(xxhash64(col("vec_id"), d, lit(7)), lit(401)) - 200) / 1000.0)).cast("float")))
+      .select("vec_id", "embedding", "label")
+
+  /** Adversarial geometry 1 — isotropic: pure per-(id,dim) noise, no
+    * cluster structure at all. The hardest shape for any partition-based
+    * ANN: neighbors are only marginally closer than random points, so
+    * LSH bucket collisions and IVF list membership carry minimal signal.
+    */
+  def genEmbeddingsIso(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (((pmod(xxhash64(col("vec_id"), d, lit(11)), lit(2001)) - 1000) / 1000.0))
+          .cast("float")))
+      .withColumn("label", lit(0))
+      .select("vec_id", "embedding", "label")
+
+  /** Adversarial geometry 2 — heavy-tailed cluster sizes: label c holds
+    * ~2^c/1024 of the corpus (the largest cluster ≈ half of it, the
+    * smallest a handful of vectors), same center+noise shape as
+    * [[genEmbeddings]]. Stresses the opposite failure mode from iso:
+    * one IVF list dwarfs the rest (skewed candidate counts) while tail
+    * clusters are so sparse their centroids may never be sampled.
+    */
+  def genEmbeddingsHeavy(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("label",
+        floor(log2(pmod(xxhash64(col("vec_id"), lit(-3)), lit(1024)) + 1)).cast("int"))
       .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
         (((pmod(xxhash64(col("label").cast("long"), d), lit(2001)) - 1000) / 1000.0) +
           ((pmod(xxhash64(col("vec_id"), d, lit(7)), lit(401)) - 200) / 1000.0)).cast("float")))
@@ -131,32 +162,54 @@ object ScaleSlope {
         genEmbeddings(spark, 2000L * m).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
     }
+    val recallOnly = args.lift(2).contains("recallonly")
     // warm the JVM/codegen paths AND the page cache at EVERY scale —
     // warming only the smallest would leave cold first-ever parquet
     // reads inside the larger scales' timed region, biasing slopes up
     // toRdd.count() (not df.count()) so Catalyst can't prune computed
     // projections / eliminate the sort or keyed joins out of the timed
     // plan — same rationale as Bench.time
-    for (m <- mults; q <- Heavy if runsAt(q, m))
-      SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
-
-    val times: Map[Int, Map[String, Double]] = mults.map { m =>
-      m -> Heavy.filter(runsAt(_, m)).map { q =>
-        val t0 = System.nanoTime()
+    if (!recallOnly)
+      for (m <- mults; q <- Heavy if runsAt(q, m))
         SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
-        q -> (System.nanoTime() - t0) / 1e9
+
+    val times: Map[Int, Map[String, Double]] =
+      if (recallOnly) mults.map(_ -> Map.empty[String, Double]).toMap
+      else mults.map { m =>
+        m -> Heavy.filter(runsAt(_, m)).map { q =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
+          q -> (System.nanoTime() - t0) / 1e9
+        }.toMap
       }.toMap
-    }.toMap
 
     // recall@5 vs exact brute force for the ANN family at every tier
     // (after the timed region — collects are probe-bounded, 15 rows each)
-    val recalls: Map[Int, Map[String, Double]] = mults.map { m =>
-      val dir = s"$base/x$m"
+    def recallsAt(dir: String): Map[String, Double] = {
       val bf = graft.queries.Similarity.bruteForceTopK(spark, dir, Seq(0L, 1L, 2L), 5)
         .select(col("probe_id"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      m -> AnnRecall.map(q => q -> recallOf(spark, dir, q, bf)).toMap
-    }.toMap
+      AnnRecall.map(q => q -> recallOf(spark, dir, q, bf)).toMap
+    }
+    val recalls: Map[Int, Map[String, Double]] =
+      mults.map(m => m -> recallsAt(s"$base/x$m")).toMap
+
+    // adversarial-geometry recall: the SAME ANN queries over alternate
+    // vector-corpus shapes (each in a sibling dir, so the queries — which
+    // read <dir>/embeddings.parquet — run unchanged). The well-separated
+    // default corpus measures the happy path; these two price what the
+    // adaptive LSH/IVF geometry actually pays when cluster structure is
+    // absent (iso) or pathologically skewed (heavy).
+    val geoRecalls: Seq[(String, Int, Map[String, Double])] = for {
+      (g, gen) <- Seq(
+        "iso" -> (genEmbeddingsIso _), "heavy" -> (genEmbeddingsHeavy _))
+      m <- mults.sorted
+    } yield {
+      val dir = s"$base/${g}_x$m"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+        gen(spark, 2000L * m).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      (g, m, recallsAt(dir))
+    }
 
     // every measured mult's time is emitted (a 1,10,100 run yields both
     // the 10× and 100× columns in one pass); "slope" is lo→hi over the
@@ -176,7 +229,13 @@ object ScaleSlope {
           s""""slope_over":${hi.toDouble / lo}$rc}""")
       }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_slope","ratio":${mults.max.toDouble / mults.min},"queries":$slopes}""")
+    val geo = geoRecalls.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val tiers = rows.sortBy(_._2).map { case (_, m, rc) =>
+        s""""x$m":{${rc.toSeq.sortBy(_._1).map { case (q, r) => s""""$q":$r""" }.mkString(",")}}"""
+      }.mkString(",")
+      s""""$g":{$tiers}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slope","ratio":${mults.max.toDouble / mults.min},"queries":$slopes,"geometries":$geo}""")
     spark.stop()
   }
 }

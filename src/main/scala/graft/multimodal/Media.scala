@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * IMAGES are real: the fixture encodes every image record as a binary
-  * PPM (P6) and [[PpmCodec]] is a complete, dependency-free parser for
-  * the format — dimensions, pixel statistics, and the pooled embedding
-  * are computed from actual decoded pixel bytes (MediaSpec asserts
-  * known statistics on a crafted image). Audio/video payloads remain a
+  * IMAGES and AUDIO are real: the fixture encodes every image record as
+  * a binary PPM (P6) and every audio record as RIFF/WAVE 16-bit PCM;
+  * [[PpmCodec]] and [[WavCodec]] are complete, dependency-free parsers
+  * — dimensions, pixel statistics, PCM samples, and the pooled
+  * embeddings are computed from actual decoded bytes (MediaSpec asserts
+  * known statistics on crafted fixtures of both). WAV is deliberately
+  * the variable-length case: a chunked container walked by declared
+  * chunk sizes, not a fixed-stride header. Video payloads remain a
   * clearly-marked deterministic STUB (`FakeCodec`) since the container
   * has no av codec libraries; swapping it for javacv/ffmpeg bindings
   * changes no plan shape. Everything around the codecs — the schema,
@@ -40,6 +43,9 @@ object Media {
 
   final case class ImageFeatures(media_id: Long, width: Int, height: Int,
       brightness: Double, embedding: Array[Float])
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, duration_ms: Long, rms: Double, embedding: Array[Float])
 
   final case class Frame(media_id: Long, frame_no: Int, offsetMs: Long,
       content: Array[Byte])
@@ -93,6 +99,105 @@ object Media {
     }
   }
 
+  /** ----- REAL codec 2: RIFF/WAVE 16-bit PCM -----
+    * Unlike PPM's fixed-stride layout this is a variable-length CHUNKED
+    * container: `RIFF <size> WAVE`, then a chunk walk — `fmt ` (PCM tag
+    * 1, channels, sample rate, bits) and `data` (little-endian 16-bit
+    * samples), with unknown chunks (`LIST`, …) skipped by their declared
+    * size including the odd-size pad byte the RIFF spec requires.
+    * Complete parser + encoder, no dependencies; the synthetic fixture
+    * embeds a LIST chunk so the skip path runs corpus-wide.
+    */
+  object WavCodec {
+    private def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+
+    def encode(sampleRate: Int, samples: Array[Short], channels: Int = 1,
+        extraChunk: Option[Array[Byte]] = None): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = samples(i).toByte
+        data(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      val blockAlign = channels * 2
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+        le16(channels) ++ le32(sampleRate) ++ le32(sampleRate * blockAlign) ++
+        le16(blockAlign) ++ le16(16)
+      val extra = extraChunk.map { b =>
+        "LIST".getBytes("US-ASCII") ++ le32(b.length) ++ b ++
+          (if (b.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      }.getOrElse(Array.empty[Byte])
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ extra ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    def isWav(content: Array[Byte]): Boolean =
+      content.length >= 12 &&
+        content.slice(0, 4).sameElements("RIFF".getBytes("US-ASCII")) &&
+        content.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))
+
+    /** (sampleRate, channels, samples) — chunk walk, 16-bit PCM only. */
+    def decode(content: Array[Byte]): (Int, Int, Array[Short]) = {
+      require(isWav(content), "not a RIFF/WAVE payload")
+      def u16(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      var i = 12
+      var rate = -1; var ch = -1
+      var samples: Array[Short] = null
+      while (i + 8 <= content.length) {
+        val id = new String(content, i, 4, "US-ASCII")
+        val sz = u32(i + 4)
+        val at = i + 8
+        id match {
+          case "fmt " =>
+            require(u16(at) == 1, s"PCM only, format tag ${u16(at)}")
+            ch = u16(at + 2); rate = u32(at + 4)
+            require(u16(at + 14) == 16, s"16-bit PCM only, got ${u16(at + 14)}")
+          case "data" =>
+            samples = new Array[Short](sz / 2)
+            var k = 0
+            while (k < samples.length) {
+              samples(k) = ((content(at + 2 * k) & 0xff) |
+                (content(at + 2 * k + 1) << 8)).toShort
+              k += 1
+            }
+          case _ => () // LIST/fact/…: skipped by declared size below
+        }
+        i = at + sz + (sz & 1) // chunks are word-aligned: odd sizes pad 1 byte
+      }
+      require(rate > 0 && samples != null, "missing fmt /data chunk")
+      (rate, ch, samples)
+    }
+
+    /** Deterministic synthetic clip for the fixture corpus — always
+      * carries a LIST metadata chunk (odd-sized, so the pad-byte path is
+      * exercised on every record).
+      */
+    def synthetic(sampleRate: Int, n: Int, seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      encode(sampleRate, Array.fill(n)((rnd.nextInt(65536) - 32768).toShort),
+        channels = 1, extraChunk = Some(s"INFOgraft".getBytes("US-ASCII")))
+    }
+
+    /** The raw little-endian PCM byte stream (the decoded payload the
+      * shared byte-pooling feature kernel consumes).
+      */
+    def dataBytes(samples: Array[Short]): Array[Byte] = {
+      val out = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        out(2 * i) = samples(i).toByte
+        out(2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
   /** ----- STUB codec (deterministic fake; see object scaladoc) -----
     * Fake container layout: byte 0 = kind tag, bytes 1-4 = width,
     * bytes 5-8 = height, rest = "pixels" (hash-expanded).
@@ -134,28 +239,44 @@ object Media {
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .map { case (id, n) =>
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-        // image payloads are REAL w*h*3-byte PPMs — dims sized so the
-        // fixture's per-record payload (~2-15 KB) stays comparable to
-        // the capped stub bodies rather than dominating the bench
+        // image payloads are REAL w*h*3-byte PPMs, audio payloads REAL
+        // RIFF/WAVE PCM clips — dims/lengths sized so the fixture's
+        // per-record payload (~2-15 KB) stays comparable to the capped
+        // stub bodies rather than dominating the bench. For audio the
+        // (width, height) metadata slots carry (channels, bits) — WAV
+        // has no pixel dims, and the feature extractor re-parses both
+        // from the fmt chunk.
         val (w, h) =
           if (kind == "image") (32 + (id % 8).toInt * 8, 24 + (id % 5).toInt * 8)
+          else if (kind == "audio") (1, 16)
           else (64 + (id % 8).toInt * 16, 48 + (id % 5).toInt * 16)
-        val content =
-          if (kind == "image") PpmCodec.synthetic(w, h, seed = id) // real format
-          else FakeCodec.encode(kind, w, h, seed = id)
+        val nSamples = 800 + (id % 64).toInt * 16
+        val content = kind match {
+          case "image" => PpmCodec.synthetic(w, h, seed = id) // real format
+          case "audio" => WavCodec.synthetic(16000, nSamples, seed = id) // real format
+          case _       => FakeCodec.encode(kind, w, h, seed = id)
+        }
+        val fmt = kind match {
+          case "image" => "ppm"; case "audio" => "wav"; case _ => "fake0"
+        }
         MediaRecord(id,
-          MediaMeta(kind, if (kind == "image") "ppm" else "fake0",
-            w, h, durationMs = n * 10, sampleRate = 16000),
+          MediaMeta(kind, fmt, w, h,
+            durationMs =
+              if (kind == "audio") nSamples.toLong * 1000 / 16000 else n * 10,
+            sampleRate = 16000),
           content)
       }
   }
 
-  /** Container-dispatching header parse: real PPM images by magic
-    * number, the stub layout otherwise.
+  /** Container-dispatching header parse: real PPM images and WAV clips
+    * by magic number (WAV "dims" are (channels, bits) — see [[corpus]]),
+    * the stub layout otherwise.
     */
   def decodeDims(content: Array[Byte]): (Int, Int) =
     if (PpmCodec.isPpm(content)) { val (w, h, _) = PpmCodec.decode(content); (w, h) }
-    else FakeCodec.decodeDims(content)
+    else if (WavCodec.isWav(content)) {
+      val (_, ch, _) = WavCodec.decode(content); (ch, 16)
+    } else FakeCodec.decodeDims(content)
 
   /** Mean byte brightness + 64-d pooled embedding over decoded payload
     * bytes — the shared feature kernel for both codecs.
@@ -182,7 +303,10 @@ object Media {
       it.map { r =>
         val (w, h, body) =
           if (PpmCodec.isPpm(r.content)) PpmCodec.decode(r.content)
-          else {
+          else if (WavCodec.isWav(r.content)) {
+            val (_, ch, samples) = WavCodec.decode(r.content)
+            (ch, 16, WavCodec.dataBytes(samples)) // decoded PCM byte stream
+          } else {
             val (fw, fh) = FakeCodec.decodeDims(r.content)
             (fw, fh, FakeCodec.body(r.content))
           }
@@ -190,6 +314,31 @@ object Media {
         ImageFeatures(r.media_id, w, h, bright, emb)
       }
     }
+  }
+
+  /** Audio features from decoded WAV samples (not container bytes):
+    * sample-rate/channel metadata re-parsed from the fmt chunk, RMS
+    * amplitude in [0,1], and a 64-d |sample| pooled embedding — the
+    * audio analog of [[extractImageFeatures]], same narrow
+    * per-partition batch shape.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(r => WavCodec.isWav(r.content)).mapPartitions(_.map { r =>
+      val (rate, ch, samples) = WavCodec.decode(r.content)
+      val emb = new Array[Float](64)
+      var acc = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i) / 32768.0
+        acc += s * s
+        emb(i % 64) += math.abs(s).toFloat
+        i += 1
+      }
+      AudioFeatures(r.media_id, rate, ch, samples.length,
+        samples.length.toLong * 1000 / math.max(1, rate * ch),
+        if (samples.isEmpty) 0.0 else math.sqrt(acc / samples.length), emb)
+    })
   }
 
   /** Resize: recompute metadata + deterministically re-encode the

@@ -20,6 +20,15 @@ object Multimodal {
         .orderBy(col("media_id")),
       None),
 
+    // audio decode over the REAL WAV payloads: PCM chunk walk, sample
+    // statistics (RMS in [0,1]), metadata re-parsed from the fmt chunk
+    QueryDef("q_media_audio",
+      (s, d) => Media.extractAudioFeatures(Media.corpus(s, d)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), round(col("rms"), 4).as("rms"))
+        .orderBy(col("media_id")),
+      None),
+
     // video frame sampling: 4 frames per video record
     QueryDef("q_media_frames",
       (s, d) => Media.sampleFrames(Media.corpus(s, d), 4).toDF()

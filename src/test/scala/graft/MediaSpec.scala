@@ -85,6 +85,58 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
       .map(_.toByte).toSeq)
   }
 
+  test("WAV codec decodes a crafted clip to exact samples, skipping unknown chunks") {
+    // 4 known samples; an odd-sized LIST chunk sits between fmt and data,
+    // so decode must walk chunks by declared size (+ pad byte), not assume
+    // a fixed header stride
+    val samples = Array[Short](0, 16384, -16384, -32768)
+    val wav = Media.WavCodec.encode(8000, samples,
+      extraChunk = Some("INFOxyz".getBytes("US-ASCII"))) // 7 bytes: odd → padded
+    assert(Media.WavCodec.isWav(wav))
+    val (rate, ch, got) = Media.WavCodec.decode(wav)
+    assert(rate == 8000 && ch == 1)
+    assert(got.toSeq == samples.toSeq, "PCM samples must round-trip exactly")
+    // RMS of (0, ±0.5, -1.0): sqrt((0 + .25 + .25 + 1)/4) = sqrt(0.375)
+    val rec = Seq(Media.MediaRecord(7L,
+      Media.MediaMeta("audio", "wav", 1, 16, 0L, 8000), wav)).toDS()
+    val f = Media.extractAudioFeatures(rec).head()
+    assert(f.n_samples == 4 && f.sample_rate == 8000 && f.channels == 1)
+    assert(math.abs(f.rms - math.sqrt(0.375)) < 1e-9, s"got ${f.rms}")
+  }
+
+  test("corpus audio records are real RIFF/WAVE payloads with consistent metadata") {
+    val audio = Media.corpus(spark, sf).filter(_.meta.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      assert(Media.WavCodec.isWav(r.content), s"media ${r.media_id} must be WAV")
+      val (rate, ch, samples) = Media.WavCodec.decode(r.content)
+      assert(rate == r.meta.sampleRate && ch == 1)
+      assert(r.meta.durationMs == samples.length.toLong * 1000 / rate,
+        s"media ${r.media_id} duration metadata must match the payload")
+    }
+  }
+
+  test("q_media_audio decodes every audio record (both real formats covered)") {
+    val out = SparkEntry.queries("q_media_audio")(spark, sf).collect()
+    val audioN = Media.corpus(spark, sf).filter(_.meta.kind == "audio").count()
+    assert(out.length.toLong == audioN && audioN > 0)
+    out.foreach { r =>
+      assert(r.getInt(1) == 16000)                  // sample_rate from fmt chunk
+      assert(r.getInt(2) >= 800)                    // n_samples
+      assert(r.getDouble(4) > 0 && r.getDouble(4) < 1) // rms of random PCM
+    }
+    // and the image path still covers PPM: q_media_features dims ==
+    // (channels, bits) for audio rows, pixel dims for image rows
+    val feats = SparkEntry.queries("q_media_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    Media.corpus(spark, sf).collect().foreach { r =>
+      if (r.meta.kind == "audio")
+        assert(feats(r.media_id) == ((1, 16)), s"audio ${r.media_id}")
+      else if (r.meta.kind == "image")
+        assert(feats(r.media_id) == ((r.meta.width, r.meta.height)))
+    }
+  }
+
   test("frame sampling emits n frames per video with monotonic offsets") {
     val frames = Media.sampleFrames(Media.corpus(spark, sf), 4)
     val byId = frames.collect().groupBy(_.media_id)

@@ -229,7 +229,10 @@ object ScaleSlope {
           s""""slope_over":${hi.toDouble / lo}$rc}""")
       }
     }.mkString("{", ",", "}")
-    val geo = geoRecalls.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+    // the default well-separated corpus reports as the "clustered" row so
+    // all three geometries read from one table
+    val allGeo = mults.sorted.map(m => ("clustered", m, recalls(m))) ++ geoRecalls
+    val geo = allGeo.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
       val tiers = rows.sortBy(_._2).map { case (_, m, rc) =>
         s""""x$m":{${rc.toSeq.sortBy(_._1).map { case (q, r) => s""""$q":$r""" }.mkString(",")}}"""
       }.mkString(",")

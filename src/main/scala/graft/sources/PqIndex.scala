@@ -145,23 +145,28 @@ object PqIndex {
     (path, n)
   }
 
-  /** Scale-aware re-rank depth: ~4√n clamped to [50, 1024]. ADC's
-    * within-cluster ordering is noisy exactly where neighbors are close
-    * (quantization error vs neighbor separation), so the exact-re-rank
-    * window widens as clusters grow; the cap keeps the re-rank join
-    * bounded (≤ 1024 × |probes| candidate rows) no matter the corpus.
-    */
-  def rerankFor(n: Long): Int =
-    math.min(1024, math.max(50, (4 * math.sqrt(n.toDouble)).toInt))
-
   /** IVF-ADC search. Routing and LUT construction are driver-side over
     * the bounded probe set (the same contract as every ANN query
     * surface here); the code scan is pruned to the probed lists and
     * joins the broadcast LUTs on list id. Output layout matches the
     * other ANN queries: (probe_id, rn, vec_id, cosine).
+    *
+    * `rerank` ≤ 0 selects the adaptive exact-re-rank depth:
+    * candidates/8 clamped to [50, 8192], where `candidates` is the
+    * MEASURED row count of the probed lists (one cheap columnar count
+    * on the pruned code scan). The window must scale with the probed
+    * candidate stream, not global √n: under heavy-tailed cluster sizes
+    * the probed lists hold far more rows than n·nprobe/lists, ADC
+    * ordering noise deepens with them, and the old 4√n-capped-at-1024
+    * window measured 0.87 recall@5 on the heavy 100× geometry tier.
+    * The rerank ceiling study behind the formula (routing proven
+    * perfect — recall 1.0 from depth 8192 — so the loss was purely ADC
+    * rank depth) is in SCALING.md round 9; the cap keeps the re-rank
+    * join bounded at 8192 × |probes| candidate rows no matter the
+    * corpus.
     */
   def search(spark: SparkSession, path: String, probes: DataFrame,
-      corpus: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+      corpus: DataFrame, k: Int, rerank: Int = -1): DataFrame = {
     import spark.implicits._
     val m = Subspaces; val kk = Codebook
     val books: Map[(Int, Int), Array[Double]] =
@@ -208,6 +213,9 @@ object PqIndex {
     val probedCids = luts.select("cid").as[Int].collect().distinct.toSeq
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cid").isin(probedCids: _*)) // row-group pruning on cid stats
+    val depth =
+      if (rerank > 0) rerank
+      else math.max(50, math.min(8192L, codes.count() / 8)).toInt
     val scored = codes.join(broadcast(luts), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", aggregate(
@@ -216,7 +224,7 @@ object PqIndex {
         lit(0.0d), (a, x) => a + x))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
     val cands = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= rerank)
+      .filter(col("rk") <= depth)
       .select(col("probe_id"), col("vec_id"))
     val pv = probes.select(col("probe_id").as("pid"), col("p_emb"))
     val exact = cands
@@ -232,14 +240,14 @@ object PqIndex {
 
   /** The amortized IVF-PQ query (q_sim_pq's surface): train-once via
     * [[ensureBuilt]], ADC-scan the 4-byte codes of the probed lists,
-    * exact re-rank.
+    * exact re-rank at the adaptive candidate-scaled depth.
     */
   def topKPersisted(spark: SparkSession, sfDir: String, probeIds: Seq[Long],
       k: Int): DataFrame = {
-    val (path, n) = ensureBuilt(spark, sfDir)
+    val (path, _) = ensureBuilt(spark, sfDir)
     val corpus = Similarity.corpusOf(graft.Tables.embeddings(spark, sfDir))
     val probes = corpus.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
-    search(spark, path, probes, corpus, k, rerank = rerankFor(n))
+    search(spark, path, probes, corpus, k)
   }
 }

@@ -79,6 +79,10 @@ object Udx {
 
     // R22/R23: header'd, quoted CSV sink + schema'd read-back. The write
     // goes through Spark's commit protocol (no hand-rolled rollback, R24).
+    // Oracle-eligible (like q_json_roundtrip): the declared output is the
+    // scalar slice itself, which must survive the text round-trip exactly
+    // — Double.toString/parse is shortest-repr round-trip-exact, so the
+    // DuckDB oracle states the pre-write projection directly.
     QueryDef("q_csv_roundtrip",
       (s, d) => {
         // Per-application path + overwrite: repeated iterations in one app
@@ -99,7 +103,9 @@ object Udx {
         s.read.schema(schema).option("header", "true").csv(out)
           .orderBy(col("event_id"))
       },
-      None),
+      Some("""SELECT event_id, event_type, round(value, 4) AS value_r,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // JSONL round-trip (completes the source-format axis next to CSV and
     // parquet): nested struct + array columns survive the write/read with

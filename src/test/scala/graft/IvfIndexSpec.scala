@@ -173,6 +173,38 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(after == before, "replay must not change search results")
   }
 
+  test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {
+    // the real micro-batch wiring, not a hand-rolled loop: base index
+    // trained once, then a file stream of new vectors drains through
+    // foreachBatch -> IvfIndex.append — the same composition
+    // IncrementalCorpus uses for the corpus itself
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val base = clustered(1500)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(1500))
+    val arriving = clustered(2100).filter(col("vec_id") >= 1500)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_feed")
+    arriving.repartition(3).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = graft.streaming.StreamingDedup.docsStream(spark, s"$tmp/in", schema)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IvfIndex.append(spark, dir, batch, batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val held = spark.read.parquet(s"$dir/lists").count() +
+      spark.read.parquet(s"$dir/delta").count()
+    assert(held == 2100, "every streamed vector must land in exactly one list")
+    // streamed vectors are searchable through the same probe path
+    val probes = Similarity.corpusOf(arriving).filter(col("vec_id") < 1510)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val hits = IvfIndex.search(spark, dir, probes, k = 3).collect()
+    assert(hits.nonEmpty && hits.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("out-of-distribution batch trips drift; retrain absorbs it and clears delta") {
     val dir = Files.createTempDirectory("graft_ivf_drift").toString
     val base = clustered(1000)

@@ -162,6 +162,33 @@ object ScaleSlope {
         genEmbeddings(spark, 2000L * m).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
     }
+    // "lshremedy": price the more-tables remedy for the iso-geometry
+    // SRP-LSH recall loss — recall@5 at 8/16/32/64 tables per tier,
+    // nothing else. Prints its own line and exits.
+    if (args.lift(2).contains("lshremedy")) {
+      val rows = mults.sorted.map { m =>
+        val dir = s"$base/iso_x$m"
+        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+          genEmbeddingsIso(spark, 2000L * m).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        val bf = graft.queries.Similarity.bruteForceTopK(spark, dir, Seq(0L, 1L, 2L), 5)
+          .select(col("probe_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rc = Seq(8, 16, 32, 64).map { t =>
+          val t0 = System.nanoTime()
+          val hits = graft.queries.Similarity
+            .lshTopKTables(spark, dir, Seq(0L, 1L, 2L), 5, nTables = t)
+            .select(col("probe_id"), col("vec_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val sec = (System.nanoTime() - t0) / 1e9
+          s""""t$t":{"recall":${hits.intersect(bf).size.toDouble / bf.size},"sec":${math.round(sec * 100) / 100.0}}"""
+        }.mkString(",")
+        s""""x$m":{$rc}"""
+      }.mkString(",")
+      println(s"""{"metric":"lsh_remedy","geometry":"iso","queries":{$rows}}""")
+      spark.stop()
+      return
+    }
     val recallOnly = args.lift(2).contains("recallonly")
     // warm the JVM/codegen paths AND the page cache at EVERY scale —
     // warming only the smallest would leave cold first-ever parquet

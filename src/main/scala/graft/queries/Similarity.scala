@@ -276,6 +276,22 @@ object Similarity {
     topKFromBuckets(exploded, probeIds, k)
   }
 
+  /** [[lshTopK]] with an explicit table count — the remedy lever for
+    * structureless corpora (SCALING.md round-9 iso-geometry finding:
+    * 8-table SRP recalls 0.33–0.60 when no cluster structure exists).
+    * Recall lost to bounded-bucket geometry comes back through
+    * OR-amplification; the price is candidate work linear in the added
+    * tables, which is why it is a caller-chosen lever rather than the
+    * default (the measured price table is in SCALING.md).
+    */
+  def lshTopKTables(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
+      nTables: Int): DataFrame = {
+    val exploded = lshBuckets(s, d, nTables = nTables)
+      .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    topKFromBuckets(exploded, probeIds, k)
+  }
+
   /** Shared LSH top-k tail: probes filtered out of the bucketed frame,
     * per-table bucket equi-join (probe side broadcast), exact cosine
     * re-rank on the `emb` column the caller supplies.

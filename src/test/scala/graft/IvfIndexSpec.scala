@@ -205,6 +205,17 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(hits.nonEmpty && hits.forall(r => !r.getDouble(3).isNaN))
   }
 
+  test("an empty append batch is a no-op with sane drift stats") {
+    val dir = Files.createTempDirectory("graft_ivf_empty").toString
+    val base = clustered(500)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(500))
+    val stats = IvfIndex.append(spark, dir, base.filter(col("vec_id") < 0), 0L)
+    assert(stats.appended == 0 && stats.meanResidual == 0.0 && !stats.retrainAdvised)
+    val probes = Similarity.corpusOf(base).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    assert(IvfIndex.search(spark, dir, probes, k = 3).count() == 6)
+  }
+
   test("out-of-distribution batch trips drift; retrain absorbs it and clears delta") {
     val dir = Files.createTempDirectory("graft_ivf_drift").toString
     val base = clustered(1000)

@@ -183,9 +183,12 @@ object IvfIndex {
     val path = cachePathFor(sfDir)
     val lock = BuildLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
+      // meta/ is part of freshness: a pre-append cache layout (no drift
+      // baseline) rebuilds here instead of failing later in append
       val fresh =
         try spark.read.parquet(s"$path/centroids").count() == k &&
-          spark.read.parquet(s"$path/lists").count() == n
+          spark.read.parquet(s"$path/lists").count() == n &&
+          spark.read.parquet(s"$path/meta").count() == 1
         catch { case _: org.apache.spark.sql.AnalysisException => false }
       if (!fresh) build(emb, path, k)
     }

@@ -104,6 +104,14 @@ object PqIndex {
         array((0 until m).map(j => col(s"c_$j")): _*).as("codes"))
   }
 
+  /** ‖res‖ of a residual row — its corpus mean is the drift baseline
+    * [[append]] prices new batches against (residuals growing past the
+    * train-time norm mean the coarse centroids no longer fit the data,
+    * and the codebooks were trained on residuals that no longer exist).
+    */
+  private def resNorm: org.apache.spark.sql.Column =
+    sqrt(expr("aggregate(res, 0d, (acc, x) -> acc + x * x)"))
+
   def build(embeddings: DataFrame, path: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -121,6 +129,90 @@ object PqIndex {
     coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val trainRes = residuals.agg(avg(resNorm)).head().getDouble(0)
+    Seq((lists, trainRes)).toDF("lists", "train_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readOr(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Drift report from one appended batch — same metric and bound
+    * semantics as [[IvfIndex.AppendStats]].
+    */
+  final case class AppendStats(appended: Long, meanResidual: Double,
+      trainResidual: Double, retrainAdvised: Boolean)
+
+  /** Encode a batch of NEW vectors into the existing index — no
+    * retraining: coarse routing uses the persisted centroids, residual
+    * codes the persisted codebooks (the quantizers that encoded the
+    * base corpus, so ADC stays comparable across base and delta rows).
+    * Codes land in a batch_id-keyed delta via dynamic partition
+    * overwrite — replaying a micro-batch rewrites its own partition, a
+    * no-op (the [[IvfIndex.append]] / StreamingDedup contract).
+    * [[search]] scans base and delta codes identically.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, driftBound: Double = 1.5): AppendStats = {
+    val trainRes = readOr(spark, s"$path/meta").map(_.head().getDouble(1))
+      .getOrElse(throw new IllegalStateException(
+        s"$path has no meta/ (pre-append index layout) — rebuild with " +
+          "PqIndex.build before appending"))
+    val coarse: Array[Array[Double]] =
+      spark.read.parquet(s"$path/coarse").orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    val books: Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$path/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      (0 until Subspaces).map { j =>
+        rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+      }.toArray
+    }
+    val assigned = Similarity.corpusOf(batch)
+      .withColumn("dots", Similarity.centroidScores(col("emb"), coarse))
+      .withColumn("cid",
+        expr("array_position(dots, array_max(dots)) - 1").cast("int"))
+    val res = residualsOf(assigned, coarse).localCheckpoint(true)
+    val agg = res.agg(count(lit(1)), avg(resNorm)).head()
+    val n = agg.getLong(0)
+    val meanRes = if (n == 0) 0.0 else agg.getDouble(1)
+    encode(res, books)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cid").parquet(s"$path/codes_delta")
+    AppendStats(n, meanRes, trainRes, meanRes > driftBound * trainRes)
+  }
+
+  /** Base + delta code rows pruned to the probed lists — cid is a plain
+    * column with row-group stats in the base layout and a partition
+    * column in the delta, so both prune before the ADC scan.
+    */
+  private def prunedCodes(spark: SparkSession, path: String,
+      cids: Seq[Int]): DataFrame = {
+    val base = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(cids: _*))
+    readOr(spark, s"$path/codes_delta") match {
+      case Some(d) =>
+        base.unionByName(
+          d.filter(col("cid").isin(cids: _*))
+            .select(col("vec_id"), col("cid").cast("int").as("cid"), col("codes")))
+      case None => base
+    }
+  }
+
+  /** Full retrain on a drift trip. Codes are LOSSY — the original float
+    * corpus cannot be reconstructed from the index, so the caller
+    * supplies it (in any real pipeline the PQ index is derived state
+    * next to the vector corpus it compresses). Rebuilds coarse lists,
+    * codebooks, codes, and meta; clears the delta.
+    */
+  def retrain(spark: SparkSession, path: String, embeddings: DataFrame): Unit = {
+    build(embeddings, path)
+    val delta = new org.apache.hadoop.fs.Path(s"$path/codes_delta")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(delta, true)
+    ()
   }
 
   def cachePathFor(sfDir: String): String =
@@ -136,9 +228,12 @@ object PqIndex {
     val path = cachePathFor(sfDir)
     val lock = BuildLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
+      // meta/ is part of freshness: a pre-append cache layout (no drift
+      // baseline) rebuilds here instead of failing later in append
       val fresh =
         try spark.read.parquet(s"$path/codes").count() == n &&
-          spark.read.parquet(s"$path/books").count() == Subspaces.toLong * Codebook
+          spark.read.parquet(s"$path/books").count() == Subspaces.toLong * Codebook &&
+          spark.read.parquet(s"$path/meta").count() == 1
         catch { case _: org.apache.spark.sql.AnalysisException => false }
       if (!fresh) build(emb, path)
     }
@@ -211,8 +306,7 @@ object PqIndex {
       }
     }.toDF("probe_id", "cid", "lut")
     val probedCids = luts.select("cid").as[Int].collect().distinct.toSeq
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cid").isin(probedCids: _*)) // row-group pruning on cid stats
+    val codes = prunedCodes(spark, path, probedCids)
     val depth =
       if (rerank > 0) rerank
       else math.max(50, math.min(8192L, codes.count() / 8)).toInt
@@ -222,8 +316,16 @@ object PqIndex {
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (cv, j) => element_at(col("lut"), j * lit(kk) + cv + 1)),
         lit(0.0d), (a, x) => a + x))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
-    val cands = scored.withColumn("rk", row_number().over(w))
+    // rank(), not row_number(): ADC collapses to exact ties whenever a
+    // whole list shares codes (tight clusters vs 4-bit resolution), and
+    // cutting INSIDE a tie block by vec_id silently drops candidates the
+    // codes cannot distinguish — measured: an appended exact duplicate
+    // (largest vec_id in its block) lost to rank noise. rank() admits
+    // the boundary tie block whole and lets the exact re-rank decide;
+    // worst case (every probed row tied) degrades to IVF-exact re-rank,
+    // still bounded by the probed lists.
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc"))
+    val cands = scored.withColumn("rk", rank().over(w))
       .filter(col("rk") <= depth)
       .select(col("probe_id"), col("vec_id"))
     val pv = probes.select(col("probe_id").as("pid"), col("p_emb"))

@@ -41,6 +41,7 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
         .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n") // session-global HOF var counter
         .replaceAll("0[xX][0-9A-Fa-f]{32,}", "0x<bin>") // embedded sketch/binary literals
         .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <path>")
+        .replaceAll("\\.scala:\\d+", ".scala:<line>") // comment shifts must not drift plans
         .replaceAll("file:[^,\\]\\s]+", "<path>")
         .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
         .replaceAll("\\s+$", ""))

@@ -109,4 +109,94 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
       first.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
     assert(mtimes == before, "second probe must reuse the persisted index")
   }
+
+  // ——— incremental maintenance (append / drift / retrain) ———
+
+  private def clustered(n: Long) =
+    ScaleSlope.genEmbeddings(spark, n).select("vec_id", "embedding")
+
+  test("appended exact duplicates surface through the delta code scan") {
+    val dir = Files.createTempDirectory("graft_pq_app").toString
+    val base = clustered(2000)
+    PqIndex.build(base, dir)
+    val dup = base.filter(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val stats = PqIndex.append(spark, dir, dup, batchId = 0L)
+    assert(stats.appended == 2)
+    assert(!stats.retrainAdvised,
+      s"duplicates of in-distribution vectors must not trip drift: $stats")
+    // probe with the ORIGINALS: the only cosine-1.0 hit for each lives in
+    // codes_delta, so a top hit of probe+100000 proves the delta rows flow
+    // through routing, ADC, and re-rank exactly like base rows
+    val corpus = Similarity.corpusOf(base.union(dup).toDF("vec_id", "embedding"))
+    val probes = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val top = PqIndex.search(spark, dir, probes, corpus, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top.toSet == Set((0L, 100000L, 1.0), (1L, 100001L, 1.0)),
+      s"each probe's top hit must be its appended duplicate: ${top.mkString(",")}")
+  }
+
+  test("replaying an appended batch is a no-op (batch_id dynamic overwrite)") {
+    val dir = Files.createTempDirectory("graft_pq_replay").toString
+    val base = clustered(1000)
+    PqIndex.build(base, dir)
+    val batch = clustered(1200).filter(col("vec_id") >= 1000)
+    PqIndex.append(spark, dir, batch, batchId = 7L)
+    val corpus = Similarity.corpusOf(
+      base.union(batch).toDF("vec_id", "embedding"))
+    val probes = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val before = PqIndex.search(spark, dir, probes, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    PqIndex.append(spark, dir, batch, batchId = 7L) // at-least-once replay
+    assert(spark.read.parquet(s"$dir/codes_delta").count() == 200,
+      "replay must rewrite the same partitions, not add rows")
+    val after = PqIndex.search(spark, dir, probes, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after == before, "replay must not change search results")
+  }
+
+  test("an empty append batch is a no-op with sane drift stats") {
+    val dir = Files.createTempDirectory("graft_pq_empty").toString
+    val base = clustered(500)
+    PqIndex.build(base, dir)
+    val stats = PqIndex.append(spark, dir, base.filter(col("vec_id") < 0), 0L)
+    assert(stats.appended == 0 && stats.meanResidual == 0.0 && !stats.retrainAdvised)
+  }
+
+  test("out-of-distribution batch trips drift; retrain absorbs it and clears delta") {
+    val dir = Files.createTempDirectory("graft_pq_drift").toString
+    val base = clustered(1000)
+    PqIndex.build(base, dir)
+    // far from every trained coarse centroid: +10 on every dimension
+    val far = clustered(1100).filter(col("vec_id") >= 1000)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(10.0f)))
+    val stats = PqIndex.append(spark, dir, far, batchId = 0L)
+    assert(stats.retrainAdvised,
+      s"mean residual ${stats.meanResidual} vs train ${stats.trainResidual} must advise retrain")
+    // PQ codes are lossy, so the caller supplies the grown float corpus
+    val grown = base.union(far).toDF("vec_id", "embedding")
+    PqIndex.retrain(spark, dir, grown)
+    assert(!new java.io.File(s"$dir/codes_delta").exists(),
+      "retrain must clear the delta")
+    assert(spark.read.parquet(s"$dir/codes").count() == 1100,
+      "retrained base must encode base + appended vectors")
+    val near = clustered(1200).filter(col("vec_id") >= 1100)
+    val stats2 = PqIndex.append(spark, dir, near, batchId = 1L)
+    assert(!stats2.retrainAdvised, s"in-distribution append after retrain: $stats2")
+  }
+
+  test("ensureBuilt refreshes a pre-append cache layout (missing meta/)") {
+    PqIndex.topKPersisted(spark, sf, probeIds, 5).collect()
+    val meta = new java.io.File(s"${PqIndex.cachePathFor(sf)}/meta")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(meta) // simulate a cache built before the drift baseline existed
+    PqIndex.topKPersisted(spark, sf, probeIds, 5).collect()
+    assert(meta.exists(),
+      "a cache without a drift baseline must rebuild, not fail later in append")
+  }
 }

@@ -550,6 +550,12 @@ object Similarity {
     // persisted index (PqIndexSpec: recall + compression + reuse)
     QueryDef("q_sim_pq", (s, d) =>
       graft.sources.PqIndex.topKPersisted(s, d, Seq(0L, 1L, 2L), 5), None),
+    // Incremental ANN: 80% of the corpus indexed train-once, the rest
+    // absorbed as two replay-idempotent append micro-batches, probed
+    // with delta vectors — the continuous-ingest shape (IvfIndexSpec:
+    // append ≡ rebuild recall bound, replay no-op, drift/retrain)
+    QueryDef("q_ann_inc", (s, d) =>
+      graft.sources.IvfIndex.topKIncremental(s, d, 5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

@@ -212,6 +212,41 @@ object IvfIndex {
       lists * Similarity.IvfProbes / Similarity.IvfCentroids))
   }
 
+  /** The declared incremental-ANN surface (q_ann_inc): a deterministic
+    * 80/10/10 split of the corpus by vec_id last digit — the 80% base is
+    * indexed train-once (cached like [[ensureBuilt]], its own "-inc"
+    * path), the two 10% slices arrive as [[append]] micro-batches
+    * (replay-idempotent dynamic overwrite, so re-running the query
+    * rewrites the same delta partitions — a no-op), and the probes are
+    * DELTA vectors: their hits prove appended rows are routed, pruned,
+    * and re-ranked next to base rows without any retrain. This is the
+    * continuously-ingesting-pipeline shape: index the corpus once,
+    * absorb arrivals incrementally, query the union.
+    */
+  def topKIncremental(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val path = cachePathFor(sfDir) + "-inc"
+    val nBase = base.count()
+    val lists = Similarity.adaptiveCentroids(nBase)
+    val lock = BuildLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val fresh =
+        try spark.read.parquet(s"$path/centroids").count() == lists &&
+          spark.read.parquet(s"$path/lists").count() == nBase &&
+          spark.read.parquet(s"$path/meta").count() == 1
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!fresh) build(base, path, lists)
+      append(spark, path, emb.filter(col("vec_id") % 10 === 8), 0L)
+      append(spark, path, emb.filter(col("vec_id") % 10 === 9), 1L)
+    }
+    val probes = Similarity.corpusOf(emb)
+      .filter(col("vec_id").isin(9L, 19L, 29L)) // delta (batch-1) vectors
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    search(spark, path, probes, k, nprobe = math.max(Similarity.IvfProbes,
+      lists * Similarity.IvfProbes / Similarity.IvfCentroids))
+  }
+
   /** ANN top-k against the on-disk index. Probes is a (probe_id, p_emb)
     * frame (array<double>, same prep as Similarity.corpusOf). Each probe
     * is routed to its `nprobe` best lists via the persisted centroids

@@ -235,4 +235,45 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     val stats2 = IvfIndex.append(spark, dir, near, batchId = 1L)
     assert(!stats2.retrainAdvised, s"in-distribution append after retrain: $stats2")
   }
+
+  test("q_ann_inc surface: delta probes hit base+delta, rerun is a no-op") {
+    // clear the -inc cache so this test exercises the full build path
+    val cache = new java.io.File(IvfIndex.cachePathFor(sf) + "-inc")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (cache.exists()) rm(cache)
+    val first = SparkEntry.queries("q_ann_inc")(spark, sf).collect()
+    assert(first.length == 3 * 5, "3 delta probes x k=5 hits")
+    // every vector is indexed exactly once across base + delta
+    val held = spark.read.parquet(s"${cache.getPath}/lists").count() +
+      spark.read.parquet(s"${cache.getPath}/delta").count()
+    assert(held == Tables.embeddings(spark, sf).count(),
+      "base + delta must partition the corpus")
+    // the query self-heals: a rerun replays the appends (dynamic
+    // overwrite of the same batch partitions) and returns identical rows
+    val again = SparkEntry.queries("q_ann_inc")(spark, sf).collect()
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq,
+      "rerun must be a replay no-op")
+    assert(spark.read.parquet(s"${cache.getPath}/delta").count() +
+      spark.read.parquet(s"${cache.getPath}/lists").count() == held,
+      "replayed appends must not grow the delta")
+    // recall vs exact brute force, RELATIVE to the train-once index on
+    // the same probes: the sf fixture is deliberately isotropic (the
+    // hard ANN geometry — the static index itself measures ~0.67 here),
+    // so the claim under test is "appending instead of retraining costs
+    // at most ~1 hit", not an absolute bound the geometry can't support.
+    // The absolute 0.9 append-vs-rebuild bound is proven on clustered
+    // corpora above.
+    val exact = Similarity.bruteForceTopK(spark, sf, Seq(9L, 19L, 29L), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val statHits = IvfIndex.topKPersisted(spark, sf, Seq(9L, 19L, 29L), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val incHits = first.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val incRecall = incHits.intersect(exact).size.toDouble / exact.size
+    val statRecall = statHits.intersect(exact).size.toDouble / exact.size
+    assert(incRecall >= statRecall - 2.0 / exact.size,
+      s"incremental recall $incRecall must track train-once recall $statRecall")
+  }
 }

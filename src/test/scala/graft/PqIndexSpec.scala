@@ -187,6 +187,40 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
     assert(!stats2.retrainAdvised, s"in-distribution append after retrain: $stats2")
   }
 
+  test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {
+    // the real micro-batch wiring: base codebooks trained once, then a
+    // file stream of new vectors drains through foreachBatch ->
+    // PqIndex.append — same composition as the IvfIndex/IncrementalCorpus
+    // streaming tests
+    val dir = Files.createTempDirectory("graft_pq_stream").toString
+    val base = clustered(1500)
+    PqIndex.build(base, dir)
+    val arriving = clustered(2100).filter(col("vec_id") >= 1500)
+    val tmp = Files.createTempDirectory("graft_pq_feed")
+    arriving.repartition(3).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = graft.streaming.StreamingDedup.docsStream(spark, s"$tmp/in", schema)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        PqIndex.append(spark, dir, batch, batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val held = spark.read.parquet(s"$dir/codes").count() +
+      spark.read.parquet(s"$dir/codes_delta").count()
+    assert(held == 2100, "every streamed vector must be encoded exactly once")
+    // streamed vectors are searchable through the same ADC probe path
+    val corpus = Similarity.corpusOf(
+      base.union(arriving).toDF("vec_id", "embedding"))
+    val probes = corpus.filter(col("vec_id").isin(1500L, 1501L))
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val hits = PqIndex.search(spark, dir, probes, corpus, 3).collect()
+    assert(hits.length == 6 && hits.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("ensureBuilt refreshes a pre-append cache layout (missing meta/)") {
     PqIndex.topKPersisted(spark, sf, probeIds, 5).collect()
     val meta = new java.io.File(s"${PqIndex.cachePathFor(sf)}/meta")

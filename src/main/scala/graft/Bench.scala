@@ -24,9 +24,12 @@ object Bench {
     def time(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      // the -1 must be the RETURN value: an earlier form computed -1L
+      // inside the try/catch statement and then returned the elapsed
+      // time anyway, so a throwing query was silently timed as a fast
+      // success (short time-to-failure shrinking the total)
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     // Median of `runs` full passes per query: single-run timings flip-
     // flopped sub-second queries by 2-3x across rounds (GC pause,

@@ -174,6 +174,12 @@ object ScaleSlope {
         val bf = graft.queries.Similarity.bruteForceTopK(spark, dir, Seq(0L, 1L, 2L), 5)
           .select(col("probe_id"), col("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // warm the LSH path itself (kernel codegen + this tier's parquet)
+        // before the first timed point, same reason as the slope warm-up
+        // below: a cold t=8 would overstate the marginal cost of tables
+        graft.queries.Similarity
+          .lshTopKTables(spark, dir, Seq(0L, 1L, 2L), 5, nTables = 8)
+          .queryExecution.toRdd.count()
         val rc = Seq(8, 16, 32, 64).map { t =>
           val t0 = System.nanoTime()
           val hits = graft.queries.Similarity

@@ -115,13 +115,7 @@ object Media {
 
     def encode(sampleRate: Int, samples: Array[Short], channels: Int = 1,
         extraChunk: Option[Array[Byte]] = None): Array[Byte] = {
-      val data = new Array[Byte](samples.length * 2)
-      var i = 0
-      while (i < samples.length) {
-        data(2 * i) = samples(i).toByte
-        data(2 * i + 1) = (samples(i) >> 8).toByte
-        i += 1
-      }
+      val data = dataBytes(samples)
       val blockAlign = channels * 2
       val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
         le16(channels) ++ le32(sampleRate) ++ le32(sampleRate * blockAlign) ++
@@ -152,6 +146,11 @@ object Media {
         val id = new String(content, i, 4, "US-ASCII")
         val sz = u32(i + 4)
         val at = i + 8
+        // declared sizes are untrusted input: a negative size (u32 read
+        // into Int) would stall the walk forever (i stops advancing) and
+        // an oversized one would read past the payload — fail loudly
+        require(sz >= 0 && at.toLong + sz <= content.length, // Long: at+sz must not wrap
+          s"corrupt RIFF chunk '$id': declared $sz bytes at $at of ${content.length}")
         id match {
           case "fmt " =>
             require(u16(at) == 1, s"PCM only, format tag ${u16(at)}")
@@ -171,6 +170,28 @@ object Media {
       }
       require(rate > 0 && samples != null, "missing fmt /data chunk")
       (rate, ch, samples)
+    }
+
+    /** (sampleRate, channels) from the fmt chunk ALONE — the header-only
+      * probe for dims/metadata paths, which previously paid a full PCM
+      * decode (materializing every sample) just to read two u16s that
+      * live in the 16-byte fmt chunk.
+      */
+    def fmtInfo(content: Array[Byte]): (Int, Int) = {
+      require(isWav(content), "not a RIFF/WAVE payload")
+      def u16(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+      def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+      var i = 12
+      while (i + 8 <= content.length) {
+        val id = new String(content, i, 4, "US-ASCII")
+        val sz = u32(i + 4)
+        val at = i + 8
+        require(sz >= 0 && at.toLong + sz <= content.length,
+          s"corrupt RIFF chunk '$id': declared $sz bytes at $at of ${content.length}")
+        if (id == "fmt ") return (u32(at + 4), u16(at + 2))
+        i = at + sz + (sz & 1)
+      }
+      throw new IllegalArgumentException("missing fmt chunk")
     }
 
     /** Deterministic synthetic clip for the fixture corpus — always
@@ -275,7 +296,7 @@ object Media {
   def decodeDims(content: Array[Byte]): (Int, Int) =
     if (PpmCodec.isPpm(content)) { val (w, h, _) = PpmCodec.decode(content); (w, h) }
     else if (WavCodec.isWav(content)) {
-      val (_, ch, _) = WavCodec.decode(content); (ch, 16)
+      val (_, ch) = WavCodec.fmtInfo(content); (ch, 16) // header-only, no PCM decode
     } else FakeCodec.decodeDims(content)
 
   /** Mean byte brightness + 64-d pooled embedding over decoded payload
@@ -343,14 +364,21 @@ object Media {
 
   /** Resize: recompute metadata + deterministically re-encode the
     * payload at the new dimensions. Narrow map stage; no shuffle.
+    * Resizing is a PIXEL operation: real images resample, the video
+    * stub re-encodes its fake dims, and AUDIO records pass through
+    * unchanged — the old behavior re-encoded WAV payloads as stub
+    * bytes while meta kept format="wav", so every resized audio record
+    * silently vanished from the downstream isWav-filtered extractors.
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val content =
-        if (PpmCodec.isPpm(r.content)) resizePpm(r.content, w, h)
-        else FakeCodec.encode(r.meta.kind, w, h, seed = r.media_id)
-      r.copy(meta = r.meta.copy(width = w, height = h), content = content)
+      if (PpmCodec.isPpm(r.content))
+        r.copy(meta = r.meta.copy(width = w, height = h),
+          content = resizePpm(r.content, w, h))
+      else if (WavCodec.isWav(r.content)) r // pixel dims don't apply to audio
+      else r.copy(meta = r.meta.copy(width = w, height = h),
+        content = FakeCodec.encode(r.meta.kind, w, h, seed = r.media_id))
     })
   }
 

@@ -90,9 +90,14 @@ object Udx {
         // JVMs (driver harness vs sbt test) can't race each other's files.
         val out = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_csv_roundtrip_${s.sparkContext.applicationId}").toString
+        // the RAW double, deliberately un-rounded: shortest-repr
+        // toString/parse is round-trip exact, and both engines then hash
+        // the identical stored bits — round(double, 4) here would
+        // re-introduce the cross-engine half-edge hazard the q_sql_udf
+        // comment above records as having flipped a fixture row
         val slice = T.events(s, d)
           .select(col("event_id"), col("event_type"),
-            round(col("value"), 4).as("value_r"),
+            col("value").as("value_r"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
         slice.write.mode("overwrite")
           .option("header", "true").option("quoteAll", "true")
@@ -103,7 +108,7 @@ object Udx {
         s.read.schema(schema).option("header", "true").csv(out)
           .orderBy(col("event_id"))
       },
-      Some("""SELECT event_id, event_type, round(value, 4) AS value_r,
+      Some("""SELECT event_id, event_type, value AS value_r,
              |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
              |FROM events ORDER BY event_id""".stripMargin)),
 

@@ -44,12 +44,27 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
       s"decode stage must not add a shuffle:\n$plan")
   }
 
-  test("resize rewrites metadata and payload dims") {
+  test("resize rewrites image/video dims and passes audio through intact") {
+    val before = Media.corpus(spark, sf).collect().map(r => r.media_id -> r).toMap
     val resized = Media.resize(Media.corpus(spark, sf), 32, 24)
     resized.collect().foreach { r =>
-      assert(r.meta.width == 32 && r.meta.height == 24)
-      assert(Media.decodeDims(r.content) == ((32, 24)), s"media ${r.media_id}")
+      if (r.meta.kind == "audio") {
+        // pixel dims don't apply to audio: payload AND metadata unchanged,
+        // and the record must still be a decodable WAV (the old behavior
+        // re-encoded it as stub bytes while meta claimed format="wav",
+        // so resized audio vanished from every isWav-filtered extractor)
+        assert(Media.WavCodec.isWav(r.content), s"media ${r.media_id}")
+        assert(r.content.sameElements(before(r.media_id).content))
+        assert(r.meta == before(r.media_id).meta)
+      } else {
+        assert(r.meta.width == 32 && r.meta.height == 24)
+        assert(Media.decodeDims(r.content) == ((32, 24)), s"media ${r.media_id}")
+      }
     }
+    // audio features survive a resize pass end to end
+    val audioN = Media.extractAudioFeatures(resized).count()
+    assert(audioN == before.values.count(_.meta.kind == "audio"),
+      "resized audio records must still reach the audio extractor")
   }
 
   test("PPM codec decodes a crafted real image to exact known pixel statistics") {
@@ -83,6 +98,25 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
     // nearest-neighbor: each source pixel doubled
     assert(px.toSeq == Array[Int](10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60)
       .map(_.toByte).toSeq)
+  }
+
+  test("WAV decode fails loudly on corrupt declared chunk sizes (no hang, no overread)") {
+    // declared sizes are untrusted: a u32 size read into Int can be
+    // negative (stalling the walk — i stops advancing) or overshoot the
+    // payload (reading past the array). Both must throw, not spin/crash.
+    val good = Media.WavCodec.synthetic(16000, 16, seed = 1L)
+    def withFmtSize(v: Int): Array[Byte] = {
+      val b = good.clone() // "fmt " id at 12..15, its size field at 16..19
+      b(16) = v.toByte; b(17) = (v >> 8).toByte
+      b(18) = (v >> 16).toByte; b(19) = (v >> 24).toByte
+      b
+    }
+    intercept[IllegalArgumentException](Media.WavCodec.decode(withFmtSize(-8)))
+    intercept[IllegalArgumentException](Media.WavCodec.decode(withFmtSize(Int.MaxValue - 7)))
+    intercept[IllegalArgumentException](Media.WavCodec.fmtInfo(withFmtSize(-8)))
+    // and the fmt-only probe agrees with the full decode on good input
+    val (rate, ch, _) = Media.WavCodec.decode(good)
+    assert(Media.WavCodec.fmtInfo(good) == ((rate, ch)))
   }
 
   test("WAV codec decodes a crafted clip to exact samples, skipping unknown chunks") {

@@ -100,6 +100,94 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
       .map(_.toByte).toSeq)
   }
 
+  test("BMP RLE8 codec round-trips crafted pixels exactly and genuinely compresses") {
+    // 4x2 grayscale: two bands per row — encode must emit runs, decode
+    // must rebuild the exact top-down pixels through the palette
+    val gray = Array[Int](100, 100, 200, 200, 0, 0, 0, 255).map(_.toByte)
+    val bmp = Media.BmpCodec.encode(4, 2, gray)
+    assert(Media.BmpCodec.isBmp(bmp))
+    assert(Media.BmpCodec.dims(bmp) == ((4, 2)))
+    val (w, h, px) = Media.BmpCodec.decode(bmp)
+    assert(w == 4 && h == 2 && px.toSeq == gray.toSeq)
+    // brightness through the shared feature kernel: mean of the 8 pixels
+    val rec = Seq(Media.MediaRecord(42L,
+      Media.MediaMeta("image", "bmp", 4, 2, 0L, 0), bmp)).toDS()
+    val f = Media.extractImageFeatures(rec).head()
+    assert(f.width == 4 && f.height == 2)
+    assert(f.brightness == (100 + 100 + 200 + 200 + 0 + 0 + 0 + 255) / 8.0,
+      s"got ${f.brightness}")
+    // the banded synthetic fixture must actually compress: RLE payload
+    // well under one byte per pixel (noise would EXPAND to 2 bytes/px —
+    // that's what makes this the variable-WORK codec case)
+    val syn = Media.BmpCodec.synthetic(64, 48, seed = 7L)
+    val headerAndPalette = 14 + 40 + 1024
+    assert(syn.length - headerAndPalette < 64 * 48 / 2,
+      s"banded fixture should RLE-compress, got ${syn.length - headerAndPalette} bytes for ${64 * 48} px")
+    val (sw, sh, spx) = Media.BmpCodec.decode(syn)
+    assert(sw == 64 && sh == 48 && spx.length == 64 * 48)
+  }
+
+  test("BMP RLE8 decode handles absolute mode, delta skips, and EOL/EOF escapes") {
+    // hand-crafted opcode stream the run-only encoder never emits:
+    // bottom row: absolute[10,20,30,40] + run 2x50; top row: run 3x60,
+    // delta (+2,0) leaving palette-0 holes, run 1x70
+    val header = Media.BmpCodec.encode(6, 2, new Array[Byte](12)).take(14 + 40 + 1024)
+    val stream = Array[Int](
+      0, 4, 10, 20, 30, 40, // absolute mode, 4 indices (even: no pad)
+      2, 50,                // encoded run
+      0, 0,                 // end of line
+      3, 60,                // encoded run
+      0, 2, 2, 0,           // delta: dx=2, dy=0
+      1, 70,                // encoded run
+      0, 1                  // end of bitmap
+    ).map(_.toByte)
+    val (w, h, px) = Media.BmpCodec.decode(header ++ stream)
+    assert(w == 6 && h == 2)
+    // top-down: first output row is the LAST-encoded (top) row
+    assert(px.toSeq == Array[Int](
+      60, 60, 60, 0, 0, 70,   // delta holes default to palette entry 0
+      10, 20, 30, 40, 50, 50).map(_.toByte).toSeq)
+  }
+
+  test("BMP RLE8 decode fails loudly on corrupt opcode streams (no overrun, no overread)") {
+    val header = Media.BmpCodec.encode(6, 2, new Array[Byte](12)).take(14 + 40 + 1024)
+    def bad(stream: Int*): Array[Byte] = header ++ stream.map(_.toByte).toArray
+    // run crossing the row end would write past the canvas row
+    intercept[IllegalArgumentException](Media.BmpCodec.decode(bad(7, 5, 0, 1)))
+    // truncated: stream ends without an end-of-bitmap escape
+    intercept[IllegalArgumentException](Media.BmpCodec.decode(bad(2, 5)))
+    // absolute mode declaring more indices than the stream carries
+    intercept[IllegalArgumentException](Media.BmpCodec.decode(bad(0, 5, 1, 2)))
+    // delta landing off-canvas
+    intercept[IllegalArgumentException](Media.BmpCodec.decode(bad(0, 2, 9, 9, 0, 1)))
+    // header dims are untrusted too: a negative width must throw, not
+    // size a negative-length buffer
+    val negW = (header ++ Array[Int](1, 5, 0, 1).map(_.toByte)).clone()
+    negW(18) = 0xff.toByte; negW(19) = 0xff.toByte
+    negW(20) = 0xff.toByte; negW(21) = 0xff.toByte
+    intercept[IllegalArgumentException](Media.BmpCodec.decode(negW))
+  }
+
+  test("image column is heterogeneous: PPM and RLE8-BMP payloads both decode corpus-wide") {
+    val images = Media.corpus(spark, sf).filter(_.meta.kind == "image").collect()
+    val (bmps, ppms) = images.partition(r => Media.BmpCodec.isBmp(r.content))
+    assert(bmps.nonEmpty && ppms.nonEmpty, "fixture must carry BOTH image formats")
+    // metadata format tag matches the payload magic, dims match the header
+    bmps.foreach { r =>
+      assert(r.meta.format == "bmp")
+      assert(Media.BmpCodec.dims(r.content) == ((r.meta.width, r.meta.height)))
+    }
+    ppms.foreach(r => assert(r.meta.format == "ppm" &&
+      Media.PpmCodec.isPpm(r.content)))
+    // and a BMP record resizes like any image: dims change, payload
+    // stays a decodable RLE8 BMP
+    val one = Seq(bmps.head).toSeq.toDS()
+    val rz = Media.resize(one, 16, 12).head()
+    assert(Media.BmpCodec.isBmp(rz.content))
+    assert(Media.BmpCodec.dims(rz.content) == ((16, 12)))
+    assert(rz.meta.width == 16 && rz.meta.height == 12)
+  }
+
   test("WAV decode fails loudly on corrupt declared chunk sizes (no hang, no overread)") {
     // declared sizes are untrusted: a u32 size read into Int can be
     // negative (stalling the walk — i stops advancing) or overshoot the
@@ -169,6 +257,76 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
       else if (r.meta.kind == "image")
         assert(feats(r.media_id) == ((r.meta.width, r.meta.height)))
     }
+  }
+
+  test("AVI codec round-trips crafted frames exactly (BGR/bottom-up/stride handled)") {
+    // 2x2, 3 frames of known RGB — w*3 = 6 bytes/row forces a 2-byte DIB
+    // stride pad, so the pad/flip/channel-swap paths all run
+    val frames = (0 until 3).map(f => Array[Int](
+      10 + f, 20, 30, 40, 50, 60,
+      70, 80, 90, 100, 110, 120 + f).map(_.toByte).toArray)
+    val avi = Media.AviCodec.encode(2, 2, usPerFrame = 33000, frames)
+    assert(Media.AviCodec.isAvi(avi))
+    assert(Media.AviCodec.header(avi) == ((2, 2, 3, 33000)))
+    val (w, h, usPf, back) = Media.AviCodec.decode(avi)
+    assert(w == 2 && h == 2 && usPf == 33000)
+    assert(back.length == 3)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(b.toSeq == f.toSeq, "frame pixels must round-trip exactly")
+    }
+  }
+
+  test("AVI decode fails loudly on corrupt chunk sizes and frame-count lies") {
+    val good = Media.AviCodec.synthetic(4, 4, nFrames = 2, seed = 3L)
+    // declared chunk size past the payload
+    val overLong = good.clone()
+    overLong(16) = 0xff.toByte; overLong(17) = 0xff.toByte // hdrl LIST size field
+    intercept[IllegalArgumentException](Media.AviCodec.decode(overLong))
+    // avih frame count disagreeing with the movi chunks it promises
+    val lying = good.clone()
+    // avih payload starts after RIFF(12) + LIST hdr(8) + 'hdrl'(4) + avih hdr(8);
+    // totalFrames is u32 at payload offset 16
+    lying(12 + 8 + 4 + 8 + 16) = 5.toByte
+    intercept[IllegalArgumentException](Media.AviCodec.decode(lying))
+    // truncation mid-stream
+    intercept[IllegalArgumentException](
+      Media.AviCodec.decode(good.take(good.length - 10)))
+  }
+
+  test("sampled video frames are real decodable images that reach the feature extractor") {
+    val vids = Media.corpus(spark, sf).filter(_.meta.kind == "video")
+    val frames = Media.sampleFrames(vids, 4).collect()
+    assert(frames.nonEmpty)
+    val metas = vids.collect().map(r => r.media_id -> r.meta).toMap
+    frames.foreach { f =>
+      // each sampled frame is a standalone PPM with the clip's dims and a
+      // true frame-period timestamp (25 fps → multiples of 40 ms)
+      assert(Media.PpmCodec.isPpm(f.content), s"frame ${f.media_id}/${f.frame_no}")
+      val (fw, fh, _) = Media.PpmCodec.decode(f.content)
+      assert(fw == metas(f.media_id).width && fh == metas(f.media_id).height)
+      assert(f.offsetMs % 40 == 0, s"offset ${f.offsetMs} not on the frame grid")
+    }
+    // video → frames → image features: the multimodal handoff end to end
+    val asRecords = frames.toSeq.map(f => Media.MediaRecord(
+      f.media_id * 100 + f.frame_no,
+      Media.MediaMeta("image", "ppm", 0, 0, 0L, 0), f.content)).toDS()
+    val feats = Media.extractImageFeatures(asRecords).collect()
+    assert(feats.length == frames.length)
+    assert(feats.forall(f => f.brightness > 0 && f.brightness <= 255))
+  }
+
+  test("resize preserves AVI frame count and period while resampling every frame") {
+    val one = Media.corpus(spark, sf)
+      .filter(r => r.meta.kind == "video").limit(1)
+    val before = one.head()
+    val (_, _, usPf0, frames0) = Media.AviCodec.decode(before.content)
+    val rz = Media.resize(one, 8, 6).head()
+    assert(Media.AviCodec.isAvi(rz.content))
+    val (w, h, usPf, frames) = Media.AviCodec.decode(rz.content)
+    assert(w == 8 && h == 6)
+    assert(usPf == usPf0 && frames.length == frames0.length,
+      "resample must not change frame count or period")
+    assert(rz.meta.width == 8 && rz.meta.height == 6)
   }
 
   test("frame sampling emits n frames per video with monotonic offsets") {

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on an entity graph contracted from the
+  * fact table (SURVEY.md §2b q_pagerank).
+  *
+  * The graph: part co-purchase — parts appearing in the same order are
+  * linked, edge weight = number of co-occurrences. The 100-TB shape is
+  * the point: the corpus-scale work is the ONE self-join on the fact
+  * table's own key (co-located — both sides shuffle on l_orderkey
+  * once) plus a map-side-combined edge aggregation; the PageRank loop
+  * then iterates over the CONTRACTED graph whose node set is the part
+  * dimension, each iteration one shuffle keyed by dst. Rank state is
+  * localCheckpointed per iteration so 10 iterations don't compound
+  * lineage into one giant plan.
+  *
+  * Determinism (what makes this oracle-eligible when float PageRank is
+  * not): ranks are scaled BIGINTs and every division is integral
+  * (`div` in Spark, `//` in DuckDB) — no float accumulation order to
+  * disagree on. rank' (v) = base15 + (85 · Σ_u (rank(u)·w(u,v) div
+  * W(u))) div 100, dangling mass dropped (documented leak, mirrored in
+  * the oracle). The oracle unrolls the fixed 10 iterations as chained
+  * CTEs — generated, not hand-copied 10×.
+  */
+object Graph {
+
+  /** Rank scale: 1e12 ≪ 2^63 leaves headroom for rank·weight products
+    * (max ~1e12 · weight) with exact BIGINT arithmetic at any corpus
+    * size where per-edge weights stay below ~9e6.
+    */
+  val Scale = 1000000000000L
+  val Iterations = 10
+
+  /** Spark-side deterministic integer PageRank; factored out so specs
+    * can run it on crafted graphs (GraphSpec parity vs a naive
+    * in-test implementation).
+    */
+  def pagerankOf(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    val e = edges.persist()
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wtot")).persist()
+    val n = nodes.count() // bounded: dimension-table count, one action
+    val base = Scale / n
+    val base15 = (15L * base) / 100L
+    var pr = nodes.withColumn("pr", lit(base))
+    var it = 0
+    while (it < iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(deg, "src")
+        .selectExpr("dst", "(pr * w) div wtot AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("s"))
+        .selectExpr("node", s"${base15}L + ((85 * s) div 100) AS pr")
+        // truncate lineage: 10 chained join+agg rounds would otherwise
+        // compound into one mega-plan (node-count rows only — cheap)
+        .localCheckpoint(true)
+      it += 1
+    }
+    e.unpersist(); deg.unpersist()
+    pr
+  }
+
+  /** Co-purchase edges from lineitem: both directions, weight = number
+    * of same-order co-occurrences. Self-join on the fact table's own
+    * key — co-located, one shuffle.
+    */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.select(col("ok"), col("l_partkey").as("src"))
+      .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** The unrolled-iteration oracle: r1..rN generated as chained CTEs,
+    * integer arithmetic mirroring pagerankOf exactly.
+    */
+  private def pagerankSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |         (SELECT base15 FROM consts) + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, CAST(sum((r.pr * e.w) // d.wtot) AS BIGINT) AS s
+         |    FROM r${k - 1} r JOIN edges e ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM edges GROUP BY 1),
+       |nodes AS (SELECT p_partkey AS node FROM part),
+       |consts AS (SELECT CAST((15 * ($Scale // count(*))) // 100 AS BIGINT) AS base15,
+       |                  CAST($Scale // count(*) AS BIGINT) AS base FROM part),
+       |r0 AS (SELECT node, (SELECT base FROM consts) AS pr FROM nodes),
+       |$iters
+       |SELECT node, pr FROM r$iterations ORDER BY pr DESC, node LIMIT 100""".stripMargin
+  }
+
+  /** Triangle count with degree-ordered edge orientation: every edge
+    * points from its (degree, node)-smaller endpoint to the larger, so
+    * each triangle is counted exactly once AND the wedge join fans out
+    * from the LOW-degree endpoint — the standard trick that keeps hub
+    * nodes from creating O(deg²) wedge candidates at scale (a hub's
+    * edges mostly point INTO it, so it seeds few wedges). The count is
+    * orientation-invariant, which is what makes the naive a<b<c oracle
+    * formulation comparable.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("da")).otherwise(col("db")).as("du"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("db")).otherwise(col("da")).as("dv"))
+    // wedges seeded at u: pairs (v, w) with v ≺ w in (deg, node) order
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x"), col("y"))
+    val tri = wedges.join(oriented.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Product centrality: top-100 parts by co-purchase PageRank.
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val nodes = T.part(s, d).select(col("p_partkey").as("node"))
+        val edges = coPurchaseEdges(T.lineitem(s, d))
+        pagerankOf(nodes, edges, Iterations)
+          .orderBy(col("pr").desc, col("node")).limit(100)
+      },
+      Some(pagerankSql(Iterations))),
+
+    // Clustering structure of the co-purchase graph: nodes-with-edges,
+    // undirected edge count, triangle count. The semi-join wedge-check
+    // is a left_semi on (x, y) — never materializes per-triangle rows.
+    QueryDef("q_graph_triangles",
+      (s, d) => triangleStats(coPurchaseEdges(T.lineitem(s, d))),
+      Some("""WITH dir AS (
+             |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT src AS a, dst AS b FROM dir WHERE src < dst)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM
+             |     (SELECT a AS n FROM e UNION SELECT b FROM e)) AS n_nodes,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |   FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+             |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin))
+  )
+}

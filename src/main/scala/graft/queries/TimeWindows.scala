@@ -191,6 +191,74 @@ object TimeWindows {
              |SELECT event_id, user_id,
              |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-             |FROM flagged ORDER BY user_id, event_id""".stripMargin))
+             |FROM flagged ORDER BY user_id, event_id""".stripMargin)),
+
+    // Ordered conversion funnel: signup → first view at-or-after it →
+    // first purchase at-or-after that. Each stage is a filtered
+    // pre-aggregation (map-side combined min per user) followed by an
+    // equi-join with the previous stage — no per-user event window, no
+    // cross-stage explosion; at 100 TB each stage shuffles only its
+    // event-type slice keyed by user.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val e = T.events(s, d)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+          .filter(col("ts") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("ts") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        def stage(df: DataFrame, step: Int, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+        stage(s1, 1, "signup")
+          .unionByName(stage(s2, 2, "view_after_signup"))
+          .unionByName(stage(s3, 3, "purchase_after_view"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS stage,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+             |UNION ALL
+             |SELECT 2, 'view_after_signup', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+             |UNION ALL
+             |SELECT 3, 'purchase_after_view', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+             |ORDER BY step""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-activity month,
+    // counted in each later activity month. Two aggregations (first-seen
+    // per user, distinct user-months) + one user-keyed join — the
+    // classic retention triangle without any window function; month
+    // arithmetic on month-truncated timestamps is exact in both engines.
+    QueryDef("q_cohort_retention",
+      (s, d) => {
+        val e = T.events(s, d)
+        val first = e.groupBy(col("user_id"))
+          .agg(date_trunc("month", min(col("ts"))).as("cm"))
+        val act = e.select(col("user_id"), date_trunc("month", col("ts")).as("am"))
+          .distinct()
+        first.join(act, "user_id")
+          .groupBy(date_format(col("cm"), "yyyy-MM").as("cohort_s"),
+            months_between(col("am"), col("cm")).cast("int").as("month_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_s"), col("month_offset"))
+      },
+      Some("""WITH first AS (SELECT user_id, date_trunc('month', min(ts)) AS cm
+             |               FROM events GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS am FROM events)
+             |SELECT strftime(f.cm, '%Y-%m') AS cohort_s,
+             |       CAST(datediff('month', f.cm, a.am) AS INTEGER) AS month_offset,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM first f JOIN act a ON f.user_id = a.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -99,6 +99,60 @@ object Windows {
              |ORDER BY price DESC, l_orderkey, l_linenumber
              |LIMIT 10""".stripMargin)),
 
+    // SCD2 history build (gaps-and-islands): collapse each customer's
+    // consecutive same-priority orders into type-2 validity intervals
+    // — lag-change flag → running-sum island id → per-island min/count
+    // → lead() for the exclusive valid_to. The dimension-table shape a
+    // warehouse maintains from an append-only fact stream; at 100 TB
+    // everything is windowed per customer (one shuffle on o_custkey),
+    // never a global sort.
+    QueryDef("q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val seq = T.orders(s, d)
+          .withColumn("chg",
+            when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+                 lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1)
+              .otherwise(0))
+          .withColumn("island",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("int"))
+        val grp = seq.groupBy(col("o_custkey"), col("island"), col("o_orderpriority"))
+          .agg(min(col("o_orderdate")).as("vf"), count(lit(1)).as("n_orders"))
+        val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
+        grp
+          .withColumn("vt", lead(col("vf"), 1).over(w2))
+          .select(col("o_custkey"), col("island"), col("o_orderpriority"),
+            date_format(date_trunc("second", col("vf")), "yyyy-MM-dd HH:mm:ss").as("valid_from_s"),
+            date_format(date_trunc("second", col("vt")), "yyyy-MM-dd HH:mm:ss").as("valid_to_s"),
+            col("vt").isNull.as("is_current"), col("n_orders"))
+          .orderBy(col("o_custkey"), col("island"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             |         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |isl AS (
+             |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey
+             |           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS island
+             |  FROM seq),
+             |grp AS (
+             |  SELECT o_custkey, island, o_orderpriority, min(o_orderdate) AS vf,
+             |         CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM isl GROUP BY 1, 2, 3)
+             |SELECT o_custkey, island, o_orderpriority,
+             |       strftime(date_trunc('second', vf), '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+             |       strftime(date_trunc('second', lead(vf) OVER w2), '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+             |       (lead(vf) OVER w2 IS NULL) AS is_current,
+             |       n_orders
+             |FROM grp
+             |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)
+             |ORDER BY o_custkey, island""".stripMargin)),
+
     // As-of join (SURVEY.md §7.4): each purchase ↔ the same user's latest
     // prior-or-equal signup. Spark has no batch ASOF JOIN; composed as
     // union + per-user running last-signup (ONE shuffle on user_id, no

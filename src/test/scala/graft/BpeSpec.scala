@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{BpeExprs, BpeTable}
+import graft.ml.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE vocabulary learning (q_bpe_train) and corpus encoding
+  * (q_bpe_encode).
+  *
+  * The trainer has no SQL oracle (iterative argmax). It is pinned by:
+  *  1. first-merge parity — merge #0 must equal the most frequent
+  *     adjacent symbol pair of the histogram, computed independently;
+  *  2. token-count conservation — encoding every histogram word with
+  *     the learned table yields exactly (initial symbols − Σ support)
+  *     tokens, which simultaneously proves the recorded supports and
+  *     that the encoder reproduces the training segmentation;
+  *  3. bit-identical merges under a different input partitioning;
+  *  4. the codegen'd `bpe_tokens` expression agreeing with the
+  *     driver-side encoder word by word.
+  */
+class BpeSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val hist = Bpe.wordHistogram(Tables.documents(spark, sf), 256)
+  private lazy val merges = Bpe.train(hist, 48)
+  private lazy val ranks: Map[(String, String), Int] =
+    merges.map(m => (m.left, m.right) -> m.rank).toMap
+
+  test("first merge is the most frequent adjacent pair of the histogram") {
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    hist.foreach { case (w, f) =>
+      val syms = w.map(_.toString) :+ Bpe.EndOfWord
+      syms.sliding(2).foreach { p =>
+        counts.update((p(0), p(1)), counts.getOrElse((p(0), p(1)), 0L) + f)
+      }
+    }
+    val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    assert(merges.nonEmpty)
+    assert((merges.head.left, merges.head.right) == best._1)
+    assert(merges.head.support == best._2,
+      "first merge is overlap-free only if nothing overlaps; adjust if fixture has aaa-runs")
+  }
+
+  test("token-count conservation: encoded length = initial symbols - sum(support)") {
+    val initial = hist.map { case (w, f) => f * (w.length + 1L) }.sum
+    val encoded = hist.map { case (w, f) => f * Bpe.encode(w, ranks).length.toLong }.sum
+    assert(encoded == initial - merges.map(_.support).sum)
+  }
+
+  test("merges are bit-identical under a different input partitioning") {
+    val hist2 = Bpe.wordHistogram(Tables.documents(spark, sf).repartition(7), 256)
+    assert(hist2.toSeq == hist.toSeq)
+    assert(Bpe.train(hist2, 48) == merges)
+  }
+
+  test("bpe_tokens expression agrees with the driver-side encoder") {
+    val table = BpeTable(merges)
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(5)
+      .select(col("doc_id"), col("text"),
+        BpeExprs.bpeTokens(col("text"), table).as("toks"))
+      .collect()
+    doc.foreach { r =>
+      val words = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val expect = words.flatMap(w => Bpe.encode(w, ranks)).toSeq
+      assert(r.getSeq[String](2) == expect, s"doc ${r.getLong(0)} encoding drifted")
+    }
+  }
+
+  test("q_bpe_encode counts are consistent and the subword stream is real") {
+    val rows = SparkEntry.queries("q_bpe_encode")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getLong(1); val distinct = r.getLong(2)
+      assert(n > 0 && distinct > 0 && distinct <= n)
+      assert(r.getString(3).nonEmpty)
+    }
+    // learned merges compress: fewer BPE tokens than raw characters
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum < totalChars)
+  }
+
+  test("q_bpe_train emits a well-formed rank-ordered merge table") {
+    val rows = SparkEntry.queries("q_bpe_train")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i)
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) >= 2L)
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.queries.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic integer PageRank (q_pagerank) and the SCD2 history
+  * build (q_scd2).
+  *
+  * PageRank correctness is proven by parity against an independent
+  * naive driver-side implementation on a crafted graph covering the
+  * three node classes (normal, dangling — out-degree 0, isolated — no
+  * edges at all), plus partitioning-independence: integer arithmetic
+  * means results must be bit-identical, not approximately equal.
+  */
+class GraphSpec extends AnyFunSuite with SharedSpark {
+
+  private val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+  // node 5 isolated; node 6 dangling (in-edges only)
+  private val edges = Seq(
+    (1L, 2L, 3L), (1L, 6L, 1L), (2L, 1L, 1L), (2L, 3L, 2L),
+    (3L, 1L, 5L), (4L, 1L, 1L))
+
+  /** Independent naive implementation of the declared integer-PageRank
+    * semantics (SURVEY.md §2b): base15 + (85 · Σ (r·w div W)) div 100,
+    * dangling mass dropped.
+    */
+  private def naive(iters: Int): Map[Long, Long] = {
+    val n = nodes.size
+    val base = Graph.Scale / n
+    val base15 = (15L * base) / 100L
+    val wtot = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r: Map[Long, Long] = nodes.map(_ -> base).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (s, d, w) =>
+        contrib.update(d, contrib.getOrElse(d, 0L) + (r(s) * w) / wtot(s))
+      }
+      r = nodes.map(v => v -> (base15 + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("integer pagerank matches an independent naive implementation exactly") {
+    import spark.implicits._
+    val nodeDf = nodes.toDF("node")
+    val edgeDf = edges.toDF("src", "dst", "w")
+    val got = Graph.pagerankOf(nodeDf, edgeDf, Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive(Graph.Iterations))
+    // the isolated node holds exactly the teleport floor
+    val base15 = (15L * (Graph.Scale / nodes.size)) / 100L
+    assert(got(5L) == base15)
+    // the heavy in-degree node outranks the isolated one
+    assert(got(1L) > got(5L))
+  }
+
+  test("pagerank is bit-identical under a different input partitioning") {
+    import spark.implicits._
+    val a = Graph.pagerankOf(nodes.toDF("node"), edges.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pagerankOf(nodes.toDF("node").repartition(5),
+        edges.toDF("src", "dst", "w").repartition(3), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("co-purchase edges are symmetric with matched weights") {
+    val e = Graph.coPurchaseEdges(Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(e.nonEmpty)
+    e.foreach { case ((s, d), w) =>
+      assert(e.get((d, s)).contains(w), s"edge ($s,$d) weight $w not mirrored")
+    }
+  }
+
+  test("scd2 islands partition each customer's orders with alternating priorities") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+    val perCust = rows.groupBy(_.getLong(0))
+    // islands are contiguous 1..k per customer
+    perCust.foreach { case (c, rs) =>
+      val islands = rs.map(_.getInt(1)).sorted
+      assert(islands.toSeq == (1 to islands.length).toSeq, s"customer $c islands $islands")
+    }
+    // adjacent islands change priority (that's what makes them islands)
+    perCust.foreach { case (c, rs) =>
+      rs.sortBy(_.getInt(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2),
+            s"customer $c islands ${a.getInt(1)},${b.getInt(1)} share a priority")
+        case _ =>
+      }
+    }
+    // interval counts add back up to the fact table
+    assert(rows.map(_.getLong(6)).sum == orders.count())
+    // exactly one current interval per customer, and it's the last island
+    perCust.foreach { case (c, rs) =>
+      val current = rs.filter(_.getBoolean(5))
+      assert(current.length == 1, s"customer $c has ${current.length} current rows")
+      assert(current.head.getInt(1) == rs.map(_.getInt(1)).max)
+    }
+  }
+}

@@ -74,6 +74,18 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("triangle count is exact on a crafted graph (K4 + pendant)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (no new triangle),
+    // fed in the coPurchaseEdges shape: both directions, weighted
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val directed = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+    val r = Graph.triangleStats(directed.toDF("src", "dst", "w")).collect()(0)
+    assert(r.getLong(0) == 5)  // nodes with edges
+    assert(r.getLong(1) == 7)  // undirected edges
+    assert(r.getLong(2) == 4)  // triangles
+  }
+
   test("scd2 islands partition each customer's orders with alternating priorities") {
     val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
     val orders = Tables.orders(spark, sf)

@@ -277,6 +277,48 @@ object Corpus {
              |       CAST(floor(n_tokens * round(least(1.0, 50000.0 / n_tokens), 4)) AS BIGINT) AS est_tokens
              |FROM agg ORDER BY lang""".stripMargin)),
 
+    // α-temperature domain-mixture weights — the data-mixing step of a
+    // multi-source training run: sampling weight ∝ token-share^α
+    // (α = 0.5), i.e. small domains get up-sampled relative to their
+    // share, plus the expected epochs each domain runs at a fixed token
+    // budget. The corpus-scale work is ONE map-side-combined
+    // aggregation (token counts are array sizes — no explode); the
+    // tempering math runs on the post-agg DOMAIN table, where the
+    // unpartitioned windows are a deliberate bounded-cardinality scalar
+    // pass (20 sources here, thousands at worst), never a corpus
+    // window.
+    QueryDef("q_mix_domains",
+      (s, d) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.documents(s, d)
+          .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("share",
+            col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+          .withColumn("w_raw", sqrt(col("share")))
+          .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(all))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 4).as("share"),
+            round(col("weight"), 4).as("weight"),
+            round(lit(100000.0d) * col("weight") / col("n_tokens"), 4).as("epochs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |sh AS (
+             |  SELECT *, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+             |         sqrt(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS w_raw
+             |  FROM t),
+             |wt AS (SELECT *, w_raw / sum(w_raw) OVER () AS weight FROM sh)
+             |SELECT source, n_docs, n_tokens, round(share, 4) AS share,
+             |       round(weight, 4) AS weight,
+             |       round(100000.0 * weight / n_tokens, 4) AS epochs
+             |FROM wt ORDER BY source""".stripMargin)),
+
     // The composed end-to-end corpus build (quality gate → exact dedup →
     // MinHash near-dedup → benchmark decontamination → deterministic
     // split) as ONE query — the headline flow a training-data user runs.

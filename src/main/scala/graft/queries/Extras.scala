@@ -127,6 +127,36 @@ object Extras {
       },
       None),
 
+    // KMV bottom-k sketch set algebra: distinct-token cardinality of
+    // two domain halves AND their overlap from two bounded sketches.
+    // HLL unions but cannot intersect; KMV's bottom-k of the union is a
+    // uniform sample of A∪B, so the fraction present in both sketches
+    // estimates |A∩B| — the corpus-overlap measurement (train vs
+    // benchmark, domain vs domain) at 100 TB without any distinct
+    // shuffle: one map-side-combined aggregation per group, two
+    // 256-entry arrays to the driver (sketches, not data; the collect
+    // is 2 rows). KmvSpec bounds the error vs exact and proves
+    // partition-independence; below k the sketch is EXACT.
+    QueryDef("q_sketch_kmv",
+      (s, d) => {
+        import graft.functions.Kmv
+        val kmv = udaf(Kmv)
+        val sk = T.documents(s, d)
+          .select((regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2).as("grp"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("grp"), xxhash64(col("tok")).as("h"))
+          .groupBy(col("grp")).agg(kmv(col("h")).as("sk"))
+          .orderBy(col("grp")).collect() // 2 rows of 256 longs
+        val a = sk(0).getAs[scala.collection.Seq[Long]]("sk").toArray
+        val b = sk(1).getAs[scala.collection.Seq[Long]]("sk").toArray
+        val (estU, estI) = Kmv.overlap(a, b)
+        import s.implicits._
+        Seq((math.round(Kmv.estimate(a)), math.round(Kmv.estimate(b)),
+            math.round(estU), math.round(estI)))
+          .toDF("est_even", "est_odd", "est_union", "est_inter")
+      },
+      None),
+
     // Bloom-filter join pre-filter — the manual form of Spark's runtime
     // row filtering: build a bloom over the selective side's join keys
     // (one mergeable sketch — bytes on the driver, not data), inject it

@@ -108,6 +108,43 @@ object Pipeline {
              |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery is a
+    // self-aggregation of the fact table, then customer/orders/lineitem
+    // re-join the surviving keys. Scale plan: the qualifying-order set is
+    // tiny relative to lineitem (874 of 14.7k orders at sf0.01), so it
+    // re-enters as a broadcast LEFT SEMI on l_orderkey; the final global
+    // top-100 is TakeOrderedAndProject, never a full sort. AQE's
+    // runtime-size estimate (not a planner guess) is what makes the
+    // semi-join side broadcastable at any SF where the threshold keeps
+    // qualifying orders rare.
+    QueryDef("q_tpch_q18",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 200)
+        T.orders(s, d)
+          .join(big, col("o_orderkey") === big("l_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey").as("custkey"),
+            col("o_orderkey").as("okey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
+            round(col("o_totalprice"), 4).as("totalprice"),
+            round(col("sum_qty"), 4).as("sum_qty"))
+          .orderBy(col("totalprice").desc, col("okey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey AS custkey, o_orderkey AS okey,
+             |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+             |       round(o_totalprice, 4) AS totalprice,
+             |       round(sum_qty, 4) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY totalprice DESC, okey LIMIT 100""".stripMargin)),
+
     // Bigram language-model counts: corpus-wide c(w1,w2) and the
     // conditional P(w2|w1) among frequent pairs. The explode is map-side;
     // the single shuffle groups by bigram. The n>=3 floor is applied

@@ -259,6 +259,53 @@ object TimeWindows {
              |       CAST(datediff('month', f.cm, a.am) AS INTEGER) AS month_offset,
              |       CAST(count(*) AS BIGINT) AS n_users
              |FROM first f JOIN act a ON f.user_id = a.user_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Stream-stream interval join, declared as a query: each purchase
+    // joined to same-user signups within the 24h before it. The body IS
+    // the streaming core (StreamOps.purchaseSignupJoin — withWatermark
+    // is a no-op in batch), so the oracle checks the very plan
+    // StreamingParitySpec proves batch≡stream on. The time-range
+    // predicate is what bounds streaming state; in batch it is the join
+    // band that keeps the per-user pairing from going quadratic.
+    QueryDef("q_stream_join",
+      (s, d) => graft.streaming.StreamOps.purchaseSignupJoin(T.events(s, d))
+        .select(col("p_id").as("purchase_id"), col("user_id"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")))
+            .as("gap_s"))
+        .orderBy(col("purchase_id"), col("signup_ts")),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+             |       CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS gap_s
+             |FROM events p JOIN events s
+             |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+             | AND p.user_id = s.user_id
+             | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '24 hours'
+             |ORDER BY purchase_id, signup_ts""".stripMargin)),
+
+    // LEFT OUTER stream-stream join: every purchase emits — matched, or
+    // null-padded once the watermark proves no in-horizon signup can
+    // still arrive (StreamOps.purchaseSignupLeftJoin; the null decision
+    // is watermark-gated in the streaming form, unconditional in
+    // batch). The no-match slice is the interesting physical path: the
+    // outer side must survive the band join unmatched, not be dropped
+    // with the state.
+    QueryDef("q_stream_join_outer",
+      (s, d) => graft.streaming.StreamOps.purchaseSignupLeftJoin(T.events(s, d))
+        .select(col("p_id").as("purchase_id"), col("user_id"),
+          coalesce(date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss"), lit("none"))
+            .as("signup_ts"),
+          coalesce(unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")),
+            lit(-1L)).as("gap_s"))
+        .orderBy(col("purchase_id"), col("signup_ts")),
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |       coalesce(strftime(s.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS signup_ts,
+             |       CAST(coalesce(date_diff('second', s.ts, p.ts), -1) AS BIGINT) AS gap_s
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id
+             | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '24 hours'
+             |ORDER BY purchase_id, signup_ts""".stripMargin))
   )
 }

@@ -27,7 +27,12 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     "q_decontam", "q_pack", "q_doc_ppl", "q_corpus_build",
     // round-8 additions
     "q_dedup_para", "q_bm25", "q_dedup_sem", "q_profile", "q_tok_vocab",
-    "q_shuffle_det", "q_anomaly_window", "q_stream_enrich")
+    "q_shuffle_det", "q_anomaly_window", "q_stream_enrich",
+    // round-9 additions (q_pagerank/q_bpe_*/q_sketch_kmv excluded: their
+    // final frames are localCheckpoint/LocalTableScan shells, not plans)
+    "q_funnel", "q_cohort_retention", "q_scd2", "q_graph_triangles",
+    "q_stream_join", "q_stream_join_outer", "q_tpch_q18", "q_mix_domains",
+    "q_zorder")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

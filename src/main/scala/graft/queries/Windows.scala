@@ -86,6 +86,32 @@ object Windows {
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // The SAME top-3-per-priority answer through the custom grouped
+    // top-k operator (graft.plans.GroupedTopK: logical node + strategy
+    // + partial/final bounded-heap physical plan). Where q_topk_group's
+    // window shuffles and sorts EVERY order row, this exchange carries
+    // ≤ partitions × 5 priorities × 3 rows; identical output = the
+    // window query's oracle checks a custom SparkPlan end-to-end. The
+    // rn window runs over the 15 surviving rows, not the fact table.
+    QueryDef("q_topk_group_fast",
+      (s, d) => {
+        val top = graft.plans.GroupedTopKOp.topK(T.orders(s, d), 3,
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        top.withColumn("rn", row_number().over(w))
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey,
+             |       round(o_totalprice, 4) AS price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
     // Global top-10: plans as TakeOrderedAndProject (no full sort/shuffle
     // of all rows — each partition keeps 10, driver merges).
     QueryDef("q_topk_global",

@@ -145,6 +145,31 @@ object Pipeline {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY totalprice DESC, okey LIMIT 100""".stripMargin)),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join so zero-order customers stay, per-customer count, then the
+    // histogram of counts — the double-aggregation shape. Scale plan:
+    // the first agg is map-side-combined on o_custkey (the join's own
+    // key, so AQE coalesces one shuffle); the second groups the
+    // already-tiny (customer-count rows) count table. No filter clause
+    // on comments here — the fixture has no comment column; the
+    // structural point is outer-join + re-aggregation.
+    QueryDef("q_tpch_q13",
+      (s, d) => {
+        val perCust = T.customer(s, d)
+          .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+             |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey) cc
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
     // Bigram language-model counts: corpus-wide c(w1,w2) and the
     // conditional P(w2|w1) among frequent pairs. The explode is map-side;
     // the single shuffle groups by bigram. The n>=3 floor is applied

@@ -112,6 +112,36 @@ object Windows {
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // The optimizer-rule deployment of the custom operator: the query
+    // text IS the idiomatic window form of q_topk_group — the scoped
+    // RewriteWindowTopK rule (Rule[LogicalPlan] on the extraOptimizations
+    // hook) swaps the full-table window shuffle for GroupedTopK
+    // underneath it. Rows are materialized inside the rule's scope
+    // (15 rows — groups × k, bounded) so the rewritten plan is what
+    // produced the answer; RewriteTopKSpec pins the plan shape and
+    // no-fire guards.
+    QueryDef("q_topk_rewrite",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val windowForm = T.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 4).as("price"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+        graft.plans.RewriteWindowTopK.withRule(s) {
+          val rows = windowForm.collect() // groups × k = 15 rows
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), windowForm.schema)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey,
+             |       round(o_totalprice, 4) AS price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
     // Global top-10: plans as TakeOrderedAndProject (no full sort/shuffle
     // of all rows — each partition keeps 10, driver merges).
     QueryDef("q_topk_global",

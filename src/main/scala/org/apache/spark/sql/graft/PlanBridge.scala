@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.SparkStrategy
 
@@ -31,5 +32,26 @@ object PlanBridge {
     if (!cs.experimental.extraStrategies.contains(strategy))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ strategy
+  }
+
+  /** Idempotently add / remove an optimizer rule (the
+    * `experimental.extraOptimizations` hook — the post-optimizer "User
+    * Provided Optimizers" batch, SparkSessionExtensions'
+    * injectOptimizerRule analog for a live session). Removal exists
+    * because graft registers rewrite rules SCOPED (register → plan →
+    * deregister): a rule left behind on the shared session would
+    * silently change every later query's plan.
+    */
+  def registerRule(spark: SparkSession, rule: Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ rule
+  }
+
+  def deregisterRule(spark: SparkSession, rule: Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations.filterNot(_ eq rule)
   }
 }

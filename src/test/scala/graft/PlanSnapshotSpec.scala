@@ -32,7 +32,7 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     // final frames are localCheckpoint/LocalTableScan shells, not plans)
     "q_funnel", "q_cohort_retention", "q_scd2", "q_graph_triangles",
     "q_stream_join", "q_stream_join_outer", "q_tpch_q18", "q_mix_domains",
-    "q_zorder", "q_topk_group_fast")
+    "q_zorder", "q_topk_group_fast", "q_tpch_q13")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

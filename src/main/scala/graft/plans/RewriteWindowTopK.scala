@@ -38,8 +38,15 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
   val MaxK = 1000
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // the !GroupedTopK guard makes the rule IDEMPOTENT: the rewrite
+    // keeps the Filter+Window pattern it matched (rn is recomputed over
+    // the survivors), and the extraOptimizations batch runs to fixed
+    // point — without the guard every iteration stacked another
+    // GroupedTopK+exchange under the window (observed: 8 layers, 8.1 s
+    // vs 1.2 s plain at sf0.1; RewriteTopKSpec pins single-node now)
     case f @ Filter(cond, w: Window)
-        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
+          !w.child.isInstanceOf[GroupedTopK] =>
       (w.windowExpressions.head, kOf(cond, w.windowExpressions.head.toAttribute)) match {
         case (Alias(WindowExpression(_: RowNumber, _), _), Some(k))
             if k > 0 && k <= MaxK =>

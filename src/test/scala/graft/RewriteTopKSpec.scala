@@ -35,6 +35,17 @@ class RewriteTopKSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("rule is idempotent under the optimizer's fixed-point batch: ONE node, not a stack") {
+    RewriteWindowTopK.withRule(spark) {
+      val n = windowForm.queryExecution.optimizedPlan.collect {
+        case g: GroupedTopK => g
+      }.size
+      // without the already-rewritten guard, every fixed-point iteration
+      // stacked another GroupedTopK+exchange (observed: 8 layers)
+      assert(n == 1, s"expected exactly one GroupedTopK, got $n")
+    }
+  }
+
   test("rn < k form fires with k-1; rn <= 0 and k > MaxK do not fire") {
     RewriteWindowTopK.withRule(spark) {
       val w = Window.partitionBy(col("o_orderpriority"))

@@ -221,6 +221,38 @@ object Extras {
              |       round(COALESCE(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // The inverse reshape: melt a wide per-segment metrics table into
+    // (segment, metric, value) rows via Dataset.unpivot — wide→long is
+    // how per-column stats feed a generic metrics sink. Map-only after
+    // the 5-row aggregate; the oracle states the same thing as a
+    // stacked UNION ALL (the portable form of UNPIVOT).
+    QueryDef("q_unpivot",
+      (s, d) => {
+        val wide = T.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast("double").as("n_cust"),
+            round(avg(col("c_acctbal")), 4).as("avg_bal"),
+            round(max(col("c_acctbal")), 4).as("max_bal"))
+        wide.unpivot(
+            Array(col("c_mktsegment")),
+            Array(col("n_cust"), col("avg_bal"), col("max_bal")),
+            "metric", "value")
+          .orderBy(col("c_mktsegment"), col("metric"))
+      },
+      Some("""WITH wide AS (
+             |  SELECT c_mktsegment,
+             |         CAST(count(*) AS DOUBLE) AS n_cust,
+             |         round(avg(c_acctbal), 4) AS avg_bal,
+             |         round(max(c_acctbal), 4) AS max_bal
+             |  FROM customer GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, metric, value FROM (
+             |  SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS value FROM wide
+             |  UNION ALL
+             |  SELECT c_mktsegment, 'avg_bal', avg_bal FROM wide
+             |  UNION ALL
+             |  SELECT c_mktsegment, 'max_bal', max_bal FROM wide)
+             |ORDER BY c_mktsegment, metric""".stripMargin)),
+
     // SQL entry point: scalar subquery (decorrelated by Catalyst).
     QueryDef("q_subquery_scalar",
       (s, d) => {

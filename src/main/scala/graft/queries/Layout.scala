@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables => T}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional file-layout optimization (SURVEY.md §2b q_zorder):
@@ -49,6 +49,78 @@ object Layout {
       .withColumn("dim_day",
         pmod(floor(unix_timestamp(col("o_orderdate")) / lit(86400L)), lit(4096L)))
       .withColumn("zcode", morton(col("dim_cust"), col("dim_day")))
+
+  /** Deterministic tmpdir cache for `sfDir`'s partitioned-layout copies
+    * (same convention as IvfIndex.cachePathFor: on a cluster these are
+    * table paths next to the source data; the tmpdir stand-in keeps the
+    * fixture self-contained).
+    */
+  def layoutCacheFor(sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_layout_cache/$digest"
+  }
+
+  private val buildLock = new Object
+
+  /** Write-ONCE the hive-partitioned orders copy (partition column =
+    * order month, ~80 partitions over the fixture's date range) plus the
+    * month→quarter dimension it joins against. This is the layout that
+    * turns a dimension-side filter into skipped fact partitions via
+    * dynamic partition pruning — at 100 TB the difference between
+    * scanning 80 months and scanning 3. Freshness = fact row count
+    * matches the source (a regenerated corpus forces a rewrite).
+    */
+  def ensurePartitionedOrders(spark: SparkSession, sfDir: String): String = {
+    val base = layoutCacheFor(sfDir)
+    buildLock.synchronized {
+      val orders = T.orders(spark, sfDir)
+      val n = orders.count()
+      val fresh =
+        try spark.read.parquet(s"$base/orders_bymonth").count() == n &&
+          spark.read.parquet(s"$base/monthdim").count() == 84
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!fresh) {
+        orders
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month")
+          .parquet(s"$base/orders_bymonth")
+        // 84 months spanning 1995-01..2001-12 (covers the fixture range)
+        spark.range(0, 84)
+          .select(add_months(to_date(lit("1995-01-01")), col("id").cast("int")).as("m0"))
+          .select(date_format(col("m0"), "yyyy-MM").as("m_month"),
+            concat(year(col("m0")), lit("-Q"), quarter(col("m0"))).as("m_quarter"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/monthdim")
+      }
+    }
+    base
+  }
+
+  /** Create-ONCE-per-session the bucketed fact tables (bucketed+sorted
+    * on the join key, 16 buckets). Bucketing is the write-time layout
+    * that makes the fact⋈fact join exchange-free: both scans are already
+    * hash-distributed on the key, so SortMergeJoin needs no shuffle —
+    * at 100 TB the single biggest cost of the orders⋈lineitem join.
+    * Session-scoped (in-memory catalog): Bench's untimed pass 0 pays
+    * the write; timed passes measure the co-located join itself, the
+    * same amortization contract as the persisted ANN indexes.
+    */
+  def ensureBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val li = s"graft_li_bkt_$digest"
+    val ord = s"graft_ord_bkt_$digest"
+    buildLock.synchronized {
+      if (!spark.catalog.tableExists(li))
+        T.lineitem(spark, sfDir).write
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      if (!spark.catalog.tableExists(ord))
+        T.orders(spark, sfDir).write
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+    }
+    (li, ord)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -106,6 +178,61 @@ object Layout {
              |       min(zcode) AS z_min, max(zcode) AS z_max,
              |       min(dim_cust) AS cust_min, max(dim_cust) AS cust_max,
              |       min(dim_day) AS day_min, max(dim_day) AS day_max
-             |FROM zz GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM zz GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Dynamic partition pruning: revenue by priority for one quarter,
+    // where the quarter is known only through a dimension-table filter
+    // — the fact side carries no static predicate at all. The fact is
+    // the month-partitioned orders copy; at planning time Spark inserts
+    // a DynamicPruningSubquery on the fact's partition column, reuses
+    // the dim's broadcast, and the scan reads 3 of ~80 partitions
+    // (DppSpec asserts the dynamicpruning PartitionFilter and the
+    // pruned-partition count). This is THE mechanism that makes
+    // star-schema queries scan-bounded at 100 TB: the filter lives on
+    // the dimension, the IO savings land on the fact.
+    QueryDef("q_join_dpp",
+      (s, d) => {
+        val base = ensurePartitionedOrders(s, d)
+        val fact = s.read.parquet(s"$base/orders_bymonth")
+        val dim = s.read.parquet(s"$base/monthdim")
+          .filter(col("m_quarter") === "1996-Q2")
+        fact.join(broadcast(dim), col("o_month") === col("m_month"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 4).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(o_totalprice), 4) AS revenue
+             |FROM orders
+             |WHERE date_part('year', o_orderdate) = 1996
+             |  AND date_part('quarter', o_orderdate) = 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bucketed co-located join: the q_join_smj aggregation answered
+    // from bucketed+sorted tables — the SortMergeJoin runs with ZERO
+    // exchange before it (BucketedJoinSpec asserts the plan; the merge
+    // hint pins SMJ so the demonstration doesn't depend on broadcast
+    // thresholds). The bucketed write is paid once (ensureBucketedTables,
+    // Bench pass 0); every later fact⋈fact join on the bucket key skips
+    // its shuffle entirely — at 100 TB that shuffle IS the job cost, and
+    // bucketing both fact tables on orderkey amortizes it across every
+    // downstream join.
+    QueryDef("q_join_bucketed",
+      (s, d) => {
+        val (li, ord) = ensureBucketedTables(s, d)
+        s.table(li).hint("merge")
+          .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_quantity), 4) AS sum_qty,
+             |       round(sum(l_extendedprice), 4) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -170,6 +170,116 @@ object Pipeline {
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar subquery — each lineitem compared against ITS part's
+    // average quantity — decorrelated into a pre-aggregation join, the
+    // rewrite Catalyst itself applies to the SQL form. Scale plan: the
+    // brand filter semi-joins lineitem FIRST (one broadcast of ~4% of
+    // partkeys), so the per-part average aggregates only qualifying
+    // rows — at 100 TB that is 25× less aggregation input than the
+    // naive bound-then-filter order; the resulting per-part bounds
+    // table is partkey-sized and broadcasts back. The 4-decimal round
+    // on the bound pins the float boundary so Spark's and DuckDB's
+    // summation orders cannot flip a `<` comparison.
+    QueryDef("q_tpch_q17",
+      (s, d) => {
+        val brandKeys = T.part(s, d).filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey"))
+        val qualifying = T.lineitem(s, d)
+          .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        val bounds = qualifying.groupBy(col("l_partkey").as("b_partkey"))
+          .agg(round(lit(0.2) * avg(col("l_quantity")), 4).as("qty_bound"))
+        qualifying
+          .join(broadcast(bounds), col("l_partkey") === col("b_partkey"))
+          .filter(col("l_quantity") < col("qty_bound"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |JOIN (SELECT l_partkey AS b_partkey, round(0.2*avg(l_quantity), 4) AS qty_bound
+             |      FROM lineitem GROUP BY 1) b ON b_partkey = p_partkey
+             |WHERE p_brand = 'Brand#4' AND l_quantity < qty_bound""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    // NOT EXISTS pair over the same fact table — a supplier is counted
+    // when it shipped late into a finished multi-supplier order and was
+    // the ONLY late supplier of that order. Lateness here is shipdate
+    // more than 60 days past the order date (the fixture has no
+    // commit/receipt dates; the semi+anti correlation structure is the
+    // point). Scale plan: EXISTS becomes a LEFT SEMI and NOT EXISTS a
+    // LEFT ANTI, both equi-keyed on l_orderkey with the supplier
+    // inequality as a residual predicate — one key's partitioning
+    // reused across both joins, never a per-order window or explode;
+    // the 100-row supplier dim broadcasts; the top-100 is
+    // TakeOrderedAndProject.
+    QueryDef("q_tpch_q21",
+      (s, d) => {
+        def late = T.lineitem(s, d)
+          .join(T.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = T.lineitem(s, d)
+          .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+        late
+          .join(others,
+            col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"), "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"), "left_anti")
+          .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH late AS (
+             |  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
+    // TPC-H Q22 shape (dormant high-balance customers): a scalar
+    // subquery (global positive-balance average) gating an anti join
+    // (customers with no order since 1999 — the fixture's last ~2.5
+    // years), grouped by nation. Scale plan: the scalar reduces to ONE
+    // broadcast row (never a per-row recompute); the anti join's right
+    // side is date-filtered BEFORE its shuffle so only recent order
+    // keys move; the nation dim broadcasts. The 4-decimal round on the
+    // average pins the float comparison boundary across engines.
+    QueryDef("q_tpch_q22",
+      (s, d) => {
+        val cust = T.customer(s, d)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        val recent = T.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 4).as("totacctbal"))
+          .orderBy(col("cntry"))
+      },
+      Some("""WITH ab AS (SELECT round(avg(c_acctbal), 4) AS avg_bal
+             |            FROM customer WHERE c_acctbal > 0)
+             |SELECT n_name AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+             |       round(sum(c_acctbal), 4) AS totacctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey, ab
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bigram language-model counts: corpus-wide c(w1,w2) and the
     // conditional P(w2|w1) among frequent pairs. The explode is map-side;
     // the single shuffle groups by bigram. The n>=3 floor is applied

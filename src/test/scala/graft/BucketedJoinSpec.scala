@@ -38,4 +38,18 @@ class BucketedJoinSpec extends AnyFunSuite with SharedSpark {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("declared q_join_bucketed plans the SMJ with no input exchange") {
+    // the declared query pins SMJ via the merge hint (no conf games),
+    // so the bucketed layout must satisfy the join's distribution
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed join inputs must not shuffle:\n$plan")
+    // and the answer matches the unbucketed q_join_smj surface
+    val expect = SparkEntry.queries("q_join_smj")(spark, sf)
+    assert(df.collect().toSeq == expect.collect().toSeq)
+  }
 }

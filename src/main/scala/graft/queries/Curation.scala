@@ -447,6 +447,60 @@ object Curation {
     // (always k non-empty rows); CurationSpec plants duplicates and
     // verifies removal semantics per-vector.
     QueryDef("q_dedup_sem",
-      (s, d) => semDedupClustersOf(T.embeddings(s, d)), None)
+      (s, d) => semDedupClustersOf(T.embeddings(s, d)), None),
+
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling", arXiv:2302.03169):
+    // score every raw doc by its average unigram log-likelihood ratio
+    // between a target domain (here lang='en', the quality-proxy stand-in)
+    // and the raw corpus, add-1 smoothed over the shared vocab, and keep
+    // the top-50. Scale plan: BOTH distributions are vocab-bounded aggs
+    // (map-side combined explodes — token rows of one doc are co-located
+    // in the scan, so the partial agg collapses them before any
+    // exchange); the LLR table is vocab-sized and broadcasts into the
+    // scoring pass, whose doc-keyed shuffle carries ~one combined row
+    // per doc, never raw tokens; the final cut is TakeOrderedAndProject.
+    // No corpus text ever shuffles. The 4-dp round pins summation-order
+    // float noise (H1-H5).
+    QueryDef("q_dsir",
+      (s, d) => {
+        val tk = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val raw = tk.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+        val tgt = tk.filter(col("lang") === "en")
+          .groupBy(col("w").as("tw")).agg(count(lit(1)).as("c_t"))
+        val totals = tk
+          .agg(count(lit(1)).as("n_r"),
+            count(when(col("lang") === "en", 1)).as("n_t"))
+          .crossJoin(raw.agg(count(lit(1)).as("v")))
+        val llr = raw
+          .join(tgt, col("w") === col("tw"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("w"),
+            (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("n_t") + col("v"))) -
+              log((col("c_r") + lit(1.0)) / (col("n_r") + col("v")))).as("llr"))
+        tk.join(broadcast(llr), "w")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"), round(avg(col("llr")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH tk0 AS (
+             |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+             |tk AS (SELECT * FROM tk0 WHERE w <> ''),
+             |raw AS (SELECT w, count(*) AS c_r FROM tk GROUP BY 1),
+             |tgt AS (SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
+             |               (SELECT count(*) FROM tk WHERE lang = 'en') AS n_t,
+             |               (SELECT count(*) FROM raw) AS v),
+             |llr AS (SELECT w,
+             |          ln((coalesce(c_t, 0) + 1.0) / (n_t + v)) - ln((c_r + 1.0) / (n_r + v)) AS llr
+             |        FROM raw LEFT JOIN tgt USING (w), tot)
+             |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+             |       round(avg(llr), 4) AS score
+             |FROM tk JOIN llr USING (w)
+             |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

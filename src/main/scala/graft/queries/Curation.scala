@@ -501,6 +501,74 @@ object Curation {
              |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
              |       round(avg(llr), 4) AS score
              |FROM tk JOIN llr USING (w)
-             |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // In-engine quality-classifier TRAINING (the CCNet/fastText pattern:
+    // learn a document filter from weak labels, here lang='en'):
+    // full-batch logistic regression over unigram-count features for 8
+    // gradient steps, vocab = top-32 tokens (count desc, token asc —
+    // total order) plus a bias. See ml/LogReg for the execution shape:
+    // feature frame checkpointed once, each step two broadcast joins +
+    // two map-side-combined aggs, only the ≤33-weight model reaches the
+    // driver. The oracle unrolls the 8 steps as generated CTE chains
+    // (the q_pagerank technique); weights round at 4 dp only on output,
+    // so cross-engine exp/summation ulp noise (~1e-12) cannot surface.
+    QueryDef("q_quality_clf",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val tk = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val vocab = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(ClfVocab).select(col("w"))
+        val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val feats = tk.join(broadcast(vocab), "w")
+          .groupBy(col("doc_id"), col("lang"), col("w"))
+          .agg(count(lit(1)).cast("double").as("x"))
+          .select(col("doc_id"), y.as("y"), col("w").as("f"), col("x"))
+          .unionByName(docs.select(col("doc_id"), y.as("y"),
+            lit("_bias").as("f"), lit(1.0).as("x")))
+        val learned =
+          graft.ml.LogReg.train(s, feats, docs.count().toDouble, ClfIters, ClfLr)
+        import s.implicits._
+        learned.toDF("feature", "weight")
+          .select(col("feature"), round(col("weight"), 4).as("weight"))
+          .orderBy(col("feature"))
+      },
+      Some(qualityClfSql(ClfIters, ClfLr, ClfVocab)))
   )
+
+  // defs (above) is a val initialized before these would be — keep them
+  // methods so the oracle generator never sees zero-valued constants
+  private def ClfVocab = 32
+  private def ClfIters = 8
+  private def ClfLr = 0.5
+
+  /** Generated (not hand-copied 8×) unrolled-CTE oracle for
+    * [[q_quality_clf]]'s fixed gradient-descent iterations.
+    */
+  private def qualityClfSql(iters: Int, lr: Double, vocabSize: Int): String = {
+    val head =
+      s"""WITH tk0 AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |tk AS (SELECT * FROM tk0 WHERE w <> ''),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY 1 ORDER BY c DESC, w LIMIT $vocabSize)),
+         |feats AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, w AS f, CAST(count(*) AS DOUBLE) AS x
+         |  FROM tk JOIN vocab USING (w) GROUP BY doc_id, lang, w
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, '_bias' AS f, 1.0 AS x
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |w0 AS (SELECT DISTINCT f, 0.0 AS wt FROM feats)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""z$k AS (SELECT doc_id, y, sum(x * wt) AS z FROM feats JOIN w$p USING (f) GROUP BY doc_id, y),
+         |r$k AS (SELECT doc_id, 1.0/(1.0 + exp(-z)) - y AS r FROM z$k),
+         |g$k AS (SELECT f, sum(x * r) AS s FROM feats JOIN r$k USING (doc_id) GROUP BY f),
+         |w$k AS (SELECT w$p.f, w$p.wt - $lr * coalesce(g$k.s, 0.0)/nd AS wt FROM w$p LEFT JOIN g$k USING (f), n)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT f AS feature, round(wt, 4) AS weight FROM w$iters ORDER BY f"
+  }
 }

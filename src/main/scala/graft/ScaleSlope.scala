@@ -102,7 +102,8 @@ object ScaleSlope {
     "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
     "q_embed_norm", "q_embed_quant",
     "q_dedup_para", "q_bm25", "q_dedup_sem", "q_tok_vocab",
-    "q_bpe_encode", "q_sketch_kmv", "q_mix_domains")
+    "q_bpe_encode", "q_sketch_kmv", "q_mix_domains",
+    "q_dsir", "q_quality_clf")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the
@@ -197,6 +198,12 @@ object ScaleSlope {
       return
     }
     val recallOnly = args.lift(2).contains("recallonly")
+    // dev-only subset: "only=q_a,q_b" anywhere in args restricts the
+    // slope passes (iterating on one new query's slope without paying
+    // the whole family)
+    val heavy = args.find(_.startsWith("only="))
+      .map(o => Heavy.filter(o.stripPrefix("only=").split(",").toSet))
+      .getOrElse(Heavy)
     // warm the JVM/codegen paths AND the page cache at EVERY scale —
     // warming only the smallest would leave cold first-ever parquet
     // reads inside the larger scales' timed region, biasing slopes up
@@ -204,13 +211,13 @@ object ScaleSlope {
     // projections / eliminate the sort or keyed joins out of the timed
     // plan — same rationale as Bench.time
     if (!recallOnly)
-      for (m <- mults; q <- Heavy if runsAt(q, m))
+      for (m <- mults; q <- heavy if runsAt(q, m))
         SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
 
     val times: Map[Int, Map[String, Double]] =
       if (recallOnly) mults.map(_ -> Map.empty[String, Double]).toMap
       else mults.map { m =>
-        m -> Heavy.filter(runsAt(_, m)).map { q =>
+        m -> heavy.filter(runsAt(_, m)).map { q =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
           q -> (System.nanoTime() - t0) / 1e9
@@ -250,7 +257,7 @@ object ScaleSlope {
     // mults the query actually ran at, with "slope_over" naming that
     // span. A query whose every tier was filtered out (e.g. a MaxMult10
     // query in a 100-only run) is skipped, not a crash at report time.
-    val slopes = Heavy.flatMap { q =>
+    val slopes = heavy.flatMap { q =>
       val qm = mults.sorted.filter(m => times(m).contains(q))
       if (qm.isEmpty) None
       else {

@@ -280,6 +280,119 @@ object Pipeline {
              |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q4 shape (order-priority checking): the priority histogram
+    // of one quarter's orders that had at least one slow lineitem
+    // (shipdate 30+ days past the order date — the fixture carries no
+    // commit/receipt dates). Scale plan: EXISTS is a LEFT SEMI keyed on
+    // the order key; the quarter filter cuts orders BEFORE the join, and
+    // the semi join's probe side carries only (orderkey, orderdate) —
+    // the correlated date inequality rides the equi-join as a residual.
+    QueryDef("q_tpch_q4",
+      (s, d) => {
+        val o = T.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-04-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+        val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q14 shape (promotion effect): conditional aggregation over a
+    // month of shipments — promo share of revenue as one ratio. Scale
+    // plan: the ship-month filter prunes lineitem FIRST (at 100 TB with
+    // a date-partitioned fact this is partition pruning, cf. q_join_dpp);
+    // the part dim broadcasts; one row out, no shuffle beyond the final
+    // 1-row agg.
+    QueryDef("q_tpch_q14",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        T.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+              sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 4)
+            .as("promo_revenue"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per part attribute group, with a NOT IN supplier exclusion
+    // (negative balance stands in for the reference's complaint filter;
+    // the fixture has no partsupp table, so lineitem is the
+    // part↔supplier association). Scale plan: the exclusion list is a
+    // tiny broadcast LEFT ANTI; part attribute filters cut the dim
+    // before its broadcast join; count(DISTINCT) runs as the standard
+    // two-phase Expand aggregation on (brand,type,size)-bounded keys;
+    // top-40 via TakeOrderedAndProject.
+    QueryDef("q_tpch_q16",
+      (s, d) => {
+        val sizes = Seq(1, 9, 14, 19, 23, 36, 45, 49).map(lit(_))
+        val badSupp = T.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val p = T.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+        T.lineitem(s, d)
+          .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+          .limit(40)
+      },
+      Some("""SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40""".stripMargin)),
+
+    // TPC-H Q19 shape (discounted revenue): three OR'd brand/size/
+    // quantity clause groups — the disjunctive-predicate join. Scale
+    // plan: Catalyst extracts the common equi-key (partkey) so this is
+    // ONE broadcast hash join with the disjunction as a post-join
+    // residual, never a cartesian; the brand/size arms also push to the
+    // part scan as (brand IN …) ∧ (size ≤ 15) bounds via constraint
+    // propagation.
+    QueryDef("q_tpch_q19",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val p = T.part(s, d)
+        val arm1 = col("p_brand") === "Brand#4" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val arm2 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val arm3 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+             |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // Bigram language-model counts: corpus-wide c(w1,w2) and the
     // conditional P(w2|w1) among frequent pairs. The explode is map-side;
     // the single shuffle groups by bigram. The n>=3 floor is applied

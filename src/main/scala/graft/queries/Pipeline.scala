@@ -393,6 +393,339 @@ object Pipeline {
              |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure filter+agg
+    // fact scan — no join at all. Scale plan: every predicate pushes to
+    // the parquet scan (shipdate range prunes row groups via min/max;
+    // at 100 TB with date partitioning it prunes partitions); one 1-row
+    // partial agg per task, no shuffle of data rows.
+    QueryDef("q_tpch_q6",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q7 shape (volume shipping): bidirectional nation-pair trade
+    // by year — the double-dimension-alias join. Scale plan: BOTH nation
+    // copies are prefiltered to the two nations of interest BEFORE their
+    // broadcasts (the supplier/customer joins then drop out-of-pair rows
+    // early); the OR pairing survives as a cheap residual; one grouped
+    // agg on (nation,nation,year)-bounded keys.
+    QueryDef("q_tpch_q7",
+      (s, d) => {
+        val pair = Seq("NATION_3", "NATION_7")
+        val n1 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        T.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(T.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(T.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(T.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+             |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |             l_extendedprice * (1 - l_discount) AS volume
+             |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             |           JOIN orders ON o_orderkey = l_orderkey
+             |           JOIN customer ON c_custkey = o_custkey
+             |           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) v
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's PROMO-part order volume per year — the conditional-share
+    // aggregation over a 7-table star. Scale plan: part (type-filtered),
+    // region (name-filtered), and both nation copies broadcast; the
+    // customer-side region filter cuts orders before the fact join; the
+    // share is a single grouped conditional agg, never two passes.
+    QueryDef("q_tpch_q8",
+      (s, d) => {
+        val n1 = T.nation(s, d)
+          .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+        val n2 = T.nation(s, d)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        T.part(s, d).filter(col("p_type") === "PROMO")
+          .join(T.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+          .join(T.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+          .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n1_region") === col("r_regionkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) /
+              sum(vol), 4).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             |                     / sum(volume), 4) AS mkt_share
+             |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |             l_extendedprice * (1 - l_discount) AS volume,
+             |             n2.n_name AS supp_nation
+             |      FROM part JOIN lineitem ON p_partkey = l_partkey
+             |           JOIN supplier ON s_suppkey = l_suppkey
+             |           JOIN orders ON l_orderkey = o_orderkey
+             |           JOIN customer ON o_custkey = c_custkey
+             |           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |           JOIN region ON n1.n_regionkey = r_regionkey
+             |           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |      WHERE r_name = 'ASIA' AND p_type = 'PROMO') v
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit): per-nation yearly profit on
+    // a part-name-matched product line. The fixture has no partsupp
+    // supplycost, so cost is the documented proxy 5% of retail price ×
+    // quantity — the LIKE-driven star join + two-level agg shape is the
+    // point. Scale plan: the name-filtered part dim broadcasts; profit
+    // is computed map-side; one grouped agg on (nation,year)-bounded
+    // keys.
+    QueryDef("q_tpch_q9",
+      (s, d) => {
+        val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.05) * col("p_retailprice") * col("l_quantity")
+        T.part(s, d).filter(col("p_name").like("%widget%"))
+          .join(T.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(T.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .join(T.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(amount), 4).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+             |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |             l_extendedprice * (1 - l_discount) - 0.05 * p_retailprice * l_quantity AS amount
+             |      FROM part JOIN lineitem ON p_partkey = l_partkey
+             |           JOIN supplier ON s_suppkey = l_suppkey
+             |           JOIN orders ON o_orderkey = l_orderkey
+             |           JOIN nation ON s_nationkey = n_nationkey
+             |      WHERE p_name LIKE '%widget%') v
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    // revenue lost to returns in one quarter. Scale plan: the quarter
+    // filter cuts orders before the fact join and the returnflag filter
+    // cuts lineitem at its scan; nation broadcasts; top-20 via
+    // TakeOrderedAndProject on the customer-sized agg output.
+    QueryDef("q_tpch_q10",
+      (s, d) => {
+        T.customer(s, d)
+          .join(T.orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-04-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(T.lineitem(s, d).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            round(col("c_acctbal"), 4).as("acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |       round(c_acctbal, 4) AS acctbal, n_name
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |     JOIN lineitem ON l_orderkey = o_orderkey
+             |     JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 shape (shipping modes / priority): high- vs low-priority
+    // line counts among late shipments, per line status (the fixture
+    // carries no shipmode column — linestatus stands in; the
+    // late-delivery conditional-count join is the shape). Scale plan:
+    // the ship-year filter prunes lineitem at the scan; one equi-join on
+    // the order key with the lateness inequality as residual; two
+    // conditional counts in one grouped agg.
+    QueryDef("q_tpch_q12",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        T.orders(s, d)
+          .join(T.lineitem(s, d)
+            .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q15 shape (top supplier): the max-over-an-aggregated-view
+    // subquery. Scale plan: the quarter revenue agg is supplier-bounded;
+    // its max reduces to ONE broadcast row the agg output filters
+    // against (never a re-aggregation or window over the fact table).
+    // Revenue is rounded INSIDE the view on both sides so the
+    // max-equality compares identical 4-dp values across engines.
+    QueryDef("q_tpch_q15",
+      (s, d) => {
+        val rev = T.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("total_rev"))
+        rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+          .filter(col("total_rev") === col("mx"))
+          .join(broadcast(T.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+             |             FROM lineitem
+             |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |             GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_rev
+             |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-min
+    // subquery — for each qualifying part, the supplier(s) at the
+    // minimum balance among that part's suppliers (the fixture has no
+    // partsupp: lineitem is the association, balance stands in for
+    // supply cost). Scale plan: decorrelated as a per-part min agg
+    // joined back on (partkey, bal=min) — the min-equality compares an
+    // UNCOMPUTED stored value against min of the same values, so float
+    // equality is exact; the part filter broadcasts into both arms.
+    QueryDef("q_tpch_q2",
+      (s, d) => {
+        val pk = T.part(s, d)
+          .filter(col("p_size") === 19 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"))
+        val assoc = T.lineitem(s, d)
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val bal = assoc.join(broadcast(T.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        val mins = bal.groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("s_acctbal")).as("min_bal"))
+        bal.join(broadcast(mins),
+            col("l_partkey") === col("m_partkey") && col("s_acctbal") === col("min_bal"))
+          .select(col("l_partkey").as("p_partkey"), col("s_name"),
+            round(col("s_acctbal"), 4).as("acctbal"))
+          .orderBy(col("p_partkey"), col("s_name"))
+          .limit(50)
+      },
+      Some("""WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |bal AS (SELECT l_partkey, l_suppkey, s_name, s_acctbal
+             |        FROM assoc JOIN supplier ON l_suppkey = s_suppkey),
+             |mins AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM bal GROUP BY 1)
+             |SELECT p_partkey, s_name, round(s_acctbal, 4) AS acctbal
+             |FROM part JOIN bal ON p_partkey = bal.l_partkey
+             |     JOIN mins ON p_partkey = mins.l_partkey AND s_acctbal = min_bal
+             |WHERE p_size = 19 AND p_type = 'STANDARD'
+             |ORDER BY p_partkey, s_name LIMIT 50""".stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion): the nested aggregating
+    // IN-subquery — suppliers who shipped more than 60 units of any
+    // 'small'-named part in a year. Scale plan: the subquery is a
+    // (suppkey,partkey)-grouped agg over the name-filtered, year-pruned
+    // fact slice; HAVING cuts it to rare keys; the IN becomes a LEFT
+    // SEMI against that small set (AQE sizes it broadcast); the supplier
+    // dim never joins the fact directly.
+    QueryDef("q_tpch_q20",
+      (s, d) => {
+        val smallParts = T.part(s, d).filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))
+        val qualified = T.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 60)
+          .select(col("l_suppkey"))
+        T.supplier(s, d)
+          .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), round(col("s_acctbal"), 4).as("acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, round(s_acctbal, 4) AS acctbal
+             |FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_name LIKE 'small%'
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 60)
+             |ORDER BY s_name""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock): parts whose one-nation
+    // inventory value exceeds a fraction of that nation's total — the
+    // aggregate-vs-scalar-of-the-same-aggregate HAVING (the fixture has
+    // no partsupp: value is the documented shipped-quantity × retail
+    // proxy). Scale plan: the per-part value agg runs ONCE and feeds
+    // both arms — its grand total reduces to one broadcast row the agg
+    // output filters against; the nation filter broadcasts into the
+    // fact join. 4-dp rounds on both value and threshold pin the float
+    // comparison boundary.
+    QueryDef("q_tpch_q11",
+      (s, d) => {
+        val n3 = T.nation(s, d).filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))
+        val supp = T.supplier(s, d)
+          .join(broadcast(n3), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val vals = T.lineitem(s, d)
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"))
+          .agg(round(sum(col("l_quantity") * col("p_retailprice")), 4).as("v"))
+        vals.crossJoin(broadcast(
+            vals.agg(round(sum(col("v")) * lit(0.002), 4).as("thr"))))
+          .filter(col("v") > col("thr"))
+          .select(col("l_partkey"), col("v").as("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH val AS (SELECT l_partkey, round(sum(l_quantity * p_retailprice), 4) AS v
+             |             FROM lineitem JOIN part ON p_partkey = l_partkey
+             |                  JOIN supplier ON s_suppkey = l_suppkey
+             |                  JOIN nation ON s_nationkey = n_nationkey
+             |             WHERE n_name = 'NATION_3' GROUP BY 1)
+             |SELECT l_partkey, v AS value
+             |FROM val, (SELECT round(sum(v) * 0.002, 4) AS thr FROM val) t
+             |WHERE v > thr ORDER BY value DESC, l_partkey""".stripMargin)),
+
     // Bigram language-model counts: corpus-wide c(w1,w2) and the
     // conditional P(w2|w1) among frequent pairs. The explode is map-side;
     // the single shuffle groups by bigram. The n>=3 floor is applied

@@ -628,7 +628,10 @@ object Pipeline {
     QueryDef("q_tpch_q2",
       (s, d) => {
         val pk = T.part(s, d)
-          .filter(col("p_size") === 19 && col("p_type") === "STANDARD")
+          // size ends in 9 (Q2's suffix-match flavor moved to the size
+          // axis): p_size=19 exactly matches ZERO parts at sf0.001 and
+          // the smoke gate requires a non-empty result at every fixture
+          .filter(col("p_size") % 10 === 9 && col("p_type") === "STANDARD")
           .select(col("p_partkey"))
         val assoc = T.lineitem(s, d)
           .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
@@ -651,7 +654,7 @@ object Pipeline {
              |SELECT p_partkey, s_name, round(s_acctbal, 4) AS acctbal
              |FROM part JOIN bal ON p_partkey = bal.l_partkey
              |     JOIN mins ON p_partkey = mins.l_partkey AND s_acctbal = min_bal
-             |WHERE p_size = 19 AND p_type = 'STANDARD'
+             |WHERE p_size % 10 = 9 AND p_type = 'STANDARD'
              |ORDER BY p_partkey, s_name LIMIT 50""".stripMargin)),
 
     // TPC-H Q20 shape (potential part promotion): the nested aggregating

@@ -175,6 +175,54 @@ object TextOps {
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Exact SUBSTRING dedup (the suffix-array method of Lee et al. 2022,
+    // arXiv:2107.06499, re-expressed relationally): a token span is
+    // duplicated if its window of k=8 consecutive tokens appears more
+    // than once anywhere in the corpus. Completes the dedup family —
+    // doc-level (q_dedup_exact), paragraph (q_dedup_para), near
+    // (MinHash/SimHash), semantic (SemDeDup) — with the within-document
+    // span granularity none of those see. Plan: one pass builds every
+    // k-gram start position (same O(total tokens) row count the MinHash
+    // shingling already pays, but the shuffle key is a 16-byte md5 of
+    // the gram — the text itself never shuffles); a map-side-combined
+    // count finds grams with >1 occurrence; the join-back is equi-keyed
+    // on the digest (each exploded row matches ≤1 dup-gram row, AQE
+    // broadcasts when the dup set is small); overlapping windows merge
+    // into maximal spans per doc with ONE doc-keyed window (gaps-and-
+    // islands over coverage). md5 (128-bit), not xxhash64: at 10¹³
+    // corpus grams 64-bit birthday collisions would mark false dups.
+    QueryDef("q_dedup_substr",
+      (s, d) => substrSpansOf(T.documents(s, d)),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, len(toks) AS n_toks,
+             |         unnest(list_transform(range(len(toks) - 7),
+             |                i -> struct_pack(pos := i,
+             |                       gram := array_to_string(toks[i+1:i+8], ' '))),
+             |           recursive := true)
+             |  FROM base WHERE len(toks) >= 8),
+             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+             |marked AS (SELECT g.doc_id, g.n_toks, g.pos FROM grams g JOIN dup USING (gram)),
+             |isl AS (
+             |  SELECT doc_id, n_toks, pos,
+             |         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |                OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |              THEN 1 ELSE 0 END AS flag
+             |  FROM marked),
+             |isl2 AS (SELECT doc_id, n_toks, pos,
+             |                sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |         FROM isl),
+             |spans AS (SELECT doc_id, n_toks, island, min(pos) AS s0, max(pos) + 7 AS e0
+             |          FROM isl2 GROUP BY doc_id, n_toks, island)
+             |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+             |       CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+             |       round(CAST(sum(e0 - s0 + 1) AS DOUBLE) / n_toks, 4) AS dup_ratio
+             |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin)),
+
+
     // Regex subword tokenization (the "BPE-ish regex" path next to
     // q_token_count's whitespace + length estimate): alpha runs, digit
     // runs, and punctuation each become their own token — the classic
@@ -310,4 +358,39 @@ object TextOps {
         .orderBy(col("doc_id")),
       None)
   )
+
+  /** q_dedup_substr's core over an arbitrary (doc_id, text) frame — the
+    * spec feeds crafted corpora with planted shared spans and asserts
+    * exact span boundaries; the declared query passes the fixture table.
+    */
+  def substrSpansOf(docs: org.apache.spark.sql.DataFrame,
+                    k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val grams = base
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => unhex(md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))))
+      .select(col("doc_id"), col("n_toks"), col("pos"), col("col").as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("g"))
+    val marked = grams.join(dup, "g")
+      .select(col("doc_id"), col("n_toks"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + (k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("flag",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("flag")).over(w))
+      .groupBy(col("doc_id"), col("n_toks"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + (k - 1)).as("e0"))
+    spans.groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_toks"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_toks"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

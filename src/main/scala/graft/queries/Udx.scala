@@ -131,6 +131,38 @@ object Udx {
              |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
              |         AS head_txt,
              |       n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ORC round-trip — completes the source-format axis (parquet scans
+    // everywhere, CSV and JSONL round-trips above): the OTHER columnar
+    // format a 100-TB lakehouse actually stores, with nested struct +
+    // array columns preserved NATIVELY (no text serialization, no
+    // declared-schema read: ORC files are self-describing, so the read
+    // path costs zero inference passes and keeps column pruning and
+    // predicate pushdown). Same final-projection rule as JSONL: nested
+    // columns survive the write/read, the DECLARED output flattens them
+    // to scalars for the driver's dump/sort.
+    QueryDef("q_orc_roundtrip",
+      (s, d) => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_orc_roundtrip_${s.sparkContext.applicationId}").toString
+        val nested = T.documents(s, d)
+          .select(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"),
+            slice(split(col("text"), " "), 1, 3).as("head_toks"),
+            col("n_chars"))
+        nested.write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select(col("doc_id"),
+            col("meta.lang").as("lang"), col("meta.source").as("source"),
+            array_join(col("head_toks"), " ").as("head_txt"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source,
+             |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+             |         AS head_txt,
+             |       n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 

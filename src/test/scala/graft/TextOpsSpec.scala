@@ -29,4 +29,31 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
       assert(got(id) == expect, s"doc $id: got ${got(id)} want $expect")
     }
   }
+
+  test("substring dedup: planted shared spans are found with exact boundaries") {
+    // Unique filler tokens everywhere except a 12-token span shared by
+    // docs 1 and 2 (k=8 → dup windows at positions p..p+4, merged into
+    // one 12-token island), and a doc 3 that repeats ITS OWN 8-gram
+    // (within-doc duplication must count too, as in Lee et al.).
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val self8 = (0 until 8).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"a$i").mkString(" ") + " " + shared +
+        " " + (0 until 5).map(i => s"b$i").mkString(" ")),
+      (2L, (0 until 3).map(i => s"c$i").mkString(" ") + " " + shared),
+      (3L, self8 + " " + (0 until 4).map(i => s"d$i").mkString(" ") + " " + self8),
+      (4L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.substrSpansOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 27 toks, one island covering exactly the 12 shared tokens
+    assert(got(1L) == ((27, 1L, 12L)), s"doc1: ${got(1L)}")
+    // doc 2: 15 toks, same 12-token island
+    assert(got(2L) == ((15, 1L, 12L)), s"doc2: ${got(2L)}")
+    // doc 3: 20 toks, two 8-token islands (its own repeat, split by d0-d3)
+    assert(got(3L) == ((20, 2L, 16L)), s"doc3: ${got(3L)}")
+    // doc 4: all-unique tokens → no duplicated span, absent from output
+    assert(!got.contains(4L), s"doc4 flagged: ${got.get(4L)}")
+  }
 }

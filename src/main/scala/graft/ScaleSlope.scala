@@ -101,9 +101,9 @@ object ScaleSlope {
     "q_dedup_embed", "q_dedup_clusters", "q_tfidf",
     "q_decontam", "q_pack", "q_chunk_docs", "q_repetition", "q_ngram_lm",
     "q_embed_norm", "q_embed_quant",
-    "q_dedup_para", "q_bm25", "q_dedup_sem", "q_tok_vocab",
+    "q_dedup_para", "q_dedup_substr", "q_bm25", "q_dedup_sem", "q_tok_vocab",
     "q_bpe_encode", "q_sketch_kmv", "q_mix_domains",
-    "q_dsir", "q_quality_clf")
+    "q_dsir", "q_quality_clf", "q_curriculum")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the

@@ -157,6 +157,31 @@ object Extras {
       },
       None),
 
+    // SpaceSaving top-k frequent tokens — WHICH items are frequent, the
+    // question CMS (point frequency) and KMV/HLL (distinct counts)
+    // don't answer. One mergeable 64-counter sketch aggregated with
+    // map-side partial merge; only the sketch reaches the driver, then
+    // the head-10 slice is declared. The fixture's ~30-word vocabulary
+    // makes head MEMBERSHIP stable across partitionings even though
+    // counter values are merge-order-dependent — so the declared output
+    // is (rank, token); SketchTopKSpec asserts the distribution-free
+    // guarantees (overcount, n/M band, heavy-hitter recall) against
+    // exact counts.
+    QueryDef("q_sketch_topk",
+      (s, d) => {
+        import graft.functions.SpaceSaving
+        val ss = udaf(SpaceSaving)
+        val sk = T.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .agg(ss(col("tok")).as("sk"))
+          .head().getAs[scala.collection.Map[String, Long]](0)
+        val top = sk.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+        import s.implicits._
+        top.zipWithIndex.map { case ((t, _), i) => (i + 1, t) }
+          .toDF("rank", "token")
+      },
+      None),
+
     // Bloom-filter join pre-filter — the manual form of Spark's runtime
     // row filtering: build a bloom over the selective side's join keys
     // (one mergeable sketch — bytes on the driver, not data), inject it

@@ -783,6 +783,59 @@ object Pipeline {
              |FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
 
+    // Curriculum staging: order the corpus by difficulty (mean unigram
+    // surprisal −avg ln p(w) under the corpus's own distribution — rare-
+    // word-heavy docs score high) and cut it into 4 training stages at
+    // the exact quartiles. The scale decision: stage assignment does NOT
+    // use a global ntile window (that moves every row to one partition)
+    // — the three quartile boundaries reduce to ONE broadcast row and
+    // each doc compares against them map-side, so the plan is two
+    // bounded-key shuffles (unigram counts, per-doc agg) plus broadcast
+    // joins. Per-doc difficulty is rounded to 4 dp BEFORE the quantile/
+    // comparison so the stage cut is the same in both engines.
+    QueryDef("q_curriculum",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        val tot = uni.agg(sum(col("n_w")).as("n_tot"))
+        val lm = uni.crossJoin(broadcast(tot))
+          .select(col("w"), (col("n_w") / col("n_tot")).as("p"))
+        val diff = toks.join(lm, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(-avg(log(col("p"))), 4).as("difficulty"))
+        val bounds = diff.agg(
+          round(expr("percentile(difficulty, 0.25)"), 4).as("b1"),
+          round(expr("percentile(difficulty, 0.5)"), 4).as("b2"),
+          round(expr("percentile(difficulty, 0.75)"), 4).as("b3"))
+        diff.crossJoin(broadcast(bounds))
+          .select(col("n_tokens"), col("difficulty"),
+            (lit(1) + (col("difficulty") > col("b1")).cast("int")
+              + (col("difficulty") > col("b2")).cast("int")
+              + (col("difficulty") > col("b3")).cast("int")).as("stage"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            round(avg(col("difficulty")), 4).as("avg_difficulty"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+             |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+             |lm AS (SELECT w, n_w * 1.0 / (SELECT sum(n_w) FROM uni) AS p FROM uni),
+             |diff AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |                round(-avg(ln(p)), 4) AS difficulty
+             |         FROM toks JOIN lm USING (w) GROUP BY doc_id),
+             |b AS (SELECT round(quantile_cont(difficulty, 0.25), 4) AS b1,
+             |             round(quantile_cont(difficulty, 0.5), 4) AS b2,
+             |             round(quantile_cont(difficulty, 0.75), 4) AS b3 FROM diff)
+             |SELECT 1 + CAST(difficulty > b1 AS INTEGER)
+             |         + CAST(difficulty > b2 AS INTEGER)
+             |         + CAST(difficulty > b3 AS INTEGER) AS stage,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       round(avg(difficulty), 4) AS avg_difficulty
+             |FROM diff, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Gopher-style repetition score: the share of a doc's bigrams taken
     // by its most-repeated bigram. Per-doc agg keyed on doc_id — the
     // explode stays narrow and the shuffle payload is (doc_id, w1, w2).
@@ -884,6 +937,57 @@ object Pipeline {
              |  FROM documents)
              |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
              |FROM tagged GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weighted
+    // sample of k=20 docs with the unbiased subset-sum estimator — the
+    // principled way to sample a corpus proportionally to a weight
+    // (here n_chars ≈ training cost) while keeping sum-of-weight
+    // estimates exact in expectation: priority q_i = w_i/u_i, keep the
+    // top-k, τ = the (k+1)-th priority, ŵ_i = max(w_i, τ). Fully
+    // deterministic: u_i derives from md5(doc_id) (the q_split_hash
+    // convention), and cross-engine float parity is EXACT by
+    // construction — u = (hexval+0.5)/2^24 is an exact power-of-two
+    // scaling and IEEE division is exactly rounded, so both engines
+    // compute bit-identical priorities (no transcendental functions,
+    // unlike the ln(u)/w form of Efraimidis–Spirakis). Scale plan: one
+    // map-only pass + TakeOrderedAndProject top-21 (never a global
+    // sort); the 21-row window that extracts τ is driver-sized.
+    QueryDef("q_sample_priority",
+      (s, d) => {
+        val k = 20
+        val v = conv(substring(md5(concat(lit("pri:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double")
+        val u = (v + 0.5) / lit(16777216.0)
+        val topk1 = T.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars").cast("double") / u).as("q"))
+          .orderBy(col("q").desc, col("doc_id"))
+          .limit(k + 1)
+        val w = Window.orderBy(col("q").desc, col("doc_id"))
+        val wAll = Window.partitionBy()
+        topk1
+          .withColumn("rn", row_number().over(w))
+          .withColumn("tau", min(col("q")).over(wAll))
+          .filter(col("rn") <= k)
+          .select(col("doc_id"), col("n_chars"),
+            round(col("q"), 4).as("priority"),
+            round(greatest(col("n_chars").cast("double"), col("tau")), 4)
+              .as("est_w"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pri AS (
+             |  SELECT doc_id, n_chars,
+             |         n_chars / ((CAST('0x' || substring(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 0.5) / 16777216.0) AS q
+             |  FROM documents),
+             |topk1 AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 21),
+             |ranked AS (
+             |  SELECT doc_id, n_chars, q,
+             |         row_number() OVER (ORDER BY q DESC, doc_id) AS rn,
+             |         min(q) OVER () AS tau
+             |  FROM topk1)
+             |SELECT doc_id, n_chars, round(q, 4) AS priority,
+             |       round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w
+             |FROM ranked WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
     // Fixed-width value histogram over events — the profiling pass that
     // sizes skew mitigations. One two-phase hash aggregate; bin count is

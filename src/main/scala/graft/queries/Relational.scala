@@ -246,6 +246,48 @@ object Relational {
              |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // PURE range join (interval containment, NO equi key): events inside
+    // each of the 100 highest-value "incident windows" (±30 min around
+    // the seed event). The naive plan is a BroadcastNestedLoopJoin —
+    // O(n·m) predicate evaluations, and a hard failure once the interval
+    // side outgrows broadcast. The scale shape used here is the BIN
+    // REWRITE (the manual form of Databricks' range-join optimization):
+    // events key to floor(ts/1h); each ≤1h interval explodes to the ≤2
+    // bins it overlaps; the join becomes an EQUI join on bin with the
+    // containment predicate as residual — O(n + m·span/width) rows
+    // through a hash join, no nested loop anywhere. Each (event,
+    // interval) pair meets in exactly the event's own bin, so no
+    // post-join dedup is needed.
+    QueryDef("q_join_range",
+      (s, d) => {
+        val e = T.events(s, d)
+        val win = e.orderBy(col("value").desc, col("event_id")).limit(100)
+          .select(col("event_id").as("win_id"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        val binSec = 3600L
+        val evB = e.select(col("ts"), col("value"),
+          floor(unix_timestamp(col("ts")) / binSec).as("bin"))
+        val winB = win.withColumn("bin", explode(sequence(
+          floor(unix_timestamp(col("w_start")) / binSec),
+          floor(unix_timestamp(col("w_end")) / binSec))))
+        evB.join(winB, evB("bin") === winB("bin") &&
+            col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy(col("win_id"))
+      },
+      Some("""WITH win AS (
+             |  SELECT event_id AS win_id,
+             |         ts - INTERVAL 30 MINUTE AS w_start,
+             |         ts + INTERVAL 30 MINUTE AS w_end
+             |  FROM events ORDER BY value DESC, event_id LIMIT 100)
+             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
+             |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+
     // ---- aggregations (R17 generalized) ----
 
     // The reference's accounts-dict aggregation (count + first-seen),

@@ -792,7 +792,11 @@ object Pipeline {
     // each doc compares against them map-side, so the plan is two
     // bounded-key shuffles (unigram counts, per-doc agg) plus broadcast
     // joins. Per-doc difficulty is rounded to 4 dp BEFORE the quantile/
-    // comparison so the stage cut is the same in both engines.
+    // comparison — that pins the stage cut across engines AND bounds
+    // the exact-percentile state: Spark's Percentile aggregates a
+    // value→count map (not a value list), so pre-rounding caps its
+    // buffer at the ~10⁵ distinct 4-dp values regardless of corpus
+    // size, keeping the boundary agg map-side-combinable at 100 TB.
     QueryDef("q_curriculum",
       (s, d) => {
         val toks = T.documents(s, d)

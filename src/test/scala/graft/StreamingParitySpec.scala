@@ -47,6 +47,19 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   test("enriched window (q_stream_enrich core): batch == stream")(
     parity("p_enrich", ev => TimeWindows.enrichAgg(ev, Tables.customer(spark, sf))))
   test("sliding window: batch == stream")(parity("p_slide", TimeWindows.slideAgg))
+  // the mergeable SpaceSaving buffer must encode/decode through the
+  // streaming state store and merge across micro-batches; event_type's
+  // 5-value domain never saturates M=64, so the sketch is exact counting
+  // and batch ≡ stream holds to the counter value (the eviction path is
+  // SketchTopKSpec's job). The map column explodes to rows because set
+  // comparison doesn't support MapType.
+  test("mergeable SpaceSaving sketch: batch == stream through the state store") {
+    val ss = udaf(graft.functions.SpaceSaving)
+    parity("p_sketch", ev => ev
+      .groupBy(window(col("ts"), "12 hours"))
+      .agg(ss(col("event_type")).as("sk"))
+      .select(col("window.start").as("ws"), explode(col("sk"))))
+  }
   test("session window: batch == stream")(parity("p_session", TimeWindows.sessionAgg))
 
   test("stream-static join enriches the stream against a batch dimension") {

@@ -288,6 +288,32 @@ object Relational {
              |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
              |GROUP BY win_id ORDER BY win_id""".stripMargin)),
 
+    // The optimizer-rule deployment of the bin rewrite: the query text
+    // is the NAIVE containment join (exactly what a user writes — no
+    // bins anywhere), and the scoped RewriteRangeJoin rule injects the
+    // equi key underneath it, turning the BroadcastNestedLoopJoin plan
+    // into a hash join mechanically. Same answer, same oracle as
+    // q_join_range; rows materialize inside the rule's scope (100
+    // windows — bounded) so the rewritten plan is what produced them.
+    // RangeRewriteSpec pins the plan shape, parity, and no-fire guards.
+    QueryDef("q_range_rewrite",
+      (s, d) => {
+        val naive = rangeJoinNaive(s, d)
+        graft.plans.RewriteRangeJoin.withRule(s) {
+          val rows = naive.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), naive.schema)
+        }
+      },
+      Some("""WITH win AS (
+             |  SELECT event_id AS win_id,
+             |         ts - INTERVAL 30 MINUTE AS w_start,
+             |         ts + INTERVAL 30 MINUTE AS w_end
+             |  FROM events ORDER BY value DESC, event_id LIMIT 100)
+             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
+             |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+
     // ---- aggregations (R17 generalized) ----
 
     // The reference's accounts-dict aggregation (count + first-seen),
@@ -437,4 +463,24 @@ object Relational {
              |   SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
              |ORDER BY tag, n_name""".stripMargin))
   )
+
+  /** The NAIVE containment-join form shared by q_range_rewrite (which
+    * runs it under the scoped RewriteRangeJoin rule) and
+    * RangeRewriteSpec (which asserts plan shape and parity with and
+    * without the rule): events aggregated per ±30-min incident window,
+    * joined by interval membership alone — no bin column anywhere.
+    */
+  def rangeJoinNaive(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame = {
+    val e = T.events(s, d)
+    val win = e.orderBy(col("value").desc, col("event_id")).limit(100)
+      .select(col("event_id").as("win_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    e.join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("win_id"))
+  }
 }

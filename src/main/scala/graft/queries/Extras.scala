@@ -182,6 +182,48 @@ object Extras {
       },
       None),
 
+    // The data-quality gate as a declared query: five expectations
+    // (uniqueness, null rate, two range checks — one of which FAILS on
+    // the fixture by design, proving the gate actually rejects — and a
+    // row floor) computed in ONE aggregation pass (sources/DataQuality
+    // .audit: no per-check scan), exploded to a (check, observed,
+    // expectation, passed) report. The oracle re-states every metric
+    // and verdict in SQL, so the single-pass plan is hash-checked
+    // end-to-end. `check` renames to check_name: CHECK is a reserved
+    // word in the oracle engine.
+    QueryDef("q_dq_audit",
+      (s, d) => {
+        import graft.sources.DataQuality._
+        audit(T.events(s, d), Seq(
+          unique("event_id"), nullRate("event_type", 0.0),
+          inRange("value", -1e6, 1e6), minRows(100),
+          inRange("value", 0.0, 100.0)))
+          .select(col("check").as("check_name"), col("observed"),
+            col("expectation"), col("passed"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH m AS (SELECT
+             |    CAST(count(event_id) - count(DISTINCT event_id) AS DOUBLE) AS m0,
+             |    avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) AS m1,
+             |    sum(CASE WHEN value < -1000000.0 OR value > 1000000.0 THEN 1.0 ELSE 0.0 END) AS m2,
+             |    CAST(count(*) AS DOUBLE) AS m3,
+             |    sum(CASE WHEN value < 0.0 OR value > 100.0 THEN 1.0 ELSE 0.0 END) AS m4
+             |  FROM events)
+             |SELECT * FROM (
+             |  SELECT 'unique(event_id)' AS check_name, m0 AS observed,
+             |         '= 0 duplicates' AS expectation, m0 = 0.0 AS passed FROM m
+             |  UNION ALL
+             |  SELECT 'null_rate(event_type) <= 0.0', m1, '<= 0.0', m1 <= 0.0 FROM m
+             |  UNION ALL
+             |  SELECT 'range(value) in [-1000000.0, 1000000.0]', m2,
+             |         '= 0 out-of-range rows', m2 = 0.0 FROM m
+             |  UNION ALL
+             |  SELECT 'rows >= 100', m3, '>= 100', m3 >= 100.0 FROM m
+             |  UNION ALL
+             |  SELECT 'range(value) in [0.0, 100.0]', m4,
+             |         '= 0 out-of-range rows', m4 = 0.0 FROM m)
+             |ORDER BY check_name""".stripMargin)),
+
     // Bloom-filter join pre-filter — the manual form of Spark's runtime
     // row filtering: build a bloom over the selective side's join keys
     // (one mergeable sketch — bytes on the driver, not data), inject it

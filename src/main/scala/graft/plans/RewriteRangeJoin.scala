@@ -94,7 +94,19 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           val binL = Alias(bin(probe), "graft_bin_l")()
           val left2 = Project(l.output :+ binL, l)
           val binR = AttributeReference("graft_bin_r", LongType, nullable = false)()
-          val seq = Sequence(bin(lo), bin(hi), None, Some(conf.sessionLocalTimeZone))
+          // inverted-interval guard: sequence() steps BACKWARD when
+          // start > stop, so a corrupted row with hi < lo (a cheap
+          // zero-match for the naive predicate) would explode to one
+          // bin per hour of the reversed span — emit NO bins instead,
+          // which matches the naive result (the residual can never
+          // hold) at zero cost
+          val binLo = bin(lo)
+          val binHi = bin(hi)
+          val seq = org.apache.spark.sql.catalyst.expressions.If(
+            LessThanOrEqual(binLo, binHi),
+            Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone)),
+            Literal.create(Array.empty[Long],
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
           val right2 = Generate(Explode(seq), Nil, outer = false, None, Seq(binR), r)
           val joined = Join(left2, right2, Inner,
             Some(And(EqualTo(binL.toAttribute, binR), cond)), hint)

@@ -957,28 +957,7 @@ object Pipeline {
     // map-only pass + TakeOrderedAndProject top-21 (never a global
     // sort); the 21-row window that extracts τ is driver-sized.
     QueryDef("q_sample_priority",
-      (s, d) => {
-        val k = 20
-        val v = conv(substring(md5(concat(lit("pri:"),
-          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double")
-        val u = (v + 0.5) / lit(16777216.0)
-        val topk1 = T.documents(s, d)
-          .select(col("doc_id"), col("n_chars"),
-            (col("n_chars").cast("double") / u).as("q"))
-          .orderBy(col("q").desc, col("doc_id"))
-          .limit(k + 1)
-        val w = Window.orderBy(col("q").desc, col("doc_id"))
-        val wAll = Window.partitionBy()
-        topk1
-          .withColumn("rn", row_number().over(w))
-          .withColumn("tau", min(col("q")).over(wAll))
-          .filter(col("rn") <= k)
-          .select(col("doc_id"), col("n_chars"),
-            round(col("q"), 4).as("priority"),
-            round(greatest(col("n_chars").cast("double"), col("tau")), 4)
-              .as("est_w"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => prioritySampleOf(T.documents(s, d), 20),
       Some("""WITH pri AS (
              |  SELECT doc_id, n_chars,
              |         n_chars / ((CAST('0x' || substring(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 0.5) / 16777216.0) AS q
@@ -987,7 +966,8 @@ object Pipeline {
              |ranked AS (
              |  SELECT doc_id, n_chars, q,
              |         row_number() OVER (ORDER BY q DESC, doc_id) AS rn,
-             |         min(q) OVER () AS tau
+             |         CASE WHEN count(*) OVER () >= 21 THEN min(q) OVER ()
+             |              ELSE 0.0 END AS tau
              |  FROM topk1)
              |SELECT doc_id, n_chars, round(q, 4) AS priority,
              |       round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w
@@ -1005,4 +985,35 @@ object Pipeline {
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1 ORDER BY bin""".stripMargin))
   )
+
+  /** q_sample_priority's core over an arbitrary (doc_id, n_chars) frame
+    * — the spec feeds sub-k populations to pin the τ = 0 edge (with ≤ k
+    * items there is no (k+1)-th priority and the estimator must return
+    * ŵ = w exactly; min(q) would inflate every weight since q = w/u > w
+    * always, u < 1). The τ window runs over ≤ k+1 rows — driver-sized.
+    */
+  def prioritySampleOf(docs: org.apache.spark.sql.DataFrame,
+                       k: Int): org.apache.spark.sql.DataFrame = {
+    val v = conv(substring(md5(concat(lit("pri:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double")
+    val u = (v + 0.5) / lit(16777216.0)
+    val topk1 = docs
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("q"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .limit(k + 1)
+    val w = Window.orderBy(col("q").desc, col("doc_id"))
+    val wAll = Window.partitionBy()
+    topk1
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tau",
+        when(count(lit(1)).over(wAll) >= k + 1, min(col("q")).over(wAll))
+          .otherwise(lit(0.0)))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("q"), 4).as("priority"),
+        round(greatest(col("n_chars").cast("double"), col("tau")), 4)
+          .as("est_w"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -261,14 +261,10 @@ object Relational {
     QueryDef("q_join_range",
       (s, d) => {
         val e = T.events(s, d)
-        val win = e.orderBy(col("value").desc, col("event_id")).limit(100)
-          .select(col("event_id").as("win_id"),
-            (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
-            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
-        val binSec = 3600L
+        val binSec = graft.plans.RewriteRangeJoin.BinSeconds
         val evB = e.select(col("ts"), col("value"),
           floor(unix_timestamp(col("ts")) / binSec).as("bin"))
-        val winB = win.withColumn("bin", explode(sequence(
+        val winB = incidentWindows(e).withColumn("bin", explode(sequence(
           floor(unix_timestamp(col("w_start")) / binSec),
           floor(unix_timestamp(col("w_end")) / binSec))))
         evB.join(winB, evB("bin") === winB("bin") &&
@@ -278,15 +274,7 @@ object Relational {
             round(sum(col("value")), 4).as("sum_value"))
           .orderBy(col("win_id"))
       },
-      Some("""WITH win AS (
-             |  SELECT event_id AS win_id,
-             |         ts - INTERVAL 30 MINUTE AS w_start,
-             |         ts + INTERVAL 30 MINUTE AS w_end
-             |  FROM events ORDER BY value DESC, event_id LIMIT 100)
-             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
-             |       round(sum(value), 4) AS sum_value
-             |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
-             |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+      Some(rangeJoinOracle)),
 
     // The optimizer-rule deployment of the bin rewrite: the query text
     // is the NAIVE containment join (exactly what a user writes — no
@@ -304,15 +292,7 @@ object Relational {
           s.createDataFrame(java.util.Arrays.asList(rows: _*), naive.schema)
         }
       },
-      Some("""WITH win AS (
-             |  SELECT event_id AS win_id,
-             |         ts - INTERVAL 30 MINUTE AS w_start,
-             |         ts + INTERVAL 30 MINUTE AS w_end
-             |  FROM events ORDER BY value DESC, event_id LIMIT 100)
-             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
-             |       round(sum(value), 4) AS sum_value
-             |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
-             |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+      Some(rangeJoinOracle)),
 
     // ---- aggregations (R17 generalized) ----
 
@@ -464,20 +444,46 @@ object Relational {
              |ORDER BY tag, n_name""".stripMargin))
   )
 
+  /** The single definition of the range-join interval side — the 100
+    * highest-value events, each widened to a ±30-min incident window
+    * (win_id, w_start, w_end). Shared by q_join_range (bin form),
+    * rangeJoinNaive (containment form), and — in spirit — the oracle
+    * text below; one place to change the width/limit keeps the three
+    * declared-identical.
+    */
+  private def incidentWindows(e: org.apache.spark.sql.DataFrame) =
+    e.orderBy(col("value").desc, col("event_id")).limit(100)
+      .select(col("event_id").as("win_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+
+  /** One oracle for both q_join_range and q_range_rewrite — they are
+    * declared result-identical, so they must share the literal text.
+    * (lazy: referenced from `defs`, which is declared ABOVE this val —
+    * a strict val would still be null while defs initializes)
+    */
+  private lazy val rangeJoinOracle: String =
+    """WITH win AS (
+      |  SELECT event_id AS win_id,
+      |         ts - INTERVAL 30 MINUTE AS w_start,
+      |         ts + INTERVAL 30 MINUTE AS w_end
+      |  FROM events ORDER BY value DESC, event_id LIMIT 100)
+      |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
+      |GROUP BY win_id ORDER BY win_id""".stripMargin
+
   /** The NAIVE containment-join form shared by q_range_rewrite (which
     * runs it under the scoped RewriteRangeJoin rule) and
     * RangeRewriteSpec (which asserts plan shape and parity with and
-    * without the rule): events aggregated per ±30-min incident window,
-    * joined by interval membership alone — no bin column anywhere.
+    * without the rule): events aggregated per incident window, joined
+    * by interval membership alone — no bin column anywhere.
     */
   def rangeJoinNaive(s: org.apache.spark.sql.SparkSession,
                      d: String): org.apache.spark.sql.DataFrame = {
     val e = T.events(s, d)
-    val win = e.orderBy(col("value").desc, col("event_id")).limit(100)
-      .select(col("event_id").as("win_id"),
-        (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
-        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
-    e.join(win, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    e.join(incidentWindows(e),
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .groupBy(col("win_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))

@@ -85,11 +85,15 @@ object Udx {
     // DuckDB oracle states the pre-write projection directly.
     QueryDef("q_csv_roundtrip",
       (s, d) => {
-        // Per-application path + overwrite: repeated iterations in one app
-        // rewrite the same directory (no leak-per-call), while concurrent
-        // JVMs (driver harness vs sbt test) can't race each other's files.
+        // Per-application, per-data-dir path + overwrite: repeated
+        // iterations in one app rewrite the same directory (no
+        // leak-per-call), concurrent JVMs (driver harness vs sbt test)
+        // can't race each other's files, and a same-session run against
+        // a DIFFERENT scale dir gets its own path — without the dir tag
+        // an earlier frame would silently repoint to the newer scale's
+        // data when evaluated after a second write.
         val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_csv_roundtrip_${s.sparkContext.applicationId}").toString
+          s"graft_csv_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
         // the RAW double, deliberately un-rounded: shortest-repr
         // toString/parse is round-trip exact, and both engines then hash
         // the identical stored bits — round(double, 4) here would
@@ -145,7 +149,7 @@ object Udx {
     QueryDef("q_orc_roundtrip",
       (s, d) => {
         val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_orc_roundtrip_${s.sparkContext.applicationId}").toString
+          s"graft_orc_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
         val nested = T.documents(s, d)
           .select(col("doc_id"),
             struct(col("lang"), col("source")).as("meta"),
@@ -171,10 +175,15 @@ object Udx {
     * declared query consumes (struct + array survive the format), while
     * the query's own output stays scalar for the driver's dump/sort.
     */
+  /** Filesystem-safe tag of a data dir — distinguishes same-session
+    * runs against different scale dirs in the roundtrip sink paths.
+    */
+  private def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+
   def jsonRoundtripNested(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_json_roundtrip_${s.sparkContext.applicationId}").toString
+      s"graft_json_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
     val docsSlice = T.documents(s, d)
       .select(col("doc_id"),
         struct(col("lang"), col("source")).as("meta"),

@@ -58,6 +58,23 @@ class RangeRewriteSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("inverted intervals (hi < lo) match nothing — and don't explode") {
+    // sequence() steps BACKWARD when start > stop: without the If
+    // guard, one corrupted interval row would explode to a bin per hour
+    // of the reversed span. The guard emits zero bins, matching the
+    // naive predicate's zero matches.
+    RewriteRangeJoin.withRule(spark) {
+      val e = Tables.events(spark, sf)
+      val bad = e.limit(3).select(col("event_id").as("wid"),
+        (col("ts") + expr("INTERVAL 10 DAYS")).as("a"),   // lo AFTER hi
+        (col("ts") - expr("INTERVAL 10 DAYS")).as("b"))
+      val df = e.join(bad, col("ts") >= col("a") && col("ts") < col("b"))
+      val p = planOf(df)
+      assert(p.contains("graft_bin"), s"rule did not fire on inverted bounds:\n$p")
+      assert(df.count() == 0, "inverted interval must match nothing")
+    }
+  }
+
   test("deregistration: the rule leaves no trace on the shared session") {
     RewriteRangeJoin.withRule(spark) { () }
     val p = planOf(Relational.rangeJoinNaive(spark, sf))

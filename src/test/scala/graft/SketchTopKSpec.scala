@@ -83,6 +83,21 @@ class SketchTopKSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("priority sampling: population <= k keeps every weight exact (tau = 0)") {
+    // Duffield–Lund–Thorup: with no (k+1)-th priority the subset-sum
+    // estimator must return w itself — a min-of-kept tau would inflate
+    // every est_w above w (q = w/u > w always) and sum(est_w) would
+    // overestimate total weight on small populations.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val got = graft.queries.Pipeline.prioritySampleOf(docs, 20)
+      .select(col("doc_id"), col("n_chars"), col("est_w"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10, "all 10 docs must be sampled when k=20")
+    got.foreach { case (id, w, est) =>
+      assert(est == w.toDouble, s"doc $id: est_w=$est must equal w=$w when n <= k")
+    }
+  }
+
   test("q_sketch_topk declared head matches the exact top tokens") {
     val got = SparkEntry.queries("q_sketch_topk")(spark, sf)
       .as[(Int, String)].collect().sortBy(_._1).map(_._2)

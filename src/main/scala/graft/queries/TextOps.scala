@@ -193,34 +193,23 @@ object TextOps {
     // corpus grams 64-bit birthday collisions would mark false dups.
     QueryDef("q_dedup_substr",
       (s, d) => substrSpansOf(T.documents(s, d)),
-      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |grams AS (
-             |  SELECT doc_id, len(toks) AS n_toks,
-             |         unnest(list_transform(range(len(toks) - 7),
-             |                i -> struct_pack(pos := i,
-             |                       gram := array_to_string(toks[i+1:i+8], ' '))),
-             |           recursive := true)
-             |  FROM base WHERE len(toks) >= 8),
-             |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
-             |marked AS (SELECT g.doc_id, g.n_toks, g.pos FROM grams g JOIN dup USING (gram)),
-             |isl AS (
-             |  SELECT doc_id, n_toks, pos,
-             |         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-             |                OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |              THEN 1 ELSE 0 END AS flag
-             |  FROM marked),
-             |isl2 AS (SELECT doc_id, n_toks, pos,
-             |                sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             |         FROM isl),
-             |spans AS (SELECT doc_id, n_toks, island, min(pos) AS s0, max(pos) + 7 AS e0
-             |          FROM isl2 GROUP BY doc_id, n_toks, island)
-             |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
-             |       CAST(count(*) AS BIGINT) AS n_spans,
-             |       CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
-             |       round(CAST(sum(e0 - s0 + 1) AS DOUBLE) / n_toks, 4) AS dup_ratio
-             |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin)),
+      Some(substrOracle)),
+
+    // q_dedup_substr maintained INCREMENTALLY (streaming
+    // .IncrementalSubstr): the fixture drains through real foreachBatch
+    // micro-batches — each batch is k-grammed ONCE and its digest rows
+    // land in a batch_id-partitioned store (replay-idempotent dynamic
+    // overwrite); the snapshot runs dup-detection over the accumulated
+    // digests only, which makes substring dedup's inherent
+    // RETROACTIVITY exact (a later repeat flags the EARLIER doc's span
+    // too). Because the snapshot is spec-proven ≡ the one-shot
+    // substrSpansOf, this incremental query shares q_dedup_substr's
+    // oracle VERBATIM — the machinery must reproduce the one-shot
+    // answer to the hash, a stronger gate than q_corpus_inc's
+    // scalatest-only parity.
+    QueryDef("q_substr_inc",
+      (s, d) => graft.streaming.IncrementalSubstr.fixtureRun(s, d),
+      Some(substrOracle)),
 
 
     // Regex subword tokenization (the "BPE-ish regex" path next to
@@ -363,16 +352,69 @@ object TextOps {
     * spec feeds crafted corpora with planted shared spans and asserts
     * exact span boundaries; the declared query passes the fixture table.
     */
+  /** One oracle for q_dedup_substr AND q_substr_inc — the incremental
+    * snapshot is declared result-identical to the one-shot pass, so
+    * both hash-compare against the same SQL. (lazy: referenced from
+    * `defs`, which is declared above this val.)
+    */
+  private lazy val substrOracle: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |grams AS (
+      |  SELECT doc_id, len(toks) AS n_toks,
+      |         unnest(list_transform(range(len(toks) - 7),
+      |                i -> struct_pack(pos := i,
+      |                       gram := array_to_string(toks[i+1:i+8], ' '))),
+      |           recursive := true)
+      |  FROM base WHERE len(toks) >= 8),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+      |marked AS (SELECT g.doc_id, g.n_toks, g.pos FROM grams g JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, n_toks, pos,
+      |         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |                OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS flag
+      |  FROM marked),
+      |isl2 AS (SELECT doc_id, n_toks, pos,
+      |                sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |         FROM isl),
+      |spans AS (SELECT doc_id, n_toks, island, min(pos) AS s0, max(pos) + 7 AS e0
+      |          FROM isl2 GROUP BY doc_id, n_toks, island)
+      |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+      |       CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+      |       round(CAST(sum(e0 - s0 + 1) AS DOUBLE) / n_toks, 4) AS dup_ratio
+      |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin
+
   def substrSpansOf(docs: org.apache.spark.sql.DataFrame,
-                    k: Int = 8): org.apache.spark.sql.DataFrame = {
+                    k: Int = 8): org.apache.spark.sql.DataFrame =
+    spansFromGrams(gramsOf(docs, k), k)
+
+  /** The corpus-scale text pass: every k-gram start position of every
+    * doc, keyed by a 16-byte md5 digest — (doc_id, n_toks, pos, g).
+    * Split out so the incremental path (streaming.IncrementalSubstr)
+    * runs THIS over each arriving batch only and accumulates the
+    * digest rows; the text is never reprocessed.
+    */
+  def gramsOf(docs: org.apache.spark.sql.DataFrame,
+              k: Int): org.apache.spark.sql.DataFrame = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)
-    val grams = base
+    base
       .select(col("doc_id"), size(col("toks")).as("n_toks"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - k),
           i => unhex(md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))))
       .select(col("doc_id"), col("n_toks"), col("pos"), col("col").as("g"))
+  }
+
+  /** Dup detection + overlapping-window merge over a gram frame —
+    * operates on digests and positions only (64-ish bytes/row), no
+    * text anywhere.
+    */
+  def spansFromGrams(grams: org.apache.spark.sql.DataFrame,
+                     k: Int): org.apache.spark.sql.DataFrame = {
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select(col("g"))
     val marked = grams.join(dup, "g")

@@ -983,7 +983,56 @@ object Pipeline {
         .orderBy(col("bin")),
       Some("""SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS bin,
              |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Distribution-drift detection between two dataset versions (PSI —
+    // population stability index, the standard model-monitoring drift
+    // score): the value distribution of the month's first half (ref)
+    // vs second half (cur), binned by 50, with the per-bin PSI term
+    // (p_cur − p_ref)·ln(p_cur/p_ref) floored at 1e-6 mass. The gate a
+    // continuously-rebuilt corpus runs before swapping a snapshot: a
+    // total PSI > 0.2 conventionally blocks the swap. Scale plan: two
+    // bounded-key aggs (bin count ≤ value range / width, halves = 2);
+    // the per-half totals broadcast; everything else is map-side.
+    QueryDef("q_drift_psi",
+      (s, d) => {
+        val tagged = T.events(s, d).select(
+          when(col("ts") < to_timestamp(lit("2024-01-16 00:00:00")), "ref")
+            .otherwise("cur").as("half"),
+          (floor(col("value") / 50) * 50).cast(LongType).as("bin"))
+        val counts = tagged.groupBy(col("half"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy(col("half")).agg(sum(col("n")).as("t"))
+        val p = counts.join(broadcast(tot), "half")
+          .groupBy(col("bin"))
+          .agg(
+            coalesce(max(when(col("half") === "ref", col("n") / col("t"))),
+              lit(0.0)).as("p_ref"),
+            coalesce(max(when(col("half") === "cur", col("n") / col("t"))),
+              lit(0.0)).as("p_cur"))
+        p.select(col("bin"),
+            round(col("p_ref"), 4).as("p_ref"),
+            round(col("p_cur"), 4).as("p_cur"),
+            round((greatest(col("p_cur"), lit(1e-6)) - greatest(col("p_ref"), lit(1e-6)))
+              * log(greatest(col("p_cur"), lit(1e-6)) / greatest(col("p_ref"), lit(1e-6))), 6)
+              .as("psi_term"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH tagged AS (
+             |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+             |              ELSE 'cur' END AS half,
+             |         CAST(floor(value / 50) * 50 AS BIGINT) AS bin
+             |  FROM events),
+             |counts AS (SELECT half, bin, count(*) AS n FROM tagged GROUP BY half, bin),
+             |tot AS (SELECT half, sum(n) AS t FROM counts GROUP BY half),
+             |p AS (SELECT bin,
+             |        coalesce(max(CASE WHEN c.half='ref' THEN n * 1.0 / t END), 0) AS p_ref,
+             |        coalesce(max(CASE WHEN c.half='cur' THEN n * 1.0 / t END), 0) AS p_cur
+             |      FROM counts c JOIN tot USING (half) GROUP BY bin)
+             |SELECT bin, round(p_ref, 4) AS p_ref, round(p_cur, 4) AS p_cur,
+             |       round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+             |             * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6) AS psi_term
+             |FROM p ORDER BY bin""".stripMargin))
   )
 
   /** q_sample_priority's core over an arbitrary (doc_id, n_chars) frame

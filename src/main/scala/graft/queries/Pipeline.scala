@@ -973,6 +973,58 @@ object Pipeline {
              |       round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w
              |FROM ranked WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
 
+    // Per-stratum priority sampling: q_sample_priority's estimator run
+    // independently per language (k=5 each) — the per-domain weighted
+    // sample a mixture-balanced corpus build takes. The per-group top-
+    // (k+1) cut routes through the custom GroupedTopK operator
+    // (bounded per-partition heaps, shuffle ≤ partitions × langs × 6
+    // rows) instead of a window rank that would SORT every doc within
+    // its language; the τ windows then run over ≤ langs × 6 survivors.
+    // Same exact-arithmetic u as q_sample_priority ⇒ same cross-engine
+    // float parity; the oracle states the idiomatic window form, so the
+    // custom physical operator is hash-checked per group end-to-end.
+    QueryDef("q_sample_group",
+      (s, d) => {
+        val k = 5
+        val v = conv(substring(md5(concat(lit("pri:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double")
+        val u = (v + 0.5) / lit(16777216.0)
+        val pri = T.documents(s, d).select(col("lang"), col("doc_id"),
+          col("n_chars"), (col("n_chars").cast("double") / u).as("q"))
+        val topk1 = graft.plans.GroupedTopKOp.topK(pri, k + 1,
+          Seq("lang"), Seq("q" -> true, "doc_id" -> false))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val wg = Window.partitionBy(col("lang"))
+        topk1
+          .withColumn("rn", row_number().over(w))
+          .withColumn("tau",
+            when(count(lit(1)).over(wg) >= k + 1, min(col("q")).over(wg))
+              .otherwise(lit(0.0)))
+          .filter(col("rn") <= k)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            round(col("q"), 4).as("priority"),
+            round(greatest(col("n_chars").cast("double"), col("tau")), 4)
+              .as("est_w"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH pri AS (
+             |  SELECT lang, doc_id, n_chars,
+             |         n_chars / ((CAST('0x' || substring(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 0.5) / 16777216.0) AS q
+             |  FROM documents),
+             |topk1 AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+             |    FROM pri) WHERE rn <= 6),
+             |ranked AS (
+             |  SELECT lang, doc_id, n_chars, q, rn,
+             |         CASE WHEN count(*) OVER (PARTITION BY lang) >= 6
+             |              THEN min(q) OVER (PARTITION BY lang) ELSE 0.0 END AS tau
+             |  FROM topk1)
+             |SELECT lang, doc_id, n_chars, round(q, 4) AS priority,
+             |       round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w
+             |FROM ranked WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
+
     // Fixed-width value histogram over events — the profiling pass that
     // sizes skew mitigations. One two-phase hash aggregate; bin count is
     // bounded by the value range, not the row count.

@@ -35,7 +35,8 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     "q_zorder", "q_topk_group_fast", "q_tpch_q13",
     // round-9 second-half additions (q_orc_roundtrip excluded: its plan
     // is a scan of the session-written ORC dir, not a stable shape)
-    "q_dedup_substr", "q_sample_priority", "q_join_range", "q_curriculum")
+    "q_dedup_substr", "q_sample_priority", "q_join_range", "q_curriculum",
+    "q_sample_group", "q_drift_psi")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

@@ -212,6 +212,39 @@ object TextOps {
       Some(substrOracle)),
 
 
+    // Zipf-law fit over the corpus vocabulary: regress ln(frequency) on
+    // ln(rank) — the sanity probe that a scraped corpus has natural-
+    // language frequency structure (a clean crawl fits slope ≈ −1;
+    // machine-generated spam flattens it). Covers the regression-
+    // aggregate family (regr_slope/intercept/r2) the surface otherwise
+    // lacks. Scale shape: word counts are a vocab-bounded map-side-
+    // combined agg; the rank window and the 1-row regression run over
+    // VOCAB rows (≤ millions at web scale), never corpus rows.
+    QueryDef("q_zipf",
+      (s, d) => {
+        val freq = T.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        val ranked = freq.withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("word"))))
+          .select(log(col("n")).as("ln_n"), log(col("rnk")).as("ln_r"))
+        ranked.agg(
+          count(lit(1)).as("n_words"),
+          round(expr("regr_slope(ln_n, ln_r)"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(ln_n, ln_r)"), 4).as("zipf_intercept"),
+          round(expr("regr_r2(ln_n, ln_r)"), 4).as("r2"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT word, count(*) AS n FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+             |  GROUP BY word),
+             |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk FROM freq)
+             |SELECT CAST(count(*) AS BIGINT) AS n_words,
+             |       round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+             |       round(regr_intercept(ln(n), ln(rnk)), 4) AS zipf_intercept,
+             |       round(regr_r2(ln(n), ln(rnk)), 4) AS r2
+             |FROM ranked""".stripMargin)),
+
     // Regex subword tokenization (the "BPE-ish regex" path next to
     // q_token_count's whitespace + length estimate): alpha runs, digit
     // runs, and punctuation each become their own token — the classic

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-window aggregations — the batch `window()` / `session_window()`
@@ -233,6 +234,36 @@ object TimeWindows {
              |UNION ALL
              |SELECT 3, 'purchase_after_view', (SELECT CAST(count(*) AS BIGINT) FROM s3)
              |ORDER BY step""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // P(next event type | previous), the behavioral model behind
+    // session simulation and anomaly scoring (a transition with
+    // near-zero p flags a bot path). ONE user-keyed shuffle for the lag
+    // window; the (prev, next) count table is event-type²-bounded, so
+    // the normalizing window runs over ≤ |types|² rows regardless of
+    // corpus size.
+    QueryDef("q_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seq = T.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val cnt = seq.groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+        cnt.withColumn("p",
+            round(col("n") / sum(col("n")).over(Window.partitionBy(col("prev"))), 4))
+          .orderBy(col("prev"), col("next"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n,
+             |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev), 4) AS p
+             |FROM seq WHERE prev IS NOT NULL
+             |GROUP BY prev, next ORDER BY prev, next""".stripMargin)),
 
     // Cohort retention matrix: users grouped by first-activity month,
     // counted in each later activity month. Two aggregations (first-seen

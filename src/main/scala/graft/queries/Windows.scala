@@ -163,28 +163,12 @@ object Windows {
     // everything is windowed per customer (one shuffle on o_custkey),
     // never a global sort.
     QueryDef("q_scd2",
-      (s, d) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val seq = T.orders(s, d)
-          .withColumn("chg",
-            when(lag(col("o_orderpriority"), 1).over(w).isNull ||
-                 lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1)
-              .otherwise(0))
-          .withColumn("island",
-            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)).cast("int"))
-        val grp = seq.groupBy(col("o_custkey"), col("island"), col("o_orderpriority"))
-          .agg(min(col("o_orderdate")).as("vf"), count(lit(1)).as("n_orders"))
-        val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
-        grp
-          .withColumn("vt", lead(col("vf"), 1).over(w2))
+      (s, d) => scd2Intervals(T.orders(s, d))
           .select(col("o_custkey"), col("island"), col("o_orderpriority"),
             date_format(date_trunc("second", col("vf")), "yyyy-MM-dd HH:mm:ss").as("valid_from_s"),
             date_format(date_trunc("second", col("vt")), "yyyy-MM-dd HH:mm:ss").as("valid_to_s"),
             col("vt").isNull.as("is_current"), col("n_orders"))
-          .orderBy(col("o_custkey"), col("island"))
-      },
+          .orderBy(col("o_custkey"), col("island")),
       Some("""WITH seq AS (
              |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
              |         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
@@ -209,7 +193,66 @@ object Windows {
              |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)
              |ORDER BY o_custkey, island""".stripMargin)),
 
-    // As-of join (SURVEY.md §7.4): each purchase ↔ the same user's latest
+    // POINT-IN-TIME join (the feature-store correctness op): each
+    // lineitem joins the SCD2 priority version of its customer that was
+    // ACTIVE AT SHIP TIME — shipdate lands months after orderdate, so
+    // the interval at ship frequently differs from the priority the
+    // order was placed under; joining "current" or "at-order" versions
+    // instead is the classic training/serving leakage bug. Scale shape:
+    // this is the range join a feature store actually needs, and unlike
+    // q_join_range it carries an EQUI key (custkey) — both sides
+    // shuffle once on the customer, intervals-per-customer are small,
+    // and the validity predicate is just the join residual; no bins, no
+    // nested loop, no window over facts.
+    QueryDef("q_join_pit",
+      (s, d) => {
+        val dim = scd2Intervals(T.orders(s, d))
+          .select(col("o_custkey").as("d_custkey"),
+            col("o_orderpriority").as("prio_at_ship"), col("vf"), col("vt"))
+        val facts = T.lineitem(s, d)
+          .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_shipdate"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        facts.join(dim, col("o_custkey") === col("d_custkey") &&
+            col("l_shipdate") >= col("vf") &&
+            (col("vt").isNull || col("l_shipdate") < col("vt")))
+          .groupBy(col("prio_at_ship"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("rev")), 4).as("revenue"))
+          .orderBy(col("prio_at_ship"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             |         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |isl AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey
+             |           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM seq),
+             |grp AS (
+             |  SELECT o_custkey, island, o_orderpriority, min(o_orderdate) AS vf
+             |  FROM isl GROUP BY 1, 2, 3),
+             |dim AS (
+             |  SELECT o_custkey, o_orderpriority AS prio_at_ship, vf,
+             |         lead(vf) OVER (PARTITION BY o_custkey ORDER BY island) AS vt
+             |  FROM grp),
+             |facts AS (
+             |  SELECT o.o_custkey, l.l_shipdate,
+             |         l.l_extendedprice * (1 - l.l_discount) AS rev
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |SELECT prio_at_ship, CAST(count(*) AS BIGINT) AS n_items,
+             |       round(sum(rev), 4) AS revenue
+             |FROM facts f JOIN dim d
+             |  ON f.o_custkey = d.o_custkey
+             | AND f.l_shipdate >= d.vf
+             | AND (d.vt IS NULL OR f.l_shipdate < d.vt)
+             |GROUP BY prio_at_ship ORDER BY prio_at_ship""".stripMargin)),
+
+    // As-of join (SURVEY.md §7.4): each purchase to the same user's latest
     // prior-or-equal signup. Spark has no batch ASOF JOIN; composed as
     // union + per-user running last-signup (ONE shuffle on user_id, no
     // purchase×signup pair blow-up — the range-join + row_number
@@ -247,4 +290,29 @@ object Windows {
              |WHERE e.event_type = 'purchase'
              |ORDER BY e.event_id""".stripMargin))
   )
+
+  /** The SCD2 interval core shared by q_scd2 (which formats it as the
+    * dimension-history report) and q_join_pit (which joins facts to the
+    * version active at fact time): per customer, the gaps-and-islands
+    * collapse of consecutive same-priority orders into
+    * (o_custkey, island, o_orderpriority, vf, vt exclusive, n_orders)
+    * validity intervals. One shuffle on o_custkey; all windows
+    * per-customer.
+    */
+  def scd2Intervals(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seq = orders
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+             lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+    val grp = seq.groupBy(col("o_custkey"), col("island"), col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("vf"), count(lit(1)).as("n_orders"))
+    val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("island"))
+    grp.withColumn("vt", lead(col("vf"), 1).over(w2))
+  }
 }

@@ -265,6 +265,48 @@ object TimeWindows {
              |FROM seq WHERE prev IS NOT NULL
              |GROUP BY prev, next ORDER BY prev, next""".stripMargin)),
 
+    // Rolling tail-latency dashboard shape: hourly p95 of value per
+    // event type, then a trailing 6-hour PEAK-HOLD of that p95 (the
+    // alerting form: "worst recent tail") — the percentile-over-time-
+    // then-smooth pattern every observability pipeline runs. Peak-hold
+    // (max), not mean, deliberately: a rolling MEAN of 4-dp-rounded
+    // values lands on exact .xxxx5 half-edges (measured: flipped a row
+    // between Spark's HALF_UP and the oracle's half-even on the first
+    // fixture run) — max is arithmetic-free and engine-exact. Scale:
+    // values pre-round to 2 dp so the EXACT percentile's value→count
+    // buffer is bounded by the value range × 100 (the q_curriculum
+    // trick — raw continuous doubles would make it O(group size)); the
+    // rolling window runs over the (type × hour)-bounded pre-agg,
+    // never raw events.
+    QueryDef("q_rolling_p95",
+      (s, d) => {
+        val hourly = T.events(s, d)
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"),
+            round(col("value"), 2).as("v"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(round(expr("percentile(v, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-5, 0)
+        hourly
+          .withColumn("p95_peak6", max(col("p95")).over(w))
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+            col("n"), col("p95"), col("p95_peak6"))
+          .orderBy(col("event_type"), col("hour_s"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |         round(quantile_cont(round(value, 2), 0.95), 4) AS p95,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             |       n, p95,
+             |       max(p95) OVER (PARTITION BY event_type ORDER BY hour
+             |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS p95_peak6
+             |FROM hourly ORDER BY event_type, hour_s""".stripMargin)),
+
     // Cohort retention matrix: users grouped by first-activity month,
     // counted in each later activity month. Two aggregations (first-seen
     // per user, distinct user-months) + one user-keyed join — the

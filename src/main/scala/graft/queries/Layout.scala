@@ -112,14 +112,34 @@ object Layout {
     val li = s"graft_li_bkt_$digest"
     val ord = s"graft_ord_bkt_$digest"
     buildLock.synchronized {
-      if (!spark.catalog.tableExists(li))
+      if (!spark.catalog.tableExists(li)) {
+        dropStaleLocation(spark, li)
         T.lineitem(spark, sfDir).write
           .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
-      if (!spark.catalog.tableExists(ord))
+      }
+      if (!spark.catalog.tableExists(ord)) {
+        dropStaleLocation(spark, ord)
         T.orders(spark, sfDir).write
           .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
+      }
     }
     (li, ord)
+  }
+
+  /** The managed-table location outlives the in-memory catalog: a
+    * previous JVM's saveAsTable leaves spark-warehouse/<name> on disk,
+    * and the next JVM in the same cwd — whose fresh catalog does NOT
+    * have the table — dies with LOCATION_ALREADY_EXISTS on the rebuild
+    * (observed: the second full Verify run of a session). When the
+    * catalog lacks the table, any leftover location is stale state from
+    * a dead session; delete it before writing.
+    */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    ()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -198,7 +198,12 @@ object Windows {
     // ACTIVE AT SHIP TIME — shipdate lands months after orderdate, so
     // the interval at ship frequently differs from the priority the
     // order was placed under; joining "current" or "at-order" versions
-    // instead is the classic training/serving leakage bug. Scale shape:
+    // instead is the classic training/serving leakage bug. Facts
+    // timestamped BEFORE the customer's first version have no dimension
+    // truth at their time and are excluded by the inner join (the
+    // fixture ships ~8% of lineitems before their customer's first
+    // order; GraphSpec asserts every in-coverage fact matches exactly
+    // once). Scale shape:
     // this is the range join a feature store actually needs, and unlike
     // q_join_range it carries an EQUI key (custkey) — both sides
     // shuffle once on the customer, intervals-per-customer are small,

@@ -113,4 +113,40 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       assert(current.head.getInt(1) == rs.map(_.getInt(1)).max)
     }
   }
+
+  test("point-in-time join: every fact matches exactly one interval, and " +
+      "at-ship genuinely differs from at-order") {
+    val orders = Tables.orders(spark, sf)
+    val dim = graft.queries.Windows.scd2Intervals(orders)
+      .select(col("o_custkey").as("d_custkey"),
+        col("o_orderpriority").as("prio_ship"), col("vf"), col("vt"))
+    val facts = Tables.lineitem(spark, sf)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("prio_order")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate"), col("prio_order"))
+    val joined = facts.join(dim, col("o_custkey") === col("d_custkey") &&
+      col("l_shipdate") >= col("vf") &&
+      (col("vt").isNull || col("l_shipdate") < col("vt")))
+    // validity intervals tile [first order, infinity) per customer —
+    // facts BEFORE a customer's first version have no dimension truth
+    // at their time and are correctly excluded by the inner join (the
+    // fixture ships 474 of 6000 lineitems before their customer's first
+    // order); every IN-COVERAGE fact must match exactly once (the
+    // silent failure modes of a wrong interval build are drops and
+    // duplicates among these)
+    val firstVf = dim.groupBy(col("d_custkey")).agg(min(col("vf")).as("first_vf"))
+    val covered = facts.join(firstVf, col("o_custkey") === col("d_custkey"))
+      .filter(col("l_shipdate") >= col("first_vf"))
+    assert(joined.count() == covered.count(),
+      "PIT join must match each in-coverage fact exactly once")
+    assert(covered.count() < facts.count(),
+      "fixture should exercise the before-first-version exclusion")
+    // and the semantics is NON-trivial on this fixture: most lineitems
+    // ship months after ordering, under a different priority version —
+    // if these were always equal, the query would be indistinguishable
+    // from the naive (leaky) at-order join
+    val differs = joined.filter(col("prio_ship") =!= col("prio_order")).count()
+    assert(differs > 0, "at-ship never differs from at-order — PIT is vacuous here")
+  }
 }

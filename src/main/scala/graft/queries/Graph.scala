@@ -187,6 +187,51 @@ object Graph {
       },
       Some(pagerankSql(Iterations))),
 
+    // Single-source BFS over the co-purchase graph: nodes reachable
+    // from part 1 within 3 hops, counted per MINIMAL hop distance — the
+    // frontier-expansion iterative pattern next to PageRank's fixed-
+    // iteration one. Scale shape: the edge build pays its one shuffle
+    // once (localCheckpointed, reused every hop); each hop is one
+    // frontier⋈edges join + a left-anti against the visited set, both
+    // on ids only; frontiers localCheckpoint so lineage never stacks
+    // across iterations. Oracle = a recursive CTE with min-hop
+    // dedup — Spark 4's WITH RECURSIVE could state it too, but the
+    // frontier loop is the form that lets each hop repartition/AQE
+    // independently at 100 TB.
+    QueryDef("q_bfs",
+      (s, d) => {
+        val edges = coPurchaseEdges(T.lineitem(s, d))
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        import s.implicits._
+        var best = Seq((1L, 0)).toDF("node", "hop").localCheckpoint(true)
+        var frontier = best.select(col("node"))
+        for (h <- 1 to 3) {
+          val next = frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(best.select(col("node").as("seen")),
+              col("node") === col("seen"), "left_anti")
+            .withColumn("hop", lit(h))
+            .localCheckpoint(true)
+          best = best.unionByName(next).localCheckpoint(true)
+          frontier = next.select(col("node"))
+        }
+        best.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("hop"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |bfs(node, hop) AS (
+             |  SELECT CAST(1 AS BIGINT), 0
+             |  UNION
+             |  SELECT e.dst, b.hop + 1
+             |  FROM bfs b JOIN edges e ON e.src = b.node
+             |  WHERE b.hop < 3),
+             |best AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+             |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+             |FROM best GROUP BY hop ORDER BY hop""".stripMargin)),
+
     // Clustering structure of the co-purchase graph: nodes-with-edges,
     // undirected edge count, triangle count. The semi-join wedge-check
     // is a left_semi on (x, y) — never materializes per-triangle rows.

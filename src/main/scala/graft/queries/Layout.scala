@@ -109,38 +109,54 @@ object Layout {
   def ensureBucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val li = s"graft_li_bkt_$digest"
-    val ord = s"graft_ord_bkt_$digest"
+    // The managed-table location outlives the in-memory catalog, so a
+    // digest-only name collides across JVMs in the same cwd: the second
+    // Verify run of a session died with LOCATION_ALREADY_EXISTS, and
+    // deleting the leftover would race a LIVE sibling JVM (driver
+    // harness vs sbt test share this cwd) mid-scan. The applicationId
+    // suffix makes each JVM's tables disjoint — no collision, nothing
+    // of a sibling's to delete; abandoned locations from dead sessions
+    // are garbage-collected age-gated instead.
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val li = s"graft_li_bkt_${digest}_$app"
+    val ord = s"graft_ord_bkt_${digest}_$app"
     buildLock.synchronized {
       if (!spark.catalog.tableExists(li)) {
-        dropStaleLocation(spark, li)
+        sweepAbandonedBucketDirs(spark, app)
         T.lineitem(spark, sfDir).write
           .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
       }
-      if (!spark.catalog.tableExists(ord)) {
-        dropStaleLocation(spark, ord)
+      if (!spark.catalog.tableExists(ord))
         T.orders(spark, sfDir).write
           .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord)
-      }
     }
     (li, ord)
   }
 
-  /** The managed-table location outlives the in-memory catalog: a
-    * previous JVM's saveAsTable leaves spark-warehouse/<name> on disk,
-    * and the next JVM in the same cwd — whose fresh catalog does NOT
-    * have the table — dies with LOCATION_ALREADY_EXISTS on the rebuild
-    * (observed: the second full Verify run of a session). When the
-    * catalog lacks the table, any leftover location is stale state from
-    * a dead session; delete it before writing.
+  /** Delete graft bucket-table locations left behind by DEAD sessions:
+    * other apps' dirs untouched unless older than [[AbandonedAfterMs]]
+    * (live siblings — a driver verify and an sbt test run minutes apart
+    * — stay safe; a dir from yesterday's crashed JVM is reclaimed).
+    * Never this app's own dirs, and pure best-effort.
     */
-  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-    ()
-  }
+  private val AbandonedAfterMs = 6L * 3600 * 1000
+
+  private def sweepAbandonedBucketDirs(spark: SparkSession, app: String): Unit =
+    try {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) {
+        val cutoff = System.currentTimeMillis() - AbandonedAfterMs
+        fs.listStatus(wh).foreach { st =>
+          val name = st.getPath.getName
+          val isGraftBkt =
+            name.startsWith("graft_li_bkt_") || name.startsWith("graft_ord_bkt_")
+          if (isGraftBkt && !name.endsWith(s"_$app") &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: Exception => () }
 
   val defs: Seq[QueryDef] = Seq(
 

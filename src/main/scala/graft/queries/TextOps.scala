@@ -381,10 +381,6 @@ object TextOps {
       None)
   )
 
-  /** q_dedup_substr's core over an arbitrary (doc_id, text) frame — the
-    * spec feeds crafted corpora with planted shared spans and asserts
-    * exact span boundaries; the declared query passes the fixture table.
-    */
   /** One oracle for q_dedup_substr AND q_substr_inc — the incremental
     * snapshot is declared result-identical to the one-shot pass, so
     * both hash-compare against the same SQL. (lazy: referenced from
@@ -420,6 +416,10 @@ object TextOps {
       |       round(CAST(sum(e0 - s0 + 1) AS DOUBLE) / n_toks, 4) AS dup_ratio
       |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin
 
+  /** q_dedup_substr's core over an arbitrary (doc_id, text) frame — the
+    * spec feeds crafted corpora with planted shared spans and asserts
+    * exact span boundaries; the declared query passes the fixture table.
+    */
   def substrSpansOf(docs: org.apache.spark.sql.DataFrame,
                     k: Int = 8): org.apache.spark.sql.DataFrame =
     spansFromGrams(gramsOf(docs, k), k)

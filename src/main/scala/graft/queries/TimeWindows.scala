@@ -287,8 +287,15 @@ object TimeWindows {
           .groupBy(col("event_type"), col("hour"))
           .agg(round(expr("percentile(v, 0.95)"), 4).as("p95"),
             count(lit(1)).as("n"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-          .rowsBetween(-5, 0)
+          .withColumn("hour_num",
+            floor(unix_timestamp(col("hour")) / 3600L))
+        // RANGE over the hour NUMBER, not ROWS over the pre-agg: hours
+        // with zero events are absent from the hourly frame, so a
+        // 6-ROW frame would reach arbitrarily far back in wall-clock
+        // time across traffic gaps — a 12-hour-old spike is not the
+        // "worst recent tail"
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_num"))
+          .rangeBetween(-5, 0)
         hourly
           .withColumn("p95_peak6", max(col("p95")).over(w))
           .select(col("event_type"),
@@ -298,13 +305,14 @@ object TimeWindows {
       },
       Some("""WITH hourly AS (
              |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS hour_num,
              |         round(quantile_cont(round(value, 2), 0.95), 4) AS p95,
              |         CAST(count(*) AS BIGINT) AS n
-             |  FROM events GROUP BY 1, 2)
+             |  FROM events GROUP BY 1, 2, 3)
              |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
              |       n, p95,
-             |       max(p95) OVER (PARTITION BY event_type ORDER BY hour
-             |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS p95_peak6
+             |       max(p95) OVER (PARTITION BY event_type ORDER BY hour_num
+             |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS p95_peak6
              |FROM hourly ORDER BY event_type, hour_s""".stripMargin)),
 
     // Cohort retention matrix: users grouped by first-activity month,

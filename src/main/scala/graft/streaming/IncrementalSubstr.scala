@@ -54,10 +54,20 @@ object IncrementalSubstr {
     StreamingDedup.writeBatchPartition(grams, batchId, storeDir)
   }
 
-  /** All accumulated gram rows; an absent store reads as zero rows. */
+  /** All accumulated gram rows; an absent store reads as zero rows.
+    * Deduped on (doc_id, pos, g): same-batchId replay is already a
+    * byte-identical partition overwrite, but an at-least-once source
+    * can redeliver a doc under a DIFFERENT batchId — without the dedup
+    * its grams would count twice and the whole doc would read as one
+    * giant dup span. (A REVISED doc re-ingested under a new id is out
+    * of scope here, as for StreamingDedup's signature store: revision
+    * handling needs a displacement contract — see IncrementalCorpus —
+    * not a dedup.)
+    */
   def readGrams(spark: SparkSession, storeDir: String): DataFrame =
     try spark.read.parquet(storeDir)
       .select(GramSchema.fieldNames.map(col).toSeq: _*)
+      .dropDuplicates(Seq("doc_id", "pos", "g"))
     catch {
       case _: AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GramSchema)
@@ -77,22 +87,29 @@ object IncrementalSubstr {
     */
   def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 3): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_substr")
-    graft.Tables.documents(spark, sfDir)
-      .repartition(nFiles).write.parquet(s"$tmp/in")
-    val schema = spark.read.parquet(s"$tmp/in").schema
-    val q = StreamingDedup.docsStream(spark, s"$tmp/in", schema)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ck")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, s"$tmp/state")
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = snapshot(spark, s"$tmp/state").localCheckpoint(true)
-    import scala.util.Try
-    java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
-    out
+    try {
+      graft.Tables.documents(spark, sfDir)
+        .repartition(nFiles).write.parquet(s"$tmp/in")
+      val schema = spark.read.parquet(s"$tmp/in").schema
+      val q = StreamingDedup.docsStream(spark, s"$tmp/in", schema)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ck")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitBatch(batch, batchId, s"$tmp/state")
+        }
+        .start()
+      // stop() in finally: an abandoned query would keep polling
+      // $tmp/in for the life of the session after any mid-run failure
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      snapshot(spark, s"$tmp/state").localCheckpoint(true)
+    } finally {
+      import scala.util.Try
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
+      finally walk.close()
+    }
   }
 }

@@ -41,6 +41,20 @@ class IncrementalSubstrSpec extends AnyFunSuite with SharedSpark {
       "replay changed the snapshot")
   }
 
+  test("at-least-once redelivery under a DIFFERENT batchId does not double-count") {
+    // same-batchId replay is a byte-identical partition overwrite; an
+    // upstream retry can also redeliver a doc under a NEW batchId —
+    // without the (doc_id, pos, g) dedup its grams would count twice
+    // and the all-unique doc below would read as one giant dup span
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_redeliver").toString
+    val doc = Seq((7L, (0 until 20).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalSubstr.commitBatch(doc, 0L, s"$tmp/state")
+    IncrementalSubstr.commitBatch(doc, 3L, s"$tmp/state") // redelivered
+    assert(IncrementalSubstr.snapshot(spark, s"$tmp/state").count() == 0,
+      "redelivered unique doc must not self-duplicate")
+  }
+
   test("retroactivity: a later repeat flags the EARLIER doc's span too") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_substr_retro").toString
     val shared = (0 until 8).map(i => s"r$i").mkString(" ")

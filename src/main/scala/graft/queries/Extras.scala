@@ -182,6 +182,40 @@ object Extras {
       },
       None),
 
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001): parts not
+    // dominated in (minimize price, maximize size) — the multi-
+    // criteria shortlist operator ("cheapest for its size class").
+    // Algorithm ≠ oracle here, which is the point: the engine runs the
+    // O(n log n) 2-D sweep (per-price max-size, then a running-max
+    // filter over the price order), the oracle states the O(n²)
+    // NOT-EXISTS dominance DEFINITION — a hash match proves the sweep
+    // implements the semantics, not just that two copies of one query
+    // agree. Scale: the sweep's window runs over the DISTINCT-price
+    // point set (dimension-bounded), after a map-side-combined
+    // per-price agg; no pairwise dominance test anywhere.
+    QueryDef("q_skyline",
+      (s, d) => {
+        val pts = T.part(s, d)
+          .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+          .distinct()
+        val best = pts.groupBy(col("price")).agg(max(col("size")).as("size"))
+        val prevMax = max(col("size")).over(Window.orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+        best
+          .withColumn("rmax_prev", prevMax)
+          .filter(col("rmax_prev").isNull || col("size") > col("rmax_prev"))
+          .select(col("price"), col("size"))
+          .orderBy(col("price"))
+      },
+      Some("""WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+             |best AS (SELECT price, max(size) AS size FROM pts GROUP BY price)
+             |SELECT price, CAST(size AS INTEGER) AS size FROM best b
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM pts q
+             |  WHERE q.price <= b.price AND q.size >= b.size
+             |    AND (q.price < b.price OR q.size > b.size))
+             |ORDER BY price""".stripMargin)),
+
     // The data-quality gate as a declared query: five expectations
     // (uniqueness, null rate, two range checks — one of which FAILS on
     // the fixture by design, proving the gate actually rejects — and a

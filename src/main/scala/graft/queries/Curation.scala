@@ -536,8 +536,70 @@ object Curation {
           .select(col("feature"), round(col("weight"), 4).as("weight"))
           .orderBy(col("feature"))
       },
-      Some(qualityClfSql(ClfIters, ClfLr, ClfVocab)))
+      Some(qualityClfSql(ClfIters, ClfLr, ClfVocab))),
+
+    // Reciprocal-rank fusion — the standard way to combine heterogeneous
+    // retrieval signals (BM25 lexical + embedding ANN in production;
+    // CurationSpec pins the fusion semantics on crafted rankings). The
+    // declared query fuses two exactly-reproducible rankings per
+    // language partition — by filtered token count and by n_chars —
+    // RRF(d) = Σ 1/(60 + rank_i(d)), keeping the top 5 per lang.
+    // Scale shape: both rankings are PARTITIONED windows (per-lang /
+    // per-query-candidate-list, never a global sort); fusion joins on
+    // the partition key + doc_id, so the two windows and the join all
+    // reuse one hash-partitioning on lang. In a real query path the
+    // inputs are top-k candidate LISTS (bounded), making fusion
+    // driver-free and embarrassingly parallel across queries.
+    QueryDef("q_rrf_fusion",
+      (s, d) => rrfFusedOf(T.documents(s, d)),
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang
+             |             ORDER BY n_toks DESC, doc_id) AS r_tok,
+             |         row_number() OVER (PARTITION BY lang
+             |             ORDER BY n_chars DESC, doc_id) AS r_len
+             |  FROM base),
+             |fused AS (
+             |  SELECT doc_id, lang,
+             |         round(1.0 / (60 + r_tok) + 1.0 / (60 + r_len), 4) AS rrf
+             |  FROM ranked),
+             |topk AS (
+             |  SELECT lang, doc_id, rrf,
+             |         row_number() OVER (PARTITION BY lang
+             |             ORDER BY rrf DESC, doc_id) AS fused_rank
+             |  FROM fused)
+             |SELECT lang, CAST(fused_rank AS INTEGER) AS fused_rank, doc_id, rrf
+             |FROM topk WHERE fused_rank <= 5
+             |ORDER BY lang, fused_rank""".stripMargin))
   )
+
+  /** q_rrf_fusion's body over an arbitrary documents frame (the spec
+    * feeds crafted corpora and asserts hand-computed fusion ranks).
+    */
+  def rrfFusedOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(filter(split(col("text"), " "), t => t =!= "")).as("n_toks"))
+    val rTok = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(col("n_toks").desc, col("doc_id")))
+    val rLen = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id")))
+    val fused = base
+      .withColumn("r_tok", rTok).withColumn("r_len", rLen)
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(60) + col("r_tok"))
+          + lit(1.0) / (lit(60) + col("r_len")), 4))
+    fused
+      .withColumn("fused_rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 5)
+      .select(col("lang"), col("fused_rank"), col("doc_id"), col("rrf"))
+      .orderBy(col("lang"), col("fused_rank"))
+  }
 
   // defs (above) is a val initialized before these would be — keep them
   // methods so the oracle generator never sees zero-valued constants

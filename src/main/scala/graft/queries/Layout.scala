@@ -269,6 +269,44 @@ object Layout {
              |       round(sum(l_quantity), 4) AS sum_qty,
              |       round(sum(l_extendedprice), 4) AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Small-file compaction planner — the maintenance job every
+    // streaming/incremental sink needs (each micro-batch writes a file
+    // per partition; after a week a 100-TB table is a million 5-MB
+    // files and scan task-scheduling overhead dominates IO). The
+    // planner runs over the FILE INVENTORY (catalog metadata, millions
+    // of rows at most — never the data): simulate the inventory as one
+    // "file" per (month, priority) slice of orders with bytes ≈
+    // rows×120, then assign files to target-sized output groups by
+    // sequential cumulative-sum packing within each month partition
+    // (bin = ⌊cum_bytes_before / target⌋ — deterministic, one window
+    // per partition, and compaction itself then runs one task per bin).
+    QueryDef("q_compact_plan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val files = T.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority").as("file_key"))
+          .agg((count(lit(1)) * 120).as("bytes"))
+        val w = Window.partitionBy(col("month")).orderBy(col("file_key"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        files
+          .withColumn("bin",
+            floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / lit(32768L)))
+          .select(col("month"), col("file_key"), col("bytes"), col("bin"))
+          .orderBy(col("month"), col("file_key"))
+      },
+      Some("""WITH files AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |         o_orderpriority AS file_key,
+             |         CAST(count(*) * 120 AS BIGINT) AS bytes
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT month, file_key, bytes,
+             |       CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY month
+             |              ORDER BY file_key
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |            / 32768) AS BIGINT) AS bin
+             |FROM files ORDER BY month, file_key""".stripMargin))
   )
 }

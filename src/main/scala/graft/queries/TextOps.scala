@@ -361,6 +361,34 @@ object TextOps {
       },
       None),
 
+    // Inverted index build — the IR-side counterpart of q_tfidf/q_bm25:
+    // term → exact document frequency + the HEAD of its sorted posting
+    // list. The full posting list of a stopword is the whole corpus, so
+    // collecting it per term is the classic OOM at scale; the head is
+    // instead taken with the custom GroupedTopK physical operator
+    // (plans/GroupedTopK.scala) — a bounded k-heap per term inside the
+    // aggregation exchange, never a full collect_list. df stays exact
+    // via a count agg on the SAME term key (co-partitioned join, no
+    // extra shuffle under AQE). At 100 TB: one distinct-explode pass,
+    // everything downstream is (term, doc_id) pairs.
+    QueryDef("q_inverted_index",
+      (s, d) => invertedIndexOf(T.documents(s, d), minDf = 5, headK = 16),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id, t AS term
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |        FROM documents)
+             |  WHERE t <> ''),
+             |ranked AS (
+             |  SELECT term, doc_id,
+             |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             |         count(*) OVER (PARTITION BY term) AS df
+             |  FROM dt)
+             |SELECT term, CAST(max(df) AS BIGINT) AS df,
+             |       string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
+             |                  ',' ORDER BY doc_id) AS postings_head
+             |FROM ranked GROUP BY term
+             |HAVING max(df) >= 5 ORDER BY term""".stripMargin)),
+
     // Document fingerprinting: full-text hash + MinHash-of-shingles
     // content fingerprint (rolling-hash style). Engine-specific hash fn
     // (xxhash64) → not oracle-comparable; scalatest asserts duplicate
@@ -380,6 +408,30 @@ object TextOps {
         .orderBy(col("doc_id")),
       None)
   )
+
+  /** q_inverted_index's body over an arbitrary (doc_id, text) frame —
+    * TextOpsSpec asserts the GroupedTopK posting head equals the sorted
+    * prefix of the full posting list on crafted corpora.
+    */
+  def invertedIndexOf(docs: org.apache.spark.sql.DataFrame,
+      minDf: Int, headK: Int): org.apache.spark.sql.DataFrame = {
+    val docTerms = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val dfreq = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val heads = graft.plans.GroupedTopKOp
+      .topK(docTerms, headK, Seq("term"), Seq(("doc_id", false)))
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings_head"))
+    dfreq.join(heads, "term")
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("postings_head"))
+      .orderBy(col("term"))
+  }
 
   /** One oracle for q_dedup_substr AND q_substr_inc — the incremental
     * snapshot is declared result-identical to the one-shot pass, so

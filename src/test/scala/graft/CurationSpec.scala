@@ -171,4 +171,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(sem == (0L until 5L).map(_ + 1000L).toSet)
     assert(brute.subsetOf(sem union (0L until 5L).map(_ + 1000L).toSet))
   }
+
+  test("rrf fusion: top-of-both-lists wins, ranks are dense, partitions are independent") {
+    // lang xx: doc 20 is rank 1 in BOTH signals (most tokens AND most
+    // chars) so it must be fused rank 1; lang yy is a 1-doc partition.
+    val docs = Seq(
+      (10L, "a b c", "xx", 50L),
+      (20L, "a b c d e f", "xx", 200L),
+      (30L, "a", "xx", 120L),
+      (40L, "a b", "yy", 10L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Curation.rrfFusedOf(docs).collect()
+    val xx = out.filter(_.getString(0) == "xx").sortBy(_.getInt(1))
+    assert(xx.head.getLong(2) == 20L, s"dual-top doc must fuse first: ${xx.toSeq}")
+    assert(xx.map(_.getInt(1)).toSeq == (1 to 3), "dense fused ranks per lang")
+    // rrf scores non-increasing in fused rank
+    assert(xx.sliding(2).forall { case Array(a, b) => a.getDouble(3) >= b.getDouble(3) })
+    val yy = out.filter(_.getString(0) == "yy")
+    assert(yy.length == 1 && yy.head.getInt(1) == 1 && yy.head.getLong(2) == 40L)
+    // 1/(60+1) + 1/(60+1) rounded at 4 dp
+    assert(math.abs(yy.head.getDouble(3) - 0.0328) < 1e-9)
+  }
 }

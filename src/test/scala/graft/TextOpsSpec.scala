@@ -56,4 +56,31 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
     // doc 4: all-unique tokens → no duplicated span, absent from output
     assert(!got.contains(4L), s"doc4 flagged: ${got.get(4L)}")
   }
+
+  test("inverted index: GroupedTopK posting head is the sorted prefix; df is exact") {
+    import spark.implicits._
+    // term "w" in 6 docs (head capped at 4), "x" in 5, "y" in 4 (below minDf)
+    val docs = (0L until 6L).map(i => (i, "w" + (if (i < 5) " x" else "") + (if (i < 4) " y" else "")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextOps.invertedIndexOf(docs, minDf = 5, headK = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set("w", "x"), s"minDf filter: ${out.keySet}")
+    assert(out("w") == ((6L, "0,1,2,3")), s"capped sorted head: ${out("w")}")
+    assert(out("x") == ((5L, "0,1,2,3")))
+  }
+
+  test("inverted index: head equals full-list prefix on the fixture") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val got = graft.queries.TextOps.invertedIndexOf(docs, minDf = 1, headK = 8)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val full = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, 8).as("head"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Long](1).mkString(",")).toMap
+    assert(got == full, "GroupedTopK head must equal the sorted-prefix ground truth")
+  }
 }

@@ -71,4 +71,27 @@ class ZorderSpec extends AnyFunSuite with SharedSpark {
         s"buckets ${a.getLong(0)} and ${b.getLong(0)} overlap in z")
     }
   }
+
+  test("q_compact_plan: bins partition the inventory and respect the packing bound") {
+    val rows = SparkEntry.queries("q_compact_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val target = 32768L
+    rows.groupBy(_.getString(0)).foreach { case (month, files) =>
+      val ordered = files.sortBy(_.getString(1))
+      // sequential packing: bin ids start at 0 and never decrease
+      assert(ordered.head.getLong(3) == 0L, s"$month first bin")
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) <= b.getLong(3); case _ => true })
+      // each bin holds < target bytes BEFORE its last file was added,
+      // so bin total < target + that file's size
+      ordered.groupBy(_.getLong(3)).foreach { case (bin, fs) =>
+        val total = fs.map(_.getLong(2)).sum
+        val maxFile = fs.map(_.getLong(2)).max
+        assert(total < target + maxFile, s"$month bin $bin overflows: $total")
+      }
+    }
+    // inventory conservation: total bytes = 120 x order count
+    assert(rows.map(_.getLong(2)).sum ==
+      120L * Tables.orders(spark, sf).count())
+  }
 }

@@ -822,4 +822,107 @@ object Media {
       .withColumn("content_sha", sha2(col("content"), 256))
       .groupBy("content_sha")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** 64-bit average-hash (aHash) of a grayscale image: mean-pool the
+    * pixels onto an 8×8 grid, set bit (row*8+col) when the cell mean
+    * exceeds the global mean. Brightness-INVARIANT by construction (a
+    * constant shift moves every cell mean and the global mean equally),
+    * which is exactly what byte-exact sha2 dedup cannot see.
+    */
+  def aHash64(w: Int, h: Int, gray: Array[Byte]): Long = {
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 8 + x * 8 / w
+        cellSum(c) += (gray(y * w + x) & 0xff)
+        cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L; var n = 0L
+    var i = 0
+    while (i < 64) { total += cellSum(i); n += cellN(i); i += 1 }
+    val mean = total.toDouble / n
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cellSum(i).toDouble / cellN(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Decoded grayscale of any VISUAL payload (PPM/BMP image, AVI
+    * keyframe): (w, h, luma bytes). None for audio/unknown payloads.
+    */
+  def grayscaleOf(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def luma(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      val g = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        g(i) = (((rgb(i * 3) & 0xff) * 299 + (rgb(i * 3 + 1) & 0xff) * 587 +
+          (rgb(i * 3 + 2) & 0xff) * 114) / 1000).toByte
+        i += 1
+      }
+      g
+    }
+    if (PpmCodec.isPpm(content)) {
+      val (w, h, rgb) = PpmCodec.decode(content); Some((w, h, luma(w, h, rgb)))
+    } else if (BmpCodec.isBmp(content)) {
+      Some(BmpCodec.decode(content)) // already grayscale
+    } else if (AviCodec.isAvi(content)) {
+      val (w, h, _, frames) = AviCodec.decode(content)
+      Some((w, h, luma(w, h, frames.head))) // keyframe represents the clip
+    } else None
+  }
+
+  /** Per-record perceptual hash over every visual payload (images AND
+    * video keyframes — cross-modal near-dup is the point: a clip's
+    * thumbnail and the clip itself collide here, never under sha2).
+    * Same narrow mapPartitions shape as the feature extractors; only
+    * (id, dims, 8-byte hash) leave the stage, payloads never shuffle.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      grayscaleOf(r.content).map { case (w, h, gray) =>
+        (r.media_id, w, h, aHash64(w, h, gray))
+      }
+    }).toDF("media_id", "width", "height", "phash")
+  }
+
+  /** Near-duplicate pairs from a (media_id, phash) frame: SimHash-style
+    * banded candidate join — split the 64-bit hash into 4×16-bit bands;
+    * hamming ≤ 3 pigeonholes at least one band equal, so the band
+    * equi-join has EXACT recall at that radius while never comparing
+    * all pairs. Verification is one codegen'd bit_count(xor) per
+    * candidate. At 100 TB the join shuffles (band, 16-bit value, hash,
+    * id) tuples only; a degenerate constant-image bucket is bounded by
+    * the same hot-bucket cap argument as text LSH (the cap is not
+    * needed at fixture scale and would drop genuine pairs here, so the
+    * radius-3 pigeonhole contract stays exact).
+    */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to radius 3")
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b as band, shiftrightunsigned(phash, b * 16) & 65535 as bval))"))
+        .as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
 }

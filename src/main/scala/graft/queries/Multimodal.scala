@@ -59,6 +59,21 @@ object Multimodal {
           feats(Media.corpus(s, d, onlyIds = Some(Set(0L, 1L, 2L)))),
           3)
       },
+      None),
+
+    // Perceptual (aHash) fingerprint of every visual payload — image
+    // AND video keyframe; the near-dup complement to q_media_dedup's
+    // byte-exact sha2 (a re-brightened or re-encoded copy collides
+    // here, never there). The fixture corpus is seeded random noise,
+    // so its hashes are honest-distinct; MediaSpec plants brightness-
+    // shifted and pixel-perturbed copies and proves the banded
+    // candidate join (Media.phashNearDupPairs) finds exactly the
+    // radius-3 pairs the brute-force hamming scan finds.
+    QueryDef("q_media_phash",
+      (s, d) => Media.perceptualHashes(Media.corpus(s, d))
+        .select(col("media_id"), col("width"), col("height"),
+          format_string("%016x", col("phash")).as("phash_hex"))
+        .orderBy(col("media_id")),
       None)
   )
 }

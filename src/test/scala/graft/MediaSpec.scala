@@ -355,4 +355,67 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
     assert(rows.nonEmpty)
     assert(rows.forall(r => !r.getDouble(3).isNaN))
   }
+
+  test("perceptual hash is brightness-invariant and content-sensitive") {
+    // base PPM with pixel values bounded so a +10 shift never clips
+    val w = 32; val h = 24
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill(w * h * 3)((20 + rnd.nextInt(200)).toByte)
+    val shifted = rgb.map(b => (b + 10).toByte)
+    val base = Media.PpmCodec.encode(w, h, rgb)
+    val bright = Media.PpmCodec.encode(w, h, shifted)
+    def hash(p: Array[Byte]): Long = {
+      val Some((pw, ph, g)) = Media.grayscaleOf(p)
+      Media.aHash64(pw, ph, g)
+    }
+    assert(hash(base) == hash(bright),
+      "constant brightness shift must not change the aHash")
+    // a different random image almost surely lands far away
+    val other = Media.PpmCodec.synthetic(w, h, seed = 99L)
+    assert(java.lang.Long.bitCount(hash(base) ^ hash(other)) > 10)
+    // sha2-exact dedup CANNOT see the brightness pair (distinct bytes)
+    assert(!java.util.Arrays.equals(base, bright))
+  }
+
+  test("phash banded join finds exactly the brute-force radius-3 pairs (pigeonhole recall)") {
+    // planted corpus: 2000/2001 brightness pair (hamming 0), 2002/2003
+    // pixel-perturbed pair (small hamming), plus honest-distinct noise
+    val w = 32; val h = 24
+    val rnd = new scala.util.Random(11)
+    val rgb = Array.fill(w * h * 3)((20 + rnd.nextInt(200)).toByte)
+    val perturbed = rgb.clone()
+    var i = 0
+    while (i < 30) { perturbed(rnd.nextInt(w * h * 3)) = rnd.nextInt(256).toByte; i += 1 }
+    val planted = Seq(
+      Media.MediaRecord(2000L, Media.MediaMeta("image", "ppm", w, h, 0L, 0),
+        Media.PpmCodec.encode(w, h, rgb)),
+      Media.MediaRecord(2001L, Media.MediaMeta("image", "ppm", w, h, 0L, 0),
+        Media.PpmCodec.encode(w, h, rgb.map(b => (b + 10).toByte))),
+      Media.MediaRecord(2002L, Media.MediaMeta("image", "ppm", w, h, 0L, 0),
+        Media.PpmCodec.encode(w, h, rgb.map(b => (b + 5).toByte))),
+      Media.MediaRecord(2003L, Media.MediaMeta("image", "ppm", w, h, 0L, 0),
+        Media.PpmCodec.encode(w, h, perturbed)))
+    val corpus = Media.corpus(spark, sf).union(spark.createDataset(planted))
+    val hashes = Media.perceptualHashes(corpus)
+    val got = Media.phashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over all hash pairs
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(3))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    // the planted brightness triple must be in there; 2003 only if its
+    // perturbation stayed within radius 3 (either way brute agrees)
+    assert(got.contains((2000L, 2001L)) && got.contains((2000L, 2002L)))
+  }
+
+  test("q_media_phash covers every visual record incl. video keyframes, never audio") {
+    val rows = SparkEntry.queries("q_media_phash")(spark, sf).collect()
+    val kinds = Media.corpus(spark, sf).collect().map(r => r.media_id -> r.meta.kind).toMap
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids == kinds.filter(_._2 != "audio").keySet)
+    assert(rows.forall(_.getString(3).length == 16), "16 hex chars")
+  }
 }

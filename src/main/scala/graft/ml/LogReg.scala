@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * than imported into it).
   *
   * Execution shape (the 100-TB contract, same family as
-  * [[KMeansLite]] / [[Bpe]]): the feature frame is corpus-sized and
-  * localCheckpointed once; each iteration is two broadcast joins + two
-  * map-side-combined aggregations — per-doc margin (doc-keyed, one
-  * combined row per doc crosses the shuffle) and per-feature gradient
-  * (feature-keyed, bounded by the vocab). Only the model itself — one
-  * weight per feature, bounded ≤ vocabSize+1 — ever reaches the
-  * driver, the same bounded-collect pattern as the ≤4096 k-means
-  * centroids.
+  * [[KMeansLite]] / [[Bpe]]): the feature frame is hash-partitioned on
+  * doc_id ONCE and localCheckpointed (LogicalRDD preserves the
+  * partitioning, asserted in QualityClfSpec); each iteration is then
+  * one vocab-bounded broadcast join (weights), a doc-keyed margin agg
+  * that reuses the pinned partitioning, a doc_id EQUI-join of the
+  * margins back onto the pinned frame in which only the narrow
+  * (doc_id, r) rows move — the corpus-sized feature frame never
+  * re-shuffles and the margins are never broadcast (a doc-keyed frame
+  * is corpus-cardinality: broadcasting it is the classic
+  * executor-OOM at scale) — and a feature-keyed gradient agg bounded
+  * by the vocab. Only the model itself — one weight per feature,
+  * ≤ vocabSize+1 — ever reaches the driver, the same bounded-collect
+  * pattern as the ≤4096 k-means centroids.
   */
 object LogReg {
 
@@ -27,24 +32,49 @@ object LogReg {
     */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Double,
       iterations: Int, lr: Double): Seq[(String, Double)] = {
-    val pinned = feats.localCheckpoint(true)
-    var w: Seq[(String, Double)] = pinned.select(col("f")).distinct()
-      .collect().map(_.getString(0)).sorted.map(_ -> 0.0).toSeq
-    import spark.implicits._
-    var it = 0
-    while (it < iterations) {
-      val wDf = w.toDF("f", "wt")
-      val resid = pinned.join(broadcast(wDf), "f")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("x") * col("wt")).as("z"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
-      val grad = pinned.join(broadcast(resid), "doc_id")
-        .groupBy(col("f")).agg(sum(col("x") * col("r")).as("s"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      w = w.map { case (f, wt) => f -> (wt - lr * grad.getOrElse(f, 0.0) / nDocs) }
-      it += 1
-    }
-    w
+    // Pin via repartition + persist, NOT localCheckpoint: a cached
+    // InMemoryRelation remaps its outputPartitioning onto fresh
+    // attribute ids on reuse (self-joins included), so every iteration
+    // sees the doc_id hash partitioning and plans exchange-free doc
+    // joins; a checkpointed LogicalRDD loses the partitioning under
+    // AQE and the whole frame re-shuffles TWICE per iteration
+    // (QualityClfSpec pins the exchange-free property).
+    val pinned = feats.repartition(col("doc_id")).persist()
+    try {
+      var w: Seq[(String, Double)] = pinned.select(col("f")).distinct()
+        .collect().map(_.getString(0)).sorted.map(_ -> 0.0).toSeq
+      import spark.implicits._
+      var it = 0
+      while (it < iterations) {
+        val wDf = w.toDF("f", "wt")
+        val grad = gradientFrame(pinned, residualFrame(pinned, wDf))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        w = w.map { case (f, wt) => f -> (wt - lr * grad.getOrElse(f, 0.0) / nDocs) }
+        it += 1
+      }
+      w
+    } finally pinned.unpersist()
   }
+
+  /** Per-doc margin residuals σ(w·x) − y. The weight join is the one
+    * legitimate broadcast (≤ vocab+1 rows); the doc-keyed agg reuses
+    * the pinned frame's doc_id partitioning.
+    */
+  private[graft] def residualFrame(pinned: DataFrame, wDf: DataFrame): DataFrame =
+    pinned.join(broadcast(wDf), "f")
+      .groupBy(col("doc_id"))
+      .agg(max(col("y")).as("y"), sum(col("x") * col("wt")).as("z"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
+
+  /** Per-feature gradient Σ x·r. The doc_id join deliberately carries
+    * no broadcast hint: both sides are doc_id-partitioned already
+    * (QualityClfSpec asserts the whole iteration plans with ZERO
+    * exchanges), and the margins frame is corpus-cardinality — forcing
+    * it into a broadcast is the executor-OOM at 100 TB. AQE remains
+    * free to broadcast small corpora from runtime stats.
+    */
+  private[graft] def gradientFrame(pinned: DataFrame, resid: DataFrame): DataFrame =
+    pinned.join(resid, "doc_id")
+      .groupBy(col("f")).agg(sum(col("x") * col("r")).as("s"))
 }

@@ -515,28 +515,55 @@ object Curation {
     // so cross-engine exp/summation ulp noise (~1e-12) cannot surface.
     QueryDef("q_quality_clf",
       (s, d) => {
-        val docs = T.documents(s, d)
-        val tk = docs
-          .select(col("doc_id"), col("lang"),
-            explode(split(lower(col("text")), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-        val vocab = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("w")).limit(ClfVocab).select(col("w"))
-        val y = when(col("lang") === "en", 1.0).otherwise(0.0)
-        val feats = tk.join(broadcast(vocab), "w")
-          .groupBy(col("doc_id"), col("lang"), col("w"))
-          .agg(count(lit(1)).cast("double").as("x"))
-          .select(col("doc_id"), y.as("y"), col("w").as("f"), col("x"))
-          .unionByName(docs.select(col("doc_id"), y.as("y"),
-            lit("_bias").as("f"), lit(1.0).as("x")))
+        val (feats, nDocs) = clfFeats(s, d)
         val learned =
-          graft.ml.LogReg.train(s, feats, docs.count().toDouble, ClfIters, ClfLr)
+          graft.ml.LogReg.train(s, feats, nDocs, ClfIters, ClfLr)
         import s.implicits._
         learned.toDF("feature", "weight")
           .select(col("feature"), round(col("weight"), 4).as("weight"))
           .orderBy(col("feature"))
       },
       Some(qualityClfSql(ClfIters, ClfLr, ClfVocab))),
+
+    // Evaluation of the learned filter — Mann-Whitney AUC of the
+    // trained q_quality_clf model against its weak labels. Scores are
+    // rounded to 4 dp FIRST (cross-engine ulp guard), which also caps
+    // the score domain at ≤10001 distinct values — so the AUC runs on
+    // a score HISTOGRAM: one groupBy(s), a prefix-sum window over the
+    // ≤10k histogram rows (never a per-document global rank window),
+    // and the rank-sum identity AUC = (Σ_pos avg_rank − P(P+1)/2)/(P·N)
+    // with average ranks for tied groups. At 100 TB the only
+    // corpus-scale steps are the scoring join (vocab-bounded broadcast)
+    // and the histogram agg — both map-side combined.
+    QueryDef("q_clf_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (feats, nDocs) = clfFeats(s, d)
+        val learned =
+          graft.ml.LogReg.train(s, feats, nDocs, ClfIters, ClfLr)
+        import s.implicits._
+        val wDf = learned.toDF("f", "wt")
+        val scored = feats.join(broadcast(wDf), "f")
+          .groupBy(col("doc_id"))
+          .agg(max(col("y")).as("y"), sum(col("x") * col("wt")).as("z"))
+          .select(col("y"),
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("s"))
+        val hist = scored.groupBy(col("s"))
+          .agg(sum(col("y")).as("pos_c"),
+            (count(lit(1)) - sum(col("y"))).cast("double").as("neg_c"))
+        val w = Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = hist.withColumn("ar",
+          coalesce(sum(col("pos_c") + col("neg_c")).over(w), lit(0.0))
+            + (col("pos_c") + col("neg_c") + 1) / 2.0)
+        ranked.agg(sum(col("pos_c")).as("p"), sum(col("neg_c")).as("n"),
+            sum(col("pos_c") * col("ar")).as("rp"))
+          .select(col("p").cast("long").as("n_pos"),
+            col("n").cast("long").as("n_neg"),
+            round((col("rp") - col("p") * (col("p") + 1) / 2.0)
+              / (col("p") * col("n")), 4).as("auc"))
+      },
+      Some(clfAucSql(ClfIters, ClfLr, ClfVocab))),
 
     // Reciprocal-rank fusion — the standard way to combine heterogeneous
     // retrieval signals (BM25 lexical + embedding ANN in production;
@@ -601,6 +628,28 @@ object Curation {
       .orderBy(col("lang"), col("fused_rank"))
   }
 
+  /** Shared feature frame for q_quality_clf / q_clf_auc: unigram counts
+    * over the top-[[ClfVocab]] tokens plus a bias, weak label
+    * y = [lang = en]. Returns (feats, nDocs).
+    */
+  private def clfFeats(s: SparkSession, d: String): (DataFrame, Double) = {
+    val docs = T.documents(s, d)
+    val tk = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(ClfVocab).select(col("w"))
+    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val feats = tk.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .select(col("doc_id"), y.as("y"), col("w").as("f"), col("x"))
+      .unionByName(docs.select(col("doc_id"), y.as("y"),
+        lit("_bias").as("f"), lit(1.0).as("x")))
+    (feats, docs.count().toDouble)
+  }
+
   // defs (above) is a val initialized before these would be — keep them
   // methods so the oracle generator never sees zero-valued constants
   private def ClfVocab = 32
@@ -632,5 +681,35 @@ object Curation {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT f AS feature, round(wt, 4) AS weight FROM w$iters ORDER BY f"
+  }
+
+  /** Generated oracle for [[q_clf_auc]]: the same unrolled training CTE
+    * chain, then scoring + the histogram Mann-Whitney AUC (identical
+    * formulation to the engine so tie handling and rounding agree).
+    */
+  private def clfAucSql(iters: Int, lr: Double, vocabSize: Int): String = {
+    val train = qualityClfSql(iters, lr, vocabSize)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT"))
+    ctes +
+      s""",
+         |score AS (
+         |  SELECT doc_id, max(y) AS y,
+         |         round(1.0/(1.0 + exp(-sum(x * wt))), 4) AS s
+         |  FROM feats JOIN w$iters USING (f) GROUP BY doc_id),
+         |hist AS (
+         |  SELECT s, CAST(sum(y) AS DOUBLE) AS pos_c,
+         |         CAST(count(*) - sum(y) AS DOUBLE) AS neg_c
+         |  FROM score GROUP BY s),
+         |rk AS (
+         |  SELECT s, pos_c, neg_c,
+         |         coalesce(sum(pos_c + neg_c) OVER (ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           + (pos_c + neg_c + 1) / 2.0 AS ar
+         |  FROM hist),
+         |agg AS (SELECT sum(pos_c) AS p, sum(neg_c) AS n,
+         |               sum(pos_c * ar) AS rp FROM rk)
+         |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+         |       round((rp - p * (p + 1) / 2.0) / (p * n), 4) AS auc
+         |FROM agg""".stripMargin
   }
 }

@@ -64,4 +64,43 @@ class QualityClfSpec extends AnyFunSuite with SharedSpark {
       .map { case (f, w) => f -> math.rint(w * 1e4) / 1e4 }
     assert(a == b)
   }
+
+  test("iteration plans reuse the pinned doc_id partitioning: zero exchanges, margins never broadcast") {
+    import spark.implicits._
+    val feats = (0 until 64).flatMap { i =>
+      Seq((i.toLong, (i % 2).toDouble, "tok" + (i % 8), 1.0),
+        (i.toLong, (i % 2).toDouble, "_bias", 1.0))
+    }.toDF("doc_id", "y", "f", "x")
+    val pinned = feats.repartition(col("doc_id")).persist()
+    val wDf = Seq(("_bias", 0.0)).toDF("f", "wt")
+      .union((0 until 8).map(k => ("tok" + k, 0.0)).toDF("f", "wt"))
+    // Forced-broadcast hints survive autoBroadcastJoinThreshold=-1;
+    // stats-driven AQE broadcasts do not — so with the threshold off,
+    // any BroadcastExchange on the doc-keyed margins is a plan bug.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val grad = ml.LogReg.gradientFrame(pinned,
+        ml.LogReg.residualFrame(pinned, wDf))
+      grad.queryExecution.toRdd.count()
+      // Walk the EXECUTED adaptive plan (not the printed text, which
+      // repeats the cached subtree and the pre-adaptive initial plan).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case _: InMemoryTableScanExec => Seq(p) // stop: cached subtree is pre-paid
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val nodes = walk(grad.queryExecution.executedPlan)
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e.outputPartitioning.toString }
+      assert(shuffles.length == 1 && shuffles.head.contains("f#"),
+        s"only the f-keyed agg may shuffle, found $shuffles")
+      val bcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
+      assert(bcasts == 1, s"only the weight join may broadcast, found $bcasts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -39,7 +39,11 @@ object Bench {
     // the median discards one outlier per query in either direction.
     // Amortized paths (e.g. the IVF index build) pay their one-time cost
     // in pass 1 and the median reports the steady state.
+    // dev-only: comma-separated query filter (the driver sets no
+    // filter → full surface)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // Pass 0, untimed: one throwaway execution of EVERY query so all
     // one-time state lands before any timed pass — the persisted ANN
     // indexes (IvfIndex/PqIndex ensureBuilt), streaming/corpus fixture
@@ -68,7 +72,8 @@ object Bench {
       s"\"" + k + "\":{\"med\":" + fmt(v) + ",\"spread\":" + fmt(spread(k)) + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    try {
+    // dev-filtered runs must not clobber the full-surface sidecar
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()

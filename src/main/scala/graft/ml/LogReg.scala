@@ -32,14 +32,25 @@ object LogReg {
     */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Double,
       iterations: Int, lr: Double): Seq[(String, Double)] = {
-    // Pin via repartition + persist, NOT localCheckpoint: a cached
-    // InMemoryRelation remaps its outputPartitioning onto fresh
-    // attribute ids on reuse (self-joins included), so every iteration
-    // sees the doc_id hash partitioning and plans exchange-free doc
-    // joins; a checkpointed LogicalRDD loses the partitioning under
-    // AQE and the whole frame re-shuffles TWICE per iteration
-    // (QualityClfSpec pins the exchange-free property).
-    val pinned = feats.repartition(col("doc_id")).persist()
+    // Two regimes, decided on the EXACT driver-side margin cardinality
+    // (one row per doc) — the same stats-based decision AQE would make,
+    // made here because the merge-join regime plans exchange-free and
+    // so has no shuffle-stage boundary for AQE to replan at:
+    //  - small corpus (margins provably broadcastable): pin with
+    //    localCheckpoint and broadcast-hash-join the margins — no
+    //    repartition, no sorts, the cheapest fixture-scale loop;
+    //  - large corpus: repartition on doc_id + sortWithinPartitions +
+    //    persist. A cached InMemoryRelation remaps its
+    //    outputPartitioning AND outputOrdering onto fresh attribute
+    //    ids on reuse (self-joins included), so every iteration plans
+    //    exchange-free, sort-free doc merge joins; broadcasting the
+    //    corpus-cardinality margins here would be the executor OOM.
+    // QualityClfSpec pins the large-regime plan shape.
+    val bcastMargins = nDocs <= BroadcastMarginDocs
+    val pinned =
+      if (bcastMargins) feats.localCheckpoint(true)
+      else feats.repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")).persist()
     try {
       var w: Seq[(String, Double)] = pinned.select(col("f")).distinct()
         .collect().map(_.getString(0)).sorted.map(_ -> 0.0).toSeq
@@ -47,14 +58,21 @@ object LogReg {
       var it = 0
       while (it < iterations) {
         val wDf = w.toDF("f", "wt")
-        val grad = gradientFrame(pinned, residualFrame(pinned, wDf))
-          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val grad =
+          gradientFrame(pinned, residualFrame(pinned, wDf), bcastMargins)
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
         w = w.map { case (f, wt) => f -> (wt - lr * grad.getOrElse(f, 0.0) / nDocs) }
         it += 1
       }
       w
     } finally pinned.unpersist()
   }
+
+  /** Margin-broadcast cutoff: ≤4M docs ≈ 64 MB of (doc_id, r) rows —
+    * comfortably under executor memory; anything larger takes the
+    * co-partitioned merge join.
+    */
+  val BroadcastMarginDocs: Double = 4e6
 
   /** Per-doc margin residuals σ(w·x) − y. The weight join is the one
     * legitimate broadcast (≤ vocab+1 rows); the doc-keyed agg reuses
@@ -67,14 +85,16 @@ object LogReg {
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("r"))
 
-  /** Per-feature gradient Σ x·r. The doc_id join deliberately carries
-    * no broadcast hint: both sides are doc_id-partitioned already
-    * (QualityClfSpec asserts the whole iteration plans with ZERO
-    * exchanges), and the margins frame is corpus-cardinality — forcing
-    * it into a broadcast is the executor-OOM at 100 TB. AQE remains
-    * free to broadcast small corpora from runtime stats.
+  /** Per-feature gradient Σ x·r. The doc_id join carries a broadcast
+    * hint ONLY when [[train]] proved the margins tiny (exact driver-side
+    * cardinality, ≤ [[BroadcastMarginDocs]]); at corpus scale both
+    * sides are doc_id-partitioned already (QualityClfSpec asserts the
+    * iteration plans with only the vocab-bounded f-keyed exchange) and
+    * an unconditional broadcast of the corpus-cardinality margins would
+    * be the executor-OOM at 100 TB.
     */
-  private[graft] def gradientFrame(pinned: DataFrame, resid: DataFrame): DataFrame =
-    pinned.join(resid, "doc_id")
+  private[graft] def gradientFrame(pinned: DataFrame, resid: DataFrame,
+      broadcastMargins: Boolean = false): DataFrame =
+    pinned.join(if (broadcastMargins) broadcast(resid) else resid, "doc_id")
       .groupBy(col("f")).agg(sum(col("x") * col("r")).as("s"))
 }

@@ -116,6 +116,65 @@ object Graph {
        |SELECT node, pr FROM r$iterations ORDER BY pr DESC, node LIMIT 100""".stripMargin
   }
 
+  val LpaIterations = 5
+
+  /** Synchronous weighted label propagation (community detection):
+    * every node starts as its own label; each round every node adopts
+    * the label with the highest incoming edge-weight vote (ties to the
+    * smallest label — with integer weights this makes the whole run
+    * deterministic and therefore oracle-eligible, the q_pagerank
+    * trick). Factored out so GraphSpec can run it on crafted graphs.
+    *
+    * Scale shape: corpus-scale work is the shared co-purchase edge
+    * build; each round is one (dst, label)-keyed vote aggregation over
+    * the contracted graph plus a per-dst argmax taken with the
+    * GroupedTopK bounded-heap operator (k=1) — never a full sort of the
+    * vote table. Labels are node-dimension rows and broadcast like the
+    * PageRank rank vector; state localCheckpoints per round so lineage
+    * never stacks.
+    */
+  def lpaOf(edges: DataFrame, iterations: Int): DataFrame = {
+    val ew = edges.localCheckpoint(true)
+    var lab = ew.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val votes = broadcast(lab).join(ew, lab("node") === ew("src"))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
+      lab = graft.plans.GroupedTopKOp
+        .topK(votes, 1, Seq("dst"), Seq(("v", true), ("label", false)))
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    lab.orderBy(col("node"))
+  }
+
+  /** The unrolled-iteration LPA oracle — same technique as
+    * [[pagerankSql]]: l1..lN generated as chained CTEs, window argmax
+    * with the identical (v desc, label asc) total order.
+    */
+  private def lpaSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""l$k AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label, sum(e.w) AS v,
+         |           row_number() OVER (PARTITION BY e.dst
+         |               ORDER BY sum(e.w) DESC, l.label) AS rn
+         |    FROM l${k - 1} l JOIN edges e ON l.node = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters
+       |SELECT node, label FROM l$iterations ORDER BY node""".stripMargin
+  }
+
   /** Triangle count with degree-ordered edge orientation: every edge
     * points from its (degree, node)-smaller endpoint to the larger, so
     * each triangle is counted exactly once AND the wedge join fans out
@@ -231,6 +290,14 @@ object Graph {
              |best AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
              |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
              |FROM best GROUP BY hop ORDER BY hop""".stripMargin)),
+
+    // Community detection over the co-purchase graph: per-node label
+    // after 5 synchronous weighted-vote LPA rounds (ties to smallest
+    // label — integer votes make the run deterministic, so the full
+    // per-node assignment hash-checks against the unrolled-CTE oracle).
+    QueryDef("q_graph_lpa",
+      (s, d) => lpaOf(coPurchaseEdges(T.lineitem(s, d)), LpaIterations),
+      Some(lpaSql(LpaIterations))),
 
     // Clustering structure of the co-purchase graph: nodes-with-edges,
     // undirected edge count, triangle count. The semi-join wedge-check

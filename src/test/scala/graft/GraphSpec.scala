@@ -149,4 +149,45 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     val differs = joined.filter(col("prio_ship") =!= col("prio_order")).count()
     assert(differs > 0, "at-ship never differs from at-order — PIT is vacuous here")
   }
+
+  test("lpa: weak bridge between two dense cliques yields exactly two communities") {
+    import spark.implicits._
+    // two K4 cliques (edge weight 3 inside), one weight-1 bridge 3-10
+    def clique(ids: Seq[Long], w: Long) =
+      for (a <- ids; b <- ids if a != b) yield (a, b, w)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L), 3L) ++
+      clique(Seq(10L, 11L, 12L, 13L), 3L) ++
+      Seq((3L, 10L, 1L), (10L, 3L, 1L)))
+      .toDF("src", "dst", "w")
+    val lab = graft.queries.Graph.lpaOf(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(0L, 1L, 2L, 3L).map(lab)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(lab)
+    assert(c1.distinct.size == 1, s"left clique split: $lab")
+    assert(c2.distinct.size == 1, s"right clique split: $lab")
+    assert(c1.head != c2.head, s"bridge merged the cliques: $lab")
+  }
+
+  test("lpa matches a naive driver-side implementation on a crafted weighted graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val n = 24
+    val raw = (for (a <- 0L until n; b <- 0L until n
+      if a != b && rnd.nextInt(4) == 0) yield (a, b, 1L + rnd.nextInt(5))).toSeq
+    // symmetrize so every node votes and is voted on
+    val sym = (raw ++ raw.map { case (a, b, w) => (b, a, w) })
+      .groupBy(t => (t._1, t._2)).map { case ((a, b), ts) => (a, b, ts.map(_._3).sum) }.toSeq
+    val nodes = sym.map(_._1).distinct.sorted
+    var lab = nodes.map(x => x -> x).toMap
+    for (_ <- 1 to 5) {
+      lab = nodes.map { v =>
+        val votes = sym.filter(_._2 == v).groupBy(t => lab(t._1))
+          .map { case (l, ts) => l -> ts.map(_._3).sum }
+        v -> votes.toSeq.minBy { case (l, s) => (-s, l) }._1
+      }.toMap
+    }
+    val got = graft.queries.Graph.lpaOf(sym.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab)
+  }
 }

@@ -37,7 +37,12 @@ object TextOps {
     */
   val MaxShingleDf = 128
 
-  def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+  /** Shared overlap statistics for the exact set-similarity family:
+    * one row per unordered doc pair sharing ≥1 kept shingle —
+    * (doc_a, doc_b, n_common, n_a, n_b). Both Jaccard (symmetric) and
+    * containment (directional) are projections of this frame.
+    */
+  def pairStatsOf(docs: org.apache.spark.sql.DataFrame,
       maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame = {
     val all = Similarity.shinglesOf(docs) // one shared shingle definition
     // df via a count window: shuffles by shingle — the same key the
@@ -53,11 +58,36 @@ object TextOps {
     common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+  }
+
+  def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame =
+    pairStatsOf(docs, maxDf)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 4).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Directional shingle containment |A∩B|/|A| ≥ `thr`: doc_in's
+    * shingles are (nearly) a subset of doc_of's — the
+    * contained-document case Jaccard misses (a long page quoting a
+    * short one entire scores low Jaccard but containment 1.0; the
+    * C4/RefinedWeb curation step that drops the quoted copy). Each
+    * unordered pair emits up to two directional rows.
+    */
+  def containmentPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = MaxShingleDf, thr: Double = 0.9): org.apache.spark.sql.DataFrame = {
+    val st = pairStatsOf(docs, maxDf)
+    val aInB = st.select(col("doc_a").as("doc_in"), col("doc_b").as("doc_of"),
+      round(col("n_common").cast("double") / col("n_a"), 4).as("containment"))
+    val bInA = st.select(col("doc_b").as("doc_in"), col("doc_a").as("doc_of"),
+      round(col("n_common").cast("double") / col("n_b"), 4).as("containment"))
+    aInB.unionByName(bInA)
+      .filter(col("containment") >= thr)
+      .orderBy(col("doc_in"), col("doc_of"))
   }
 
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -174,6 +204,71 @@ object TextOps {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Directional containment dedup — the contained-document screen
+    // next to q_dedup_ngram's symmetric Jaccard (same shingle universe,
+    // same capped self-join; the two queries share pairStatsOf, so the
+    // candidate shuffle is identical work). At 100 TB the scale path is
+    // the same LSH front end; this exact form runs on survivors.
+    QueryDef("q_dedup_contain",
+      (s, d) => containmentPairsOf(T.documents(s, d)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         unnest(range(len(string_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |shingles AS (
+             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+             |  FROM toks a
+             |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+             |common AS (
+             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+             |  FROM shingles x JOIN shingles y
+             |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |  GROUP BY x.doc_id, y.doc_id),
+             |stats AS (
+             |  SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+             |  FROM common
+             |  JOIN sizes sa ON doc_a = sa.doc_id
+             |  JOIN sizes sb ON doc_b = sb.doc_id),
+             |dir AS (
+             |  SELECT doc_a AS doc_in, doc_b AS doc_of,
+             |         round(CAST(n_common AS DOUBLE) / n_a, 4) AS containment
+             |  FROM stats
+             |  UNION ALL
+             |  SELECT doc_b AS doc_in, doc_a AS doc_of,
+             |         round(CAST(n_common AS DOUBLE) / n_b, 4) AS containment
+             |  FROM stats)
+             |SELECT doc_in, doc_of, containment FROM dir
+             |WHERE containment >= 0.9
+             |ORDER BY doc_in, doc_of""".stripMargin)),
+
+    // Token-distribution Shannon entropy per document — the Gopher-
+    // family quality signal (repetitive spam has low entropy, random
+    // token soup spuriously high): H = ln(n) − Σ c·ln(c) / n, computed
+    // with that one-pass identity so both engines run the identical
+    // float expression over the (doc, token, count) aggregation.
+    QueryDef("q_text_entropy",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_toks"),
+            round(log(sum(col("c"))) -
+              sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT doc_id, word, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents)
+             |  WHERE word <> '' GROUP BY doc_id, word)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+             |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+             |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Exact SUBSTRING dedup (the suffix-array method of Lee et al. 2022,
     // arXiv:2107.06499, re-expressed relationally): a token span is

@@ -83,4 +83,20 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
         r.getSeq[Long](1).mkString(",")).toMap
     assert(got == full, "GroupedTopK head must equal the sorted-prefix ground truth")
   }
+
+  test("containment is directional: short-inside-long scores 1.0 one way, low Jaccard") {
+    import spark.implicits._
+    val short8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val long28 = short8 + " " + (0 until 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, short8), (2L, long28), (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.containmentPairsOf(docs, thr = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1's 6 shingles all occur in doc 2 -> containment 1.0; the
+    // reverse direction is 6/26 and must NOT appear; doc 3 is disjoint
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"got ${got.toSeq}")
+    // and the symmetric Jaccard view scores the same pair below 0.5
+    val jac = graft.queries.TextOps.jaccardPairsOf(docs).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard must miss the contained pair containment catches")
+  }
 }

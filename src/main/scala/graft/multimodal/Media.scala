@@ -823,6 +823,70 @@ object Media {
       .groupBy("content_sha")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Scene-change (shot-cut) detection over decoded video frames:
+    * per-video frame count, number of cuts, and the largest
+    * frame-to-frame mean |pixel delta| (0–255 scale). A cut = the mean
+    * absolute per-byte delta between consecutive frames exceeding
+    * `threshold` — gradual motion moves a few units per frame, a hard
+    * cut jumps tens. Same narrow mapPartitions contract as every other
+    * codec pass: whole payloads decode where they live, only the
+    * 4-field summary row leaves the stage.
+    */
+  def sceneStats(media: Dataset[MediaRecord],
+      threshold: Double = 100.0): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(r => AviCodec.isAvi(r.content)).mapPartitions(_.map { r =>
+      val (_, _, _, frames) = AviCodec.decode(r.content)
+      var maxDiff = 0.0
+      var cuts = 0
+      var i = 1
+      while (i < frames.length) {
+        val a = frames(i - 1); val b = frames(i)
+        var s = 0L
+        var j = 0
+        while (j < a.length) {
+          s += math.abs((a(j) & 0xff) - (b(j) & 0xff)); j += 1
+        }
+        val d = if (a.length == 0) 0.0 else s.toDouble / a.length
+        if (d > maxDiff) maxDiff = d
+        if (d > threshold) cuts += 1
+        i += 1
+      }
+      (r.media_id, frames.length, cuts,
+        math.rint(maxDiff * 10000) / 10000)
+    }).toDF("media_id", "n_frames", "n_cuts", "max_diff")
+  }
+
+  /** Energy-threshold voice-activity detection over decoded PCM: split
+    * each clip into `windowSamples`-sample windows, mark a window
+    * active when its RMS (samples normalized to [-1,1]) exceeds
+    * `threshold`. The silence/speech segmentation every audio curation
+    * pipeline runs before transcription — here per-clip (windows,
+    * active windows, active ratio).
+    */
+  def vadStats(media: Dataset[MediaRecord], windowSamples: Int = 320,
+      threshold: Double = 0.05): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(r => WavCodec.isWav(r.content)).mapPartitions(_.map { r =>
+      val (_, _, samples) = WavCodec.decode(r.content)
+      val nw = samples.length / windowSamples // trailing partial dropped
+      var active = 0
+      var w = 0
+      while (w < nw) {
+        var acc = 0.0
+        var j = w * windowSamples
+        val end = j + windowSamples
+        while (j < end) {
+          val v = samples(j) / 32768.0; acc += v * v; j += 1
+        }
+        if (math.sqrt(acc / windowSamples) > threshold) active += 1
+        w += 1
+      }
+      (r.media_id, nw, active,
+        if (nw == 0) 0.0 else math.rint(active.toDouble / nw * 10000) / 10000)
+    }).toDF("media_id", "n_windows", "n_active", "active_ratio")
+  }
+
   /** 64-bit average-hash (aHash) of a grayscale image: mean-pool the
     * pixels onto an 8×8 grid, set bit (row*8+col) when the cell mean
     * exceeds the global mean. Brightness-INVARIANT by construction (a

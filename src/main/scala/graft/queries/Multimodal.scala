@@ -69,6 +69,28 @@ object Multimodal {
     // shifted and pixel-perturbed copies and proves the banded
     // candidate join (Media.phashNearDupPairs) finds exactly the
     // radius-3 pairs the brute-force hamming scan finds.
+    // Shot-cut detection over the real AVI frames: per-video frame
+    // count, cuts (mean |pixel delta| above threshold between
+    // consecutive frames), and the largest delta. MediaSpec plants a
+    // hard cut into a crafted clip and asserts exactly one cut with
+    // the exact expected delta; fixture clips are gradual-motion
+    // gradients, so their honest answer is zero cuts with a small
+    // nonzero max_diff.
+    QueryDef("q_media_scenes",
+      (s, d) => Media.sceneStats(Media.corpus(s, d))
+        .orderBy(col("media_id")),
+      None),
+
+    // Energy-threshold voice-activity detection over the real PCM:
+    // per-clip 20 ms windows (320 samples at 16 kHz), active when
+    // window RMS > 0.05 — the silence/speech segmentation audio
+    // curation runs before transcription. MediaSpec crafts a
+    // half-silence/half-tone clip and asserts the exact window split.
+    QueryDef("q_media_vad",
+      (s, d) => Media.vadStats(Media.corpus(s, d))
+        .orderBy(col("media_id")),
+      None),
+
     QueryDef("q_media_phash",
       (s, d) => Media.perceptualHashes(Media.corpus(s, d))
         .select(col("media_id"), col("width"), col("height"),

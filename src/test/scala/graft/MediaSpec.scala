@@ -418,4 +418,41 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
     assert(ids == kinds.filter(_._2 != "audio").keySet)
     assert(rows.forall(_.getString(3).length == 16), "16 hex chars")
   }
+
+  test("scene detection: a planted hard cut is found with the exact delta; gradual motion is not a cut") {
+    import spark.implicits._
+    val w = 16; val h = 12
+    // 4 frames: three identical mid-gray, then a hard cut to white
+    val gray = Array.fill(w * h * 3)(100.toByte)
+    val white = Array.fill(w * h * 3)(228.toByte)
+    val cutClip = Media.AviCodec.encode(w, h, 40000, Seq(gray, gray, gray, white))
+    val planted = Seq(
+      Media.MediaRecord(5000L, Media.MediaMeta("video", "avi", w, h, 160L, 0), cutClip))
+    val out = Media.sceneStats(spark.createDataset(planted)).collect().head
+    assert(out.getInt(1) == 4)
+    assert(out.getInt(2) == 1, s"exactly the planted cut: $out")
+    assert(math.abs(out.getDouble(3) - 128.0) < 1e-9, s"delta 228-100: $out")
+    // fixture clips: gradual two-band gradient motion, never a cut
+    val fixture = Media.sceneStats(Media.corpus(spark, sf)).collect()
+    assert(fixture.nonEmpty && fixture.forall(_.getInt(2) == 0),
+      "gradual synthetic motion must not read as shot cuts")
+    assert(fixture.exists(_.getDouble(3) > 0), "motion is visible as nonzero delta")
+  }
+
+  test("vad: a half-silence half-tone clip splits into the exact active windows") {
+    import spark.implicits._
+    val rate = 16000; val win = 320
+    // 10 windows silence, 10 windows loud square wave
+    val silence = Array.fill(10 * win)(0.toShort)
+    val tone = Array.tabulate(10 * win)(i => (if (i % 2 == 0) 8000 else -8000).toShort)
+    val clip = Media.WavCodec.encode(rate, silence ++ tone)
+    val rec = Seq(Media.MediaRecord(6000L,
+      Media.MediaMeta("audio", "wav", 1, 16, 400L, rate), clip))
+    val out = Media.vadStats(spark.createDataset(rec)).collect().head
+    assert(out.getInt(1) == 20 && out.getInt(2) == 10, s"window split: $out")
+    assert(math.abs(out.getDouble(3) - 0.5) < 1e-9)
+    // every fixture clip is a deterministic nonzero waveform: all decode
+    val fixture = Media.vadStats(Media.corpus(spark, sf)).collect()
+    assert(fixture.nonEmpty && fixture.forall(_.getInt(1) > 0))
+  }
 }

@@ -103,7 +103,11 @@ object ScaleSlope {
     "q_embed_norm", "q_embed_quant",
     "q_dedup_para", "q_dedup_substr", "q_bm25", "q_dedup_sem", "q_tok_vocab",
     "q_bpe_encode", "q_sketch_kmv", "q_mix_domains",
-    "q_dsir", "q_quality_clf", "q_curriculum")
+    "q_dsir", "q_quality_clf", "q_curriculum",
+    // round-9 third pass: containment shares q_dedup_ngram's candidate
+    // join (same fixture-quadratic cap), the rest are linear-by-design
+    "q_dedup_contain", "q_text_entropy", "q_inverted_index",
+    "q_clf_auc", "q_rrf_fusion")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the
@@ -118,7 +122,7 @@ object ScaleSlope {
     * larger tiers a linearity check for the queries designed to be
     * linear, at tolerable wall-clock.
     */
-  private val MaxMult10 = Set("q_dedup_ngram", "q_decontam")
+  private val MaxMult10 = Set("q_dedup_ngram", "q_decontam", "q_dedup_contain")
 
   private def runsAt(q: String, m: Int): Boolean = m <= 10 || !MaxMult10(q)
 

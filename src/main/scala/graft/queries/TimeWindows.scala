@@ -68,6 +68,47 @@ object TimeWindows {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Time-series densification (gap filling): the hourly event count
+    // per type over a COMPLETE hour spine — q_stream_tumble only emits
+    // hours that have events; every dashboard/forecast consumer needs
+    // the zero rows too. The spine is generated from the 1-row
+    // min/max agg (sequence → explode: spine length = hours of data
+    // span, catalog-scale even at 100 TB) crossed with the bounded
+    // type dimension; the fill join is keyed on (type, hour) — the
+    // same key the count agg just shuffled on.
+    QueryDef("q_gap_fill",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        val hours = bounds.select(explode(expr(
+          "sequence(t0, t1, interval 1 hour)")).as("hr"))
+        val types = ev.select(col("event_type")).distinct()
+        val spine = hours.crossJoin(broadcast(types))
+        val counts = ev.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("event_type", "hr"), "left")
+          .select(col("event_type"),
+            date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH b AS (
+             |  SELECT date_trunc('hour', min(ts)) AS t0,
+             |         date_trunc('hour', max(ts)) AS t1 FROM events),
+             |hrs AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hr FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |spine AS (SELECT event_type, hr FROM types CROSS JOIN hrs),
+             |c AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             |             count(*) AS n
+             |      FROM events GROUP BY 1, 2)
+             |SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+             |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr
+             |ORDER BY s.event_type, hr""".stripMargin)),
+
     QueryDef("q_stream_tumble",
       (s, d) => fmtWindow(tumbleAgg(T.events(s, d))),
       Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -468,21 +468,24 @@ object TextOps {
     // everything downstream is (term, doc_id) pairs.
     QueryDef("q_inverted_index",
       (s, d) => invertedIndexOf(T.documents(s, d), minDf = 5, headK = 16),
-      Some("""WITH dt AS (
-             |  SELECT DISTINCT doc_id, t AS term
-             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-             |        FROM documents)
-             |  WHERE t <> ''),
-             |ranked AS (
-             |  SELECT term, doc_id,
-             |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
-             |         count(*) OVER (PARTITION BY term) AS df
-             |  FROM dt)
-             |SELECT term, CAST(max(df) AS BIGINT) AS df,
-             |       string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
-             |                  ',' ORDER BY doc_id) AS postings_head
-             |FROM ranked GROUP BY term
-             |HAVING max(df) >= 5 ORDER BY term""".stripMargin)),
+      Some(invertedIndexOracle)),
+
+    // q_inverted_index maintained INCREMENTALLY
+    // (streaming.IncrementalIndex): the fixture drains through real
+    // foreachBatch micro-batches — each batch is tokenized ONCE and its
+    // distinct (doc_id, term) pairs land in a batch_id-partitioned
+    // store (replay-idempotent dynamic overwrite); the snapshot runs
+    // the df + posting-head aggregation over the accumulated pairs
+    // only. Index maintenance is inherently RETROACTIVE in df: a term
+    // below minDf when its docs arrived crosses the threshold the
+    // moment later docs repeat it, and its posting head must include
+    // the EARLIER docs — running the aggregation at snapshot over the
+    // accumulated store makes that exact by construction. Because the
+    // snapshot is spec-proven ≡ the one-shot invertedIndexOf, this
+    // incremental query shares q_inverted_index's oracle VERBATIM.
+    QueryDef("q_index_inc",
+      (s, d) => graft.streaming.IncrementalIndex.fixtureRun(s, d),
+      Some(invertedIndexOracle)),
 
     // Document fingerprinting: full-text hash + MinHash-of-shingles
     // content fingerprint (rolling-hash style). Engine-specific hash fn
@@ -509,11 +512,24 @@ object TextOps {
     * prefix of the full posting list on crafted corpora.
     */
   def invertedIndexOf(docs: org.apache.spark.sql.DataFrame,
-      minDf: Int, headK: Int): org.apache.spark.sql.DataFrame = {
-    val docTerms = docs
-      .select(col("doc_id"),
+      minDf: Int, headK: Int): org.apache.spark.sql.DataFrame =
+    indexFromTerms(docTermsOf(docs), minDf, headK)
+
+  /** The corpus-scale text pass of the inverted index: distinct
+    * (doc_id, term) pairs. Split out so the incremental path
+    * (streaming.IncrementalIndex) runs THIS over each arriving batch
+    * only and accumulates the pairs — the text is never reprocessed.
+    */
+  def docTermsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
       .filter(col("term") =!= "")
+
+  /** df + bounded posting heads over a (doc_id, term) pair frame —
+    * operates on pairs only, no text anywhere.
+    */
+  def indexFromTerms(docTerms: org.apache.spark.sql.DataFrame,
+      minDf: Int, headK: Int): org.apache.spark.sql.DataFrame = {
     val dfreq = docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val heads = graft.plans.GroupedTopKOp
@@ -527,6 +543,26 @@ object TextOps {
       .select(col("term"), col("df"), col("postings_head"))
       .orderBy(col("term"))
   }
+
+  /** One oracle for q_inverted_index AND q_index_inc (same sharing
+    * contract as [[substrOracle]]).
+    */
+  private lazy val invertedIndexOracle: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, t AS term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |  WHERE t <> ''),
+      |ranked AS (
+      |  SELECT term, doc_id,
+      |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY term) AS df
+      |  FROM dt)
+      |SELECT term, CAST(max(df) AS BIGINT) AS df,
+      |       string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
+      |                  ',' ORDER BY doc_id) AS postings_head
+      |FROM ranked GROUP BY term
+      |HAVING max(df) >= 5 ORDER BY term""".stripMargin
 
   /** One oracle for q_dedup_substr AND q_substr_inc — the incremental
     * snapshot is declared result-identical to the one-shot pass, so

@@ -195,4 +195,36 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       "data-derived 'now' must broadcast")
   }
+
+  test("q_inverted_index engages the GroupedTopK operator and prunes the scan") {
+    val plan = formattedPlan(q("q_inverted_index"))
+    assert(plan.contains("GroupedTopK"),
+      "posting heads must run through the bounded-heap operator, not a window sort")
+    assert(!plan.contains("Window"), "no window operator in the index build")
+    // two scan branches: the df-count branch prunes all the way to
+    // struct<text> (count(1) needs no doc_id), the posting branch
+    // carries doc_id+text; neither may read the unused columns
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("doc_id") && l.contains("text")))
+    assert(readSchemas.forall(l => !l.contains("lang") && !l.contains("source")),
+      s"scan reads pruned columns: $readSchemas")
+  }
+
+  test("q_gap_fill aggregates map-side and broadcasts only the bounded type spine") {
+    val plan = formattedPlan(q("q_gap_fill"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+    // the only nested-loop join allowed is spine x 5-type broadcast
+    assert(!plan.contains("CartesianProduct"),
+      "spine cross must broadcast, never a cartesian over data rows")
+  }
+
+  test("q_rrf_fusion windows are partitioned (no single-partition global sort)") {
+    val plan = formattedPlan(q("q_rrf_fusion"))
+    // every Window in the fused plan partitions by lang; a missing
+    // partitionBy would plan a single-partition window over the corpus
+    val bad = plan.linesIterator.filter(_.contains("Window"))
+      .exists(l => l.contains("windowspecdefinition") && !l.contains("lang"))
+    assert(!bad, s"unpartitioned window in:\n$plan")
+  }
 }

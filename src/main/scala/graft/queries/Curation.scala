@@ -503,6 +503,62 @@ object Curation {
              |FROM tk JOIN llr USING (w)
              |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // DSIR over HASHED features — the published method's actual form
+    // (Xie et al. 2023, arXiv:2302.03169 hashes n-grams into a FIXED
+    // bucket space precisely so the importance table is bounded).
+    // q_dsir's exact-vocab variant is fixture-interpretable but its
+    // LLR table grows with the corpus vocabulary; here every token
+    // maps to a 16-bit md5 bucket, so the LLR table is ≤65536 rows AT
+    // ANY CORPUS SIZE and its broadcast is bounded by construction —
+    // the 100-TB form of the operator. The bucket hash is the portable
+    // first-4-hex-chars of md5 (Spark conv(.,16,10) ≡ DuckDB
+    // ('0x'||…)::INT), so the oracle hashes identically.
+    QueryDef("q_dsir_hashed",
+      (s, d) => {
+        val tk = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("b",
+            conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+        val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+        val tgt = tk.filter(col("lang") === "en")
+          .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
+        val totals = tk
+          .agg(count(lit(1)).as("n_r"),
+            count(when(col("lang") === "en", 1)).as("n_t"))
+          .crossJoin(raw.agg(count(lit(1)).as("v")))
+        val llr = raw
+          .join(tgt, col("b") === col("tb"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("b"),
+            (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("n_t") + col("v"))) -
+              log((col("c_r") + lit(1.0)) / (col("n_r") + col("v")))).as("llr"))
+        tk.join(broadcast(llr), "b")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"), round(avg(col("llr")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH tk0 AS (
+             |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |tk AS (SELECT doc_id, lang,
+             |              ('0x' || substr(md5(w), 1, 4))::BIGINT AS b
+             |       FROM tk0 WHERE w <> ''),
+             |raw AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+             |tgt AS (SELECT b, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
+             |               (SELECT count(*) FROM tk WHERE lang = 'en') AS n_t,
+             |               (SELECT count(*) FROM raw) AS v),
+             |llr AS (SELECT b,
+             |          ln((coalesce(c_t, 0) + 1.0) / (n_t + v)) - ln((c_r + 1.0) / (n_r + v)) AS llr
+             |        FROM raw LEFT JOIN tgt USING (b), tot)
+             |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+             |       round(avg(llr), 4) AS score
+             |FROM tk JOIN llr USING (b)
+             |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
     // In-engine quality-classifier TRAINING (the CCNet/fastText pattern:
     // learn a document filter from weak labels, here lang='en'):
     // full-batch logistic regression over unigram-count features for 8

@@ -71,6 +71,28 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Exact overlap |A∩B| of two arrays of (df, shingle) structs BOTH
+    * sorted ascending under the same (df, shingle) global order — one
+    * merge scan, no hash set, no intersection array materialized.
+    * This is the PPJoin verification kernel (q_dedup_prefix):
+    * `size(array_intersect(a, b))` builds and deduplicates a new array
+    * per candidate pair (measured 12.6 s over 409k pairs at sf0.1);
+    * the merge scan is O(|A|+|B|) comparisons with zero allocation.
+    */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      var cmp = java.lang.Long.compare(ra.getLong(0), rb.getLong(0))
+      if (cmp == 0) cmp = ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-occurrence ±1 bit votes
     * of XXH64(token, seed 42) — seed 42 = Spark's xxhash64 default, so
     * results match the previous formulation exactly.
@@ -130,6 +152,25 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** Merge-scan overlap count of two same-order-sorted struct arrays
+  * (see TextKernels.sortedOverlap). Both children must be
+  * array<struct<df: long, shingle: string>> sorted ascending by
+  * (df, shingle) — the producer (prefixJaccardPairsOf) guarantees it.
+  */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_overlap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlap =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Custom table-generating function (UDTF surface): one output row per
@@ -192,4 +233,7 @@ object TextExprs {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numPerms))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def sortedOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlap(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -118,6 +118,12 @@ object Graph {
 
   val LpaIterations = 5
 
+  /** Minimum distinct-order support for an association rule
+    * (q_assoc_rules). At 100 TB this threshold is what keeps the rule
+    * table bounded: pairs below it are pruned at the first aggregation.
+    */
+  val MinRuleSupport = 3
+
   /** Synchronous weighted label propagation (community detection):
     * every node starts as its own label; each round every node adopts
     * the label with the highest incoming edge-weight vote (ties to the
@@ -298,6 +304,62 @@ object Graph {
     QueryDef("q_graph_lpa",
       (s, d) => lpaOf(coPurchaseEdges(T.lineitem(s, d)), LpaIterations),
       Some(lpaSql(LpaIterations))),
+
+    // Market-basket association rules over co-purchases: directional
+    // (antecedent → consequent) rules with order-level support ≥
+    // MinRuleSupport, ranked by lift — the classic recommender /
+    // affinity operator next to the graph views of the same fact
+    // table. Support counts are DISTINCT-order based (a part twice in
+    // one order is one basket occurrence), so confidence and lift are
+    // ratios of exact integers — no float accumulation. Scale shape:
+    // the corpus-scale work is the one orderkey-grouped pair explosion
+    // (the coPurchaseEdges idea — per-basket lists bounded by order
+    // size, the pair blow-up happens AFTER the shuffle, map-side);
+    // item supports are a map-side-combined agg; the basket count is
+    // ONE broadcast row; top-50 cuts via TakeOrderedAndProject.
+    QueryDef("q_assoc_rules",
+      (s, d) => {
+        val items = T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+          .distinct()
+        val nBaskets = items.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val itemSupp = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        val pairSupp = items
+          .groupBy(col("ok")).agg(collect_list(col("item")).as("is"))
+          .select(explode(col("is")).as("ante"), col("is"))
+          .select(col("ante"), explode(col("is")).as("cons"))
+          .filter(col("ante") =!= col("cons"))
+          .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= MinRuleSupport)
+        pairSupp
+          .join(itemSupp.select(col("item").as("ante"), col("n_item").as("n_a")), "ante")
+          .join(itemSupp.select(col("item").as("cons"), col("n_item").as("n_c")), "cons")
+          .crossJoin(broadcast(nBaskets))
+          .select(col("ante"), col("cons"), col("n_both"),
+            round(col("n_both").cast("double") / col("n_a"), 4).as("confidence"),
+            round(col("n_both").cast("double") * col("n_baskets") /
+              (col("n_a") * col("n_c")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("ante"), col("cons")).limit(50)
+      },
+      Some(s"""WITH items AS (
+              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+              |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+              |supp AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+              |         FROM items GROUP BY item),
+              |pairs AS (
+              |  SELECT a.item AS ante, b.item AS cons, CAST(count(*) AS BIGINT) AS n_both
+              |  FROM items a JOIN items b ON a.ok = b.ok AND a.item <> b.item
+              |  GROUP BY 1, 2 HAVING count(*) >= $MinRuleSupport)
+              |SELECT ante, cons, n_both,
+              |       round(CAST(n_both AS DOUBLE) / sa.n_item, 4) AS confidence,
+              |       round(CAST(n_both AS DOUBLE) * n.n_baskets
+              |             / (sa.n_item * sc.n_item), 4) AS lift
+              |FROM pairs
+              |JOIN supp sa ON ante = sa.item
+              |JOIN supp sc ON cons = sc.item
+              |CROSS JOIN n
+              |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin)),
 
     // Clustering structure of the co-purchase graph: nodes-with-edges,
     // undirected edge count, triangle count. The semi-join wedge-check

@@ -93,6 +93,116 @@ object TextOps {
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     jaccardPairsOf(T.documents(s, d))
 
+  /** Prefix-filter slack: the declared output keeps pairs whose Jaccard
+    * ROUNDS to ≥ 0.5 (the oracle's filter), so candidate generation
+    * must not miss a pair at true J ∈ [0.49995, 0.5). Running the
+    * filter at this slightly lower τ makes the prefix-filter
+    * completeness theorem cover the rounding band; verification is
+    * exact either way.
+    */
+  val PrefixTauGuard = 0.4995
+
+  /** Exact Jaccard ≥ 0.5 pairs through PPJoin-style PREFIX FILTERING
+    * (Chaudhuri et al. ICDE 2006 / Xiao et al. WWW 2008) — the same
+    * answer as [[jaccardPairsOf]] computed with a candidate join that
+    * stays bounded when the shingle universe saturates. Order every
+    * doc's kept shingles by global rarity (df asc, shingle asc); a pair
+    * with Jaccard ≥ τ MUST share a shingle inside both docs' first
+    * |s| − ⌈τ·|s|⌉ + 1 shingles (if the smallest shared shingle sat
+    * outside A's prefix, all shared shingles would lie among A's
+    * ⌈τ|A|⌉−1 most-frequent tail — fewer than the ≥ τ|A| the threshold
+    * demands). So only prefixes explode into the equi-join:
+    * q_dedup_ngram joins EVERY kept (doc, shingle) row against itself,
+    * while this plan joins roughly half the rows — and rare-first
+    * ordering concentrates the join keys on the LOW-df shingles, so the
+    * hottest keys (the df≈cap boilerplate that saturates the fixture's
+    * 30-word vocabulary) mostly sit outside prefixes. Candidates are
+    * then verified EXACTLY via array_intersect on the full sorted
+    * shingle arrays — no estimate anywhere.
+    */
+  def prefixJaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    val all = Similarity.shinglesOf(docs) // shared shingle definition
+    val dfc = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // rarity-ordered shingle array per doc: one shingle-keyed join (the
+    // df table is corpus-scale, no broadcast) + one doc-keyed agg;
+    // per-doc lists are bounded by doc length, as in coPurchaseEdges.
+    // `ord` keeps the (df, shingle) structs: positions index the GLOBAL
+    // (df, shingle) order, and verification merge-scans the struct
+    // arrays directly (functions.SortedOverlap).
+    val arr = all.join(dfc, "shingle")
+      .groupBy(col("doc_id")).agg(
+        array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .withColumn("n_sh", size(col("ord")))
+      .localCheckpoint(true) // reused 3× below (prefix + both verify arms)
+    val prefLen = (col("n_sh") -
+      ceil(col("n_sh") * lit(PrefixTauGuard)).cast("int") + 1)
+    val cand = arr.select(col("doc_id"), col("n_sh"),
+      posexplode(transform(slice(col("ord"), lit(1), prefLen),
+        x => x.getField("shingle"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "shingle")
+    // PPJoin position filter: the first (rarest) shared shingle of a
+    // candidate pair is in both prefixes (the completeness theorem), and
+    // positions are monotone in the global order — so min(i) over the
+    // matches IS that first common shingle, and the overlap can't exceed
+    // min(n_a − i, n_b − j) (only elements at-or-after it can be
+    // common). Pairs whose ceiling falls below the τ'-required overlap
+    // τ'/(1+τ')·(n_a+n_b) never reach the verify join — measured
+    // 409k → 125k candidates at sf0.1.
+    val m = cand.as("x").join(cand.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
+      .agg(min(struct(col("x.p").as("i"), col("y.p").as("j"))).as("f"))
+    val pairs = m.filter(
+        least(col("n_a") - col("f.i"), col("n_b") - col("f.j")) >=
+          lit(PrefixTauGuard / (1 + PrefixTauGuard)) *
+            (col("n_a") + col("n_b")) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(arr.select(col("doc_id").as("doc_a"), col("ord").as("ord_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("ord").as("ord_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.TextExprs.sortedOverlap(col("ord_a"), col("ord_b")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q_dedup_ngram / q_dedup_prefix shared oracle: the definitional
+    * all-shared-shingle-pairs Jaccard. q_dedup_prefix answering it to
+    * the hash proves the prefix filter loses no pair (the q_skyline
+    * algorithm ≠ oracle pattern).
+    */
+  private val NgramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shingles x JOIN shingles y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup on normalized text: keep min doc_id per group. Groups
@@ -181,29 +291,15 @@ object TextOps {
 
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the exact
     // baseline for MinHash. O(pairs-sharing-a-shingle), not O(n²).
-    QueryDef("q_dedup_ngram", jaccardPairs, Some(
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-        |         unnest(range(len(string_split(text, ' ')))) AS pos
-        |  FROM documents),
-        |shingles AS (
-        |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
-        |  FROM toks a
-        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |common AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-        |  FROM shingles x JOIN shingles y
-        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
-        |SELECT doc_a, doc_b,
-        |       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("q_dedup_ngram", jaccardPairs, Some(NgramJaccardOracle)),
+
+    // The SAME exact-Jaccard answer through PPJoin-style prefix
+    // filtering — only each doc's rare-first prefix enters the
+    // candidate join (see prefixJaccardPairsOf). Shares q_dedup_ngram's
+    // oracle VERBATIM: the hash match proves the filter is lossless.
+    QueryDef("q_dedup_prefix",
+      (s, d) => prefixJaccardPairsOf(T.documents(s, d)),
+      Some(NgramJaccardOracle)),
 
     // Directional containment dedup — the contained-document screen
     // next to q_dedup_ngram's symmetric Jaccard (same shingle universe,

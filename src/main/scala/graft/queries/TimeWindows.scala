@@ -276,6 +276,74 @@ object TimeWindows {
              |SELECT 3, 'purchase_after_view', (SELECT CAST(count(*) AS BIGINT) FROM s3)
              |ORDER BY step""".stripMargin)),
 
+    // A/B experiment readout: two-proportion z-test between user
+    // cohorts (variant = user_id % 2 — the deterministic hash split a
+    // real assignment service produces). Exposure = the user's first
+    // 'view'; conversion = any 'purchase' within the 24h attribution
+    // window after it (unwindowed conversion saturates at 100% on the
+    // fixture's dense per-user streams — SE would be 0 and z undefined
+    // at every scale). All inputs to the z statistic are exact
+    // integers, so p̂/SE/z are identical IEEE-double chains in both
+    // engines (one sqrt, rounded at 4 dp only in the final projection).
+    // Scale shape: two user-keyed pre-aggs (map-side combined) + one
+    // user-keyed join, then everything reduces to ONE row — no window,
+    // no per-event shuffle beyond the cohort aggs.
+    QueryDef("q_ab_test",
+      (s, d) => {
+        val e = T.events(s, d)
+        val exposed = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .join(exposed, "user_id")
+          .filter(col("ts") >= col("t_view") &&
+            col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+          .select(col("user_id")).distinct()
+          .withColumn("converted", lit(1L))
+        val per = exposed.join(conv, Seq("user_id"), "left")
+          .select((col("user_id") % 2).as("variant"),
+            coalesce(col("converted"), lit(0L)).as("converted"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+        val wide = per.agg(
+          sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+        val p0 = col("c0").cast("double") / col("n0")
+        val p1 = col("c1").cast("double") / col("n1")
+        val pPool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+        val se = sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+        wide.select(col("n0"), col("c0"), round(p0, 4).as("p0"),
+          col("n1"), col("c1"), round(p1, 4).as("p1"),
+          round((p1 - p0) / se, 4).as("z"))
+      },
+      Some("""WITH exposed AS (
+             |  SELECT user_id, min(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |conv AS (
+             |  SELECT DISTINCT e.user_id FROM events e
+             |  JOIN exposed x ON e.user_id = x.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= x.t_view
+             |    AND e.ts <= x.t_view + INTERVAL 24 HOUR),
+             |per AS (
+             |  SELECT x.user_id % 2 AS variant,
+             |         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+             |  FROM exposed x LEFT JOIN conv c ON x.user_id = c.user_id),
+             |wide AS (
+             |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+             |         CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS c0,
+             |         CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+             |         CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS c1
+             |  FROM per)
+             |SELECT n0, c0, round(CAST(c0 AS DOUBLE) / n0, 4) AS p0,
+             |       n1, c1, round(CAST(c1 AS DOUBLE) / n1, 4) AS p1,
+             |       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             |             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+             |                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+             |                    * (1.0 / n0 + 1.0 / n1)), 4) AS z
+             |FROM wide""".stripMargin)),
+
     // First-order Markov transition matrix over per-user event streams:
     // P(next event type | previous), the behavioral model behind
     // session simulation and anomaly scoring (a transition with

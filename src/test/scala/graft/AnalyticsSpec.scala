@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-9 analytics additions: prefix-filtered
+  * set-similarity join, grid-binned spatial join, snapshot diff, CDC
+  * apply, association rules, and the A/B z-test. Each oracle-checked
+  * query ALSO gets an engine-side algorithmic check here (the parity /
+  * definitional recompute the DuckDB hash can't express — e.g. that
+  * the prefix filter is lossless on a crafted boundary pair).
+  */
+class AnalyticsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("q_dedup_prefix reproduces q_dedup_ngram exactly on the fixture") {
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = SparkEntry.queries("q_dedup_prefix")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ngram.nonEmpty, "fixture must contain near-dup pairs")
+    assert(prefix == ngram,
+      s"prefix filter lost/invented pairs: only-ngram=${ngram -- prefix} only-prefix=${prefix -- ngram}")
+  }
+
+  test("prefix filter keeps a pair at Jaccard exactly 0.50 (threshold boundary)") {
+    // 8 shared consecutive tokens → 6 pure-shared 3-gram shingles; 3
+    // unique tokens on one side each → 9 shingles per doc, J = 6/12 = 0.5.
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared", "en", "t", 1L),
+      (2L, s"$shared b1 b2 b3", "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.TextOps.prefixJaccardPairsOf(docs)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 2L, 0.5)), s"got $got")
+  }
+
+  test("prefix filter drops a pair just under threshold") {
+    // 7 shared tokens → 5 shared shingles; 9 per doc → J = 5/13 ≈ 0.385.
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared", "en", "t", 1L),
+      (2L, s"$shared b1 b2 b3 b4", "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.queries.TextOps.prefixJaccardPairsOf(docs).count() == 0)
+  }
+
+  test("q_geo_radius equals the brute-force disk scan") {
+    val pts = graft.queries.Geo.pointsOf(Tables.events(spark, sf))
+      .select("event_id", "value", "x", "y")
+      .as[(Long, Double, Long, Long)].collect()
+    val centers = pts.sortBy(p => (-p._2, p._1)).take(20)
+    val r2 = graft.queries.Geo.Radius * graft.queries.Geo.Radius
+    val want = centers.map { c =>
+      val in = pts.filter(p =>
+        (p._3 - c._3) * (p._3 - c._3) + (p._4 - c._4) * (p._4 - c._4) <= r2)
+      (c._1, c._3, c._4, in.length.toLong, in.map(_._2).max)
+    }.sortBy(_._1).toList
+    val got = SparkEntry.queries("q_geo_radius")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got == want)
+  }
+
+  test("q_cdc_apply equals the window-form last-writer-wins") {
+    val e = Tables.events(spark, sf)
+    e.createOrReplaceTempView("cdc_events")
+    val want = spark.sql(
+      """SELECT user_id, event_type AS last_op, value AS cur_value, n_ops
+        |FROM (SELECT user_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n_ops
+        |      FROM cdc_events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin)
+      .as[(Long, String, Double, Long)].collect().toList
+    val got = SparkEntry.queries("q_cdc_apply")(spark, sf)
+      .as[(Long, String, Double, Long)].collect().toList
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("q_snapshot_diff categories partition the key universe with the modular counts") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .as[Long].collect().toSet
+    val inOld = keys.filter(_ % 101 != 0)
+    val inNew = keys.filter(_ % 97 != 0)
+    val got = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+      .select("category", "n").as[(String, Long)].collect().toMap
+    assert(got("added") == (inNew -- inOld).size)
+    assert(got("removed") == (inOld -- inNew).size)
+    // every shared key is changed or unchanged; total partitions the universe
+    assert(got.values.sum == (inOld ++ inNew).size)
+    // open-status orders in both versions are exactly the changed set
+    val open = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O").select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(got("changed") == (inOld & inNew & open).size)
+  }
+
+  test("q_assoc_rules confidence and lift match a definitional recompute") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }.toSeq
+    val n = baskets.size.toDouble
+    val itemN = baskets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rules = SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rules.nonEmpty)
+    rules.foreach { case (a, c, nBoth, conf, lift) =>
+      val wantBoth = baskets.count(b => b.contains(a) && b.contains(c))
+      assert(nBoth == wantBoth, s"support($a,$c)")
+      assert(conf == math.rint(nBoth.toDouble / itemN(a) * 10000) / 10000 ||
+        math.abs(conf - nBoth.toDouble / itemN(a)) < 5e-5, s"conf($a,$c)")
+      assert(math.abs(lift - nBoth * n / (itemN(a).toLong * itemN(c))) < 5e-5,
+        s"lift($a,$c)")
+    }
+  }
+
+  test("q_ab_test reproduces a driver-side recompute of the z statistic") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")) // micros, not ms: no truncation
+      .as[(Long, String, Long)].collect()
+    val firstView = e.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val window = 24L * 3600 * 1000000 // 24h attribution, micros
+    val converted = e.filter(_._2 == "purchase")
+      .filter(x => firstView.get(x._1).exists(t => t <= x._3 && x._3 <= t + window))
+      .map(_._1).toSet
+    def stats(v: Long) = {
+      val users = firstView.keySet.filter(_ % 2 == v)
+      (users.size.toLong, users.count(converted).toLong)
+    }
+    val (n0, c0) = stats(0); val (n1, c1) = stats(1)
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    val got = SparkEntry.queries("q_ab_test")(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double, Double)].collect().head
+    assert(got._1 == n0 && got._2 == c0 && got._4 == n1 && got._5 == c1)
+    assert(math.abs(got._7 - z) < 5e-5, s"z: got ${got._7} want $z")
+  }
+}

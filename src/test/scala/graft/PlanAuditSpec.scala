@@ -227,4 +227,36 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       .exists(l => l.contains("windowspecdefinition") && !l.contains("lang"))
     assert(!bad, s"unpartitioned window in:\n$plan")
   }
+
+  test("q_geo_radius joins on grid cells (hash join), never a nested-loop distance scan") {
+    val plan = formattedPlan(q("q_geo_radius"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "cell-key equi join expected")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"distance predicate must be a residual of the cell equi-join, got:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 centers must cut via TakeOrderedAndProject, not a global sort")
+  }
+
+  test("q_assoc_rules cuts top-50 via TakeOrderedAndProject and aggregates map-side") {
+    val plan = formattedPlan(q("q_assoc_rules"))
+    assert(plan.contains("TakeOrderedAndProject"), "top-50 must not global-sort")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 4, s"expected partial+final pair/item aggs, got $hashAggs")
+  }
+
+  test("q_cdc_apply is one aggregation — no window operator anywhere") {
+    val plan = formattedPlan(q("q_cdc_apply"))
+    assert(!plan.contains("Window"),
+      "last-writer-wins must run as max_by aggregation, not a row_number window")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("q_dedup_prefix: kernel verify, no array_intersect, prefix explode bounded") {
+    val plan = formattedPlan(q("q_dedup_prefix"))
+    assert(plan.contains("sorted_overlap"),
+      "verification must run the merge-scan kernel")
+    assert(!plan.contains("array_intersect"),
+      "array_intersect allocates an intersection array per candidate pair")
+  }
 }

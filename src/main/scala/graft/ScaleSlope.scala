@@ -107,7 +107,11 @@ object ScaleSlope {
     // round-9 third pass: containment shares q_dedup_ngram's candidate
     // join (same fixture-quadratic cap), the rest are linear-by-design
     "q_dedup_contain", "q_text_entropy", "q_inverted_index",
-    "q_clf_auc", "q_rrf_fusion")
+    "q_clf_auc", "q_rrf_fusion",
+    // round-9 fourth pass: the prefix-filtered form of the exact
+    // Jaccard join — measured against q_dedup_ngram's full shared-
+    // shingle join on the same tiers
+    "q_dedup_prefix")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the
@@ -122,7 +126,8 @@ object ScaleSlope {
     * larger tiers a linearity check for the queries designed to be
     * linear, at tolerable wall-clock.
     */
-  private val MaxMult10 = Set("q_dedup_ngram", "q_decontam", "q_dedup_contain")
+  private val MaxMult10 =
+    Set("q_dedup_ngram", "q_decontam", "q_dedup_contain", "q_dedup_prefix")
 
   private def runsAt(q: String, m: Int): Boolean = m <= 10 || !MaxMult10(q)
 

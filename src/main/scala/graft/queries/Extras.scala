@@ -182,6 +182,33 @@ object Extras {
       },
       None),
 
+    // KLL quantile sketch (Karnin–Lang–Liberty 2016) — the QUANTILE
+    // member of the sketch family: approx_percentile answers the same
+    // question single-shot, but the sketch is what a 100-TB pipeline
+    // PERSISTS (per-shard/per-day sketches merge associatively into
+    // rollups without re-reading data, like the KMV store and the ANN
+    // indexes). One map-side-combined aggregation per event type; only
+    // the ≤ ~4·Cap-entry sketches reach the driver. KllSpec asserts
+    // rank-error bounds vs exact quantiles across uniform / skewed /
+    // planted distributions and partitionings, plus the n ≤ Cap
+    // exactness floor.
+    QueryDef("q_sketch_quantile",
+      (s, d) => {
+        import graft.functions.Kll
+        val kll = udaf(Kll)
+        val sks = T.events(s, d)
+          .groupBy(col("event_type")).agg(kll(col("value")).as("sk"))
+          .orderBy(col("event_type")).collect() // |types| sketch rows
+        import s.implicits._
+        sks.map { r =>
+          val sk = r.getAs[scala.collection.Seq[Double]]("sk").toArray
+          (r.getString(0), math.round(sk(0)).toLong,
+            Kll.quantile(sk, 0.5), Kll.quantile(sk, 0.95),
+            Kll.quantile(sk, 0.99))
+        }.toSeq.toDF("event_type", "n", "p50", "p95", "p99")
+      },
+      None),
+
     // Skyline / Pareto frontier (Börzsönyi et al. 2001): parts not
     // dominated in (minimize price, maximize size) — the multi-
     // criteria shortlist operator ("cheapest for its size class").

@@ -451,7 +451,7 @@ object Relational {
     * text below; one place to change the width/limit keeps the three
     * declared-identical.
     */
-  private def incidentWindows(e: org.apache.spark.sql.DataFrame) =
+  private[graft] def incidentWindows(e: org.apache.spark.sql.DataFrame) =
     e.orderBy(col("value").desc, col("event_id")).limit(100)
       .select(col("event_id").as("win_id"),
         (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),

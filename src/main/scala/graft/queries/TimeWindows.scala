@@ -235,6 +235,74 @@ object TimeWindows {
              |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
              |FROM flagged ORDER BY user_id, event_id""".stripMargin)),
 
+    // Interval-OVERLAP join — the interval×interval sibling of
+    // q_join_range's point×interval containment: which user SESSIONS
+    // overlap which incident windows, with exact overlap durations.
+    // Both sides are intervals, so a pair can share MANY bins — the bin
+    // rewrite needs a dedup guard, and the standard one is built into
+    // the join predicate: a pair is emitted only in the bin of its
+    // overlap's START (bin == greatest(s_start, w_start) div W), so no
+    // post-join distinct is ever materialized. All arithmetic runs on
+    // unix_micros BIGINTs (durations exact, no float). The naive plan
+    // is a BroadcastNestedLoopJoin over sessions × windows; here both
+    // sides explode to their ≤span/W bins and meet in an EQUI hash
+    // join.
+    QueryDef("q_join_overlap",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val binUs = 3600L * 1000000L
+        val sess = T.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("brk", when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(unix_micros(col("ts"))).as("s_start"),
+            max(unix_micros(col("ts"))).as("s_end"))
+        val sessB = sess.withColumn("bin", explode(sequence(
+          expr(s"s_start div $binUs"), expr(s"s_end div $binUs"))))
+        val winB = Relational.incidentWindows(T.events(s, d))
+          .select(col("win_id"), unix_micros(col("w_start")).as("w_s"),
+            unix_micros(col("w_end")).as("w_e"))
+          .withColumn("bin", explode(sequence(
+            expr(s"w_s div $binUs"), expr(s"w_e div $binUs"))))
+        sessB.join(winB, sessB("bin") === winB("bin") &&
+            col("s_start") <= col("w_e") && col("w_s") <= col("s_end") &&
+            sessB("bin") === expr(s"greatest(s_start, w_s) div $binUs"))
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(least(col("s_end"), col("w_e")) -
+              greatest(col("s_start"), col("w_s"))).as("total_overlap_us"))
+          .orderBy(col("win_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts, 1) OVER w IS NULL
+             |                OR ts - lag(ts, 1) OVER w >= INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, sid, min(epoch_us(ts)) AS s_start,
+             |         max(epoch_us(ts)) AS s_end
+             |  FROM (SELECT user_id, ts,
+             |          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |        FROM flagged)
+             |  GROUP BY user_id, sid),
+             |win AS (
+             |  SELECT event_id AS win_id,
+             |         epoch_us(ts - INTERVAL 30 MINUTE) AS w_s,
+             |         epoch_us(ts + INTERVAL 30 MINUTE) AS w_e
+             |  FROM events ORDER BY value DESC, event_id LIMIT 100)
+             |SELECT win_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(least(s_end, w_e) - greatest(s_start, w_s)) AS BIGINT)
+             |         AS total_overlap_us
+             |FROM win JOIN sess ON s_start <= w_e AND w_s <= s_end
+             |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+
     // Ordered conversion funnel: signup → first view at-or-after it →
     // first purchase at-or-after that. Each stage is a filtered
     // pre-aggregation (map-side combined min per user) followed by an

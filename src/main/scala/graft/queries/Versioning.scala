@@ -19,6 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object Versioning {
 
+  /** Last-writer-wins changelog apply (q_cdc_apply body) — factored so
+    * the incremental form (streaming.IncrementalCdc, q_cdc_inc) reuses
+    * the identical aggregation over its accumulated store and answers
+    * the same oracle.
+    */
+  def cdcStateOf(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_ops"))
+      .select(col("user_id"),
+        col("last.event_type").as("last_op"),
+        col("last.value").as("cur_value"),
+        col("n_ops"))
+      .filter(col("last_op") =!= "error") // deleted keys are absent
+      .orderBy(col("user_id"))
+
+  /** q_cdc_apply / q_cdc_inc shared oracle: the definitional
+    * row_number-window form. q_cdc_inc answering it to the hash proves
+    * the micro-batch store reproduces the one-shot state (the
+    * q_substr_inc contract).
+    */
+  val CdcOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events)
+      |SELECT user_id, event_type AS last_op, value AS cur_value,
+      |       CAST(n_ops AS BIGINT) AS n_ops
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** (old, new) simulated versions of orders. */
   def versionsOf(orders: DataFrame): (DataFrame, DataFrame) = {
     val vOld = orders.filter(col("o_orderkey") % 101 =!= 0)
@@ -85,27 +121,17 @@ object Versioning {
     // key to one candidate row before the shuffle. The oracle states
     // the definitional window form (algorithm ≠ oracle).
     QueryDef("q_cdc_apply",
-      (s, d) => T.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(
-          max_by(struct(col("event_type"), col("value")),
-            struct(col("ts"), col("event_id"))).as("last"),
-          count(lit(1)).as("n_ops"))
-        .select(col("user_id"),
-          col("last.event_type").as("last_op"),
-          col("last.value").as("cur_value"),
-          col("n_ops"))
-        .filter(col("last_op") =!= "error") // deleted keys are absent
-        .orderBy(col("user_id")),
-      Some("""WITH ranked AS (
-             |  SELECT user_id, event_type, value,
-             |         row_number() OVER (PARTITION BY user_id
-             |                            ORDER BY ts DESC, event_id DESC) AS rn,
-             |         count(*) OVER (PARTITION BY user_id) AS n_ops
-             |  FROM events)
-             |SELECT user_id, event_type AS last_op, value AS cur_value,
-             |       CAST(n_ops AS BIGINT) AS n_ops
-             |FROM ranked WHERE rn = 1 AND event_type <> 'error'
-             |ORDER BY user_id""".stripMargin))
+      (s, d) => cdcStateOf(T.events(s, d)),
+      Some(CdcOracle)),
+
+    // The SAME current-state materialization maintained across real
+    // foreachBatch micro-batches: each batch's changelog rows land in a
+    // batch_id-partitioned store (replay-idempotent dynamic overwrite,
+    // cross-batch redelivery deduped on event_id), snapshot = the
+    // identical cdcStateOf aggregation over the accumulated rows.
+    // Shares q_cdc_apply's oracle VERBATIM (the q_substr_inc contract).
+    QueryDef("q_cdc_inc",
+      (s, d) => graft.streaming.IncrementalCdc.fixtureRun(s, d),
+      Some(CdcOracle))
   )
 }

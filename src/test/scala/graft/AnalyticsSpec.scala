@@ -62,6 +62,80 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(got == want)
   }
 
+  test("q_geo_knn equals brute force and every center satisfies the 3x3 exactness bound") {
+    val pts = graft.queries.Geo.pointsOf(Tables.events(spark, sf))
+      .select("event_id", "value", "x", "y")
+      .as[(Long, Double, Long, Long)].collect()
+    val centers = pts.sortBy(p => (-p._2, p._1)).take(20)
+    val want = centers.flatMap { c =>
+      pts.map(p => (p._1, (p._3 - c._3) * (p._3 - c._3) + (p._4 - c._4) * (p._4 - c._4)))
+        .sortBy(p => (p._2, p._1)).take(graft.queries.Geo.KnnK).zipWithIndex
+        .map { case ((eid, d2), i) => (c._1, i + 1, eid, d2) }
+    }.sortBy(r => (r._1, r._2)).toList
+    val got = SparkEntry.queries("q_geo_knn")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toList
+    assert(got == want, "grid kNN differs from brute force")
+    // the bound that makes the 3×3 answer provably exact
+    val cs = graft.queries.Geo.KnnCellSize
+    got.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.map(_._4).max <= cs * cs,
+        s"center $cid kth distance exceeds the CellSize bound")
+    }
+  }
+
+  test("q_geo_pairs equals the brute-force all-pairs scan (exactly-once bin join)") {
+    val pts = graft.queries.Geo.pointsOf(Tables.events(spark, sf))
+      .select("event_id", "event_type", "x", "y")
+      .as[(Long, String, Long, Long)].collect()
+    val dd = graft.queries.Geo.PairDist * graft.queries.Geo.PairDist
+    val pairs = for {
+      a <- pts; b <- pts
+      if a._1 < b._1 &&
+        (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4) <= dd
+    } yield {
+      val (tlo, thi) = if (a._2 <= b._2) (a._2, b._2) else (b._2, a._2)
+      ((tlo, thi), (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4))
+    }
+    val want = pairs.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong,
+        math.rint(xs.map(_._2).sum.toDouble / xs.length * 10000) / 10000)
+    }.toMap
+    val got = SparkEntry.queries("q_geo_pairs")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(want.nonEmpty && got == want,
+      s"binned pair join differs: got=$got want=$want")
+  }
+
+  test("q_join_overlap equals the naive unbinned overlap join") {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, sf)
+    val sess = e
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("s_start"),
+        max(unix_micros(col("ts"))).as("s_end"))
+    val win = graft.queries.Relational.incidentWindows(e)
+      .select(col("win_id"), unix_micros(col("w_start")).as("w_s"),
+        unix_micros(col("w_end")).as("w_e"))
+    val want = sess.join(win, // BNLJ — fine at test scale, it's the definition
+        col("s_start") <= col("w_e") && col("w_s") <= col("s_end"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n"), sum(least(col("s_end"), col("w_e")) -
+        greatest(col("s_start"), col("w_s"))).as("ov"))
+      .orderBy(col("win_id"))
+      .as[(Long, Long, Long)].collect().toList
+    val got = SparkEntry.queries("q_join_overlap")(spark, sf)
+      .as[(Long, Long, Long)].collect().toList
+    assert(want.nonEmpty && got == want,
+      "binned overlap join differs from the naive definition")
+  }
+
   test("q_cdc_apply equals the window-form last-writer-wins") {
     val e = Tables.events(spark, sf)
     e.createOrReplaceTempView("cdc_events")

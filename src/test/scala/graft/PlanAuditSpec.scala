@@ -252,6 +252,33 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("q_geo_knn runs GroupedTopK on cell candidates — no nested loop, no fact window") {
+    val plan = formattedPlan(q("q_geo_knn"))
+    assert(plan.contains("GroupedTopK"),
+      "per-center cut must use the bounded-heap operator")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"kNN candidates must come from the cell equi-join:\n$plan")
+    // the only Window is the rank over groups×k survivors, which sorts
+    // ≤ 100 rows — assert it exists but never over the raw point scan
+    assert(plan.contains("Window"))
+  }
+
+  test("q_geo_pairs self-joins on cells — no cross join, no nested loop") {
+    val plan = formattedPlan(q("q_geo_pairs"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      "all-pairs proximity must meet in a cell equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"self-join must not plan as a cross join:\n$plan")
+  }
+
+  test("q_join_overlap meets in a hash join on bins with the overlap as residual") {
+    val plan = formattedPlan(q("q_join_overlap"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "bin equi-join expected")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap must not plan as a nested loop:\n$plan")
+  }
+
   test("q_dedup_prefix: kernel verify, no array_intersect, prefix explode bounded") {
     val plan = formattedPlan(q("q_dedup_prefix"))
     assert(plan.contains("sorted_overlap"),

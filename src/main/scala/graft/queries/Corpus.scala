@@ -236,6 +236,33 @@ object Corpus {
 
     // Symmetric int8 quantization (exact-integer oracle) — see
     // [[embedQuantOf]].
+    // Top principal component of the embedding corpus — tall-skinny
+    // PCA: the corpus reduces to a d²-sized Gram sketch in ONE
+    // map-side-combined aggregation (ml/Gram), the eigen step runs
+    // driver-side on the 64×64 covariance (KMeansLite's bounded-collect
+    // pattern; power iteration from a FIXED start vector — no RNG).
+    // Output = explained-variance share + the head of the
+    // sign-canonicalized component. No oracle (float accumulation
+    // order); AnalyticsSpec asserts the convergence certificate
+    // ‖Cv−λv‖/λ ≈ 0, share ∈ (0,1], and a driver-side Gram recompute.
+    QueryDef("q_embed_pca",
+      (s, d) => {
+        import graft.ml.{Gram, Pca}
+        val gram = udaf(Gram)
+        val sk = T.embeddings(s, d)
+          .select(col("embedding").cast("array<float>").as("e"))
+          .agg(gram(col("e")).as("sk"))
+          .head().getAs[scala.collection.Seq[Double]]("sk").toArray
+        val (lambda, v, share, n) = Pca.topComponent(sk)
+        import s.implicits._
+        Seq((n, math.rint(lambda * 10000) / 10000,
+            math.rint(share * 10000) / 10000,
+            math.rint(v(0) * 10000) / 10000, math.rint(v(1) * 10000) / 10000,
+            math.rint(v(2) * 10000) / 10000, math.rint(v(3) * 10000) / 10000))
+          .toDF("n", "eigval", "var_share", "v0", "v1", "v2", "v3")
+      },
+      None),
+
     QueryDef("q_embed_quant",
       (s, d) => embedQuantOf(T.embeddings(s, d)),
       Some("""WITH u AS (

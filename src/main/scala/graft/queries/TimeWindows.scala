@@ -235,6 +235,53 @@ object TimeWindows {
              |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
              |FROM flagged ORDER BY user_id, event_id""".stripMargin)),
 
+    // Multi-touch attribution: every purchase distributes one unit of
+    // credit LINEARLY across the user's view/click touches in the 24h
+    // window before it (the marketing-analytics operator next to
+    // q_funnel's single-path conversion and q_ab_test's readout).
+    // Scale shape: ONE user-keyed equi join with the 24h band as
+    // residual (the q_stream_join state-bounding trick in batch form);
+    // the per-purchase touch count is a window partitioned by the
+    // purchase (bounded by touches-per-24h, never a global sort);
+    // credits 1/k are doubles summed then rounded 4dp — the engine-wide
+    // round(sum(double),4) convention (q_agg_q1 et al.).
+    QueryDef("q_attribution",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val touches = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("touch_type"),
+            col("event_id").as("t_id"), unix_micros(col("ts")).as("t_us"))
+        val joined = purchases.join(touches, Seq("user_id"))
+          .filter(col("t_us") <= col("p_us") &&
+            col("t_us") >= col("p_us") - 24L * 3600L * 1000000L)
+        val k = count(lit(1)).over(Window.partitionBy(col("p_id")))
+        joined.withColumn("credit", lit(1.0) / k)
+          .groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            count_distinct(col("p_id")).as("n_purchases"),
+            round(sum(col("credit")), 4).as("credit"))
+          .orderBy(col("touch_type"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |touches AS (
+             |  SELECT user_id, event_type AS touch_type, event_id AS t_id,
+             |         epoch_us(ts) AS t_us
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |joined AS (
+             |  SELECT p.p_id, t.touch_type,
+             |         count(*) OVER (PARTITION BY p.p_id) AS k
+             |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+             |  WHERE t.t_us <= p.p_us AND t.t_us >= p.p_us - 86400000000)
+             |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+             |       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+             |       round(sum(CAST(1.0 AS DOUBLE) / k), 4) AS credit
+             |FROM joined GROUP BY touch_type ORDER BY touch_type""".stripMargin)),
+
     // Interval-OVERLAP join — the interval×interval sibling of
     // q_join_range's point×interval containment: which user SESSIONS
     // overlap which incident windows, with exact overlap durations.

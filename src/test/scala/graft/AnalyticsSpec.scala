@@ -192,6 +192,53 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_attribution reproduces a driver-side linear-credit recompute") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[(Long, Long, String, Long)].collect()
+    val win = 24L * 3600 * 1000000
+    val touches = e.filter(x => x._3 == "view" || x._3 == "click")
+    val credits = e.filter(_._3 == "purchase").flatMap { p =>
+      val ts = touches.filter(t => t._2 == p._2 && t._4 <= p._4 && t._4 >= p._4 - win)
+      ts.map(t => (t._3, p._1, 1.0 / ts.length))
+    }
+    val want = credits.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        math.rint(xs.map(_._3).sum * 10000) / 10000)
+    }.toMap
+    val got = SparkEntry.queries("q_attribution")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(want.nonEmpty && got.keySet == want.keySet)
+    got.foreach { case (t, (n, np, c)) =>
+      val (wn, wnp, wc) = want(t)
+      assert(n == wn && np == wnp, s"$t counts")
+      assert(math.abs(c - wc) < 2e-4, s"$t credit: got $c want $wc")
+    }
+  }
+
+  test("q_embed_pca: convergence certificate, share bound, sketch equals driver Gram") {
+    import graft.ml.{Gram, Pca}
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<float>"))
+      .as[Seq[Float]].collect()
+    // driver-side Gram (sequential — a DIFFERENT accumulation order
+    // than the distributed sketch; eigen results must still agree)
+    val buf = vecs.foldLeft(Gram.zero)((b, v) => Gram.reduce(b, v))
+    val (lD, vD, shareD, nD) = Pca.topComponent(Gram.finish(buf))
+    assert(nD == vecs.length)
+    assert(Pca.residual(Gram.finish(buf), lD, vD) < 1e-5, "power iteration must converge")
+    assert(shareD > 0.0 && shareD <= 1.0)
+    val got = SparkEntry.queries("q_embed_pca")(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Double, Double)].collect().head
+    assert(got._1 == vecs.length)
+    assert(math.abs(got._2 - lD) < 1e-3, s"eigval ${got._2} vs $lD")
+    assert(math.abs(got._3 - shareD) < 1e-3, s"share ${got._3} vs $shareD")
+    for ((g, w) <- Seq(got._4 -> vD(0), got._5 -> vD(1), got._6 -> vD(2), got._7 -> vD(3)))
+      assert(math.abs(g - w) < 1e-3, s"component $g vs $w")
+  }
+
   test("q_ab_test reproduces a driver-side recompute of the z statistic") {
     val e = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),

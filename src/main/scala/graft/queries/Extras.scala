@@ -103,6 +103,60 @@ object Extras {
              |WHERE abs(round((value - mu) / sigma, 4)) > 3
              |ORDER BY event_id""".stripMargin)),
 
+    // Robust outlier detection via MAD (median absolute deviation) —
+    // the Iglewicz–Hoaglin modified z-score 0.6745·(v−med)/MAD > 3.5.
+    // The robust complement of q_outliers' moment-based ±3σ: on the
+    // fixture's exponential-tailed values the σ rule is dragged by the
+    // very outliers it hunts, while the median/MAD pair is unmoved —
+    // this query flags ~4% of events where the σ rule sees ~1.5%.
+    // Scale: both medians are exact interpolated percentiles over
+    // values PRE-ROUNDED to 2 dp, so the per-type value→count buffer is
+    // bounded by the value range × 100 (the q_rolling_p95 trick), and
+    // both per-type robust-moment tables broadcast back against fact
+    // scans — the fact side never shuffles.
+    // Exactness (H1, measured): the engines' percentile interpolation
+    // differs at ulp level, and a rounded mz QUOTIENT landed on a 4-dp
+    // half-edge at sf0.1 (3.8523 vs 3.8522 — one row in ~4000). The
+    // true med/MAD of 2-dp inputs are exact 3-dp/4-dp decimals, so both
+    // are re-rounded to those scales (pinning the engines to identical
+    // doubles), the 3.5 threshold is decided by the INTEGER inequality
+    // 6745·|dev_mils| > 3500·mad_tenthmils (the q_pagerank scaled-
+    // BIGINT technique — no float comparison can flip), and the output
+    // carries only exact-decimal columns (dev, mad), never the
+    // half-edge-prone float quotient.
+    QueryDef("q_anomaly_mad",
+      (s, d) => {
+        val v = T.events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("v"))
+        val med = v.groupBy(col("event_type"))
+          .agg(round(expr("percentile(v, 0.5)"), 3).as("med"))
+        val dev = v.join(broadcast(med), "event_type")
+          .withColumn("dev", round(col("v") - col("med"), 3))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(abs(dev), 0.5)"), 4).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("dev_mils", round(col("dev") * 1000).cast("long"))
+          .withColumn("mad_tm", round(col("mad") * 10000).cast("long"))
+          .filter(lit(6745L) * abs(col("dev_mils")) > lit(3500L) * col("mad_tm"))
+          .select(col("event_id"), col("event_type"), col("v"),
+            col("dev"), col("mad"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT event_type, event_id, round(value, 2) AS v
+             |           FROM events),
+             |med AS (SELECT event_type, round(quantile_cont(v, 0.5), 3) AS med
+             |        FROM v GROUP BY event_type),
+             |dev AS (SELECT v.event_type, event_id, v.v,
+             |               round(v.v - med, 3) AS dev
+             |        FROM v JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, round(quantile_cont(abs(dev), 0.5), 4) AS mad
+             |        FROM dev GROUP BY event_type)
+             |SELECT event_id, dev.event_type, dev.v, dev.dev, mad.mad
+             |FROM dev JOIN mad USING (event_type)
+             |WHERE 6745 * abs(CAST(round(dev * 1000) AS BIGINT))
+             |      > 3500 * CAST(round(mad * 10000) AS BIGINT)
+             |ORDER BY event_id""".stripMargin)),
+
     // Count-min sketch heavy-hitter estimation: one bounded-size,
     // mergeable sketch aggregated over the stream of keys (map-side
     // partial merge like any agg), then probed for the known key set.

@@ -1084,7 +1084,74 @@ object Pipeline {
              |SELECT bin, round(p_ref, 4) AS p_ref, round(p_cur, 4) AS p_cur,
              |       round((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
              |             * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6)), 6) AS psi_term
-             |FROM p ORDER BY bin""".stripMargin))
+             |FROM p ORDER BY bin""".stripMargin)),
+
+    // RFM segmentation — the classic user-feature-engineering operator:
+    // per-user Recency (days since last activity, vs the data-derived
+    // corpus max date — H4), Frequency (event count), Monetary (2-dp
+    // spend), each scored 1–4 by quartile, composed into a 3-digit
+    // segment code with per-segment population and mean spend. The
+    // 100-TB shape deliberately avoids the textbook ntile() — a global
+    // window is the one-partition trap — and instead reduces all nine
+    // quartile boundaries to ONE broadcast row (exact interpolated
+    // percentiles over the user-sized frame; the q_curriculum pattern),
+    // making score assignment a map-side comparison.
+    QueryDef("q_rfm",
+      (s, d) => {
+        val e = T.events(s, d)
+        val per = e
+          .groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("last_d"),
+            count(lit(1)).as("freq"),
+            round(sum(col("value")), 2).as("mon"))
+        val ref = e.agg(max(to_date(col("ts"))).as("ref_d"))
+        val rfm = per.join(broadcast(ref))
+          .withColumn("rec", datediff(col("ref_d"), col("last_d")))
+        val q = rfm.agg(
+          expr("percentile(rec, 0.25)").as("r1"), expr("percentile(rec, 0.5)").as("r2"),
+          expr("percentile(rec, 0.75)").as("r3"),
+          expr("percentile(freq, 0.25)").as("f1"), expr("percentile(freq, 0.5)").as("f2"),
+          expr("percentile(freq, 0.75)").as("f3"),
+          expr("percentile(mon, 0.25)").as("m1"), expr("percentile(mon, 0.5)").as("m2"),
+          expr("percentile(mon, 0.75)").as("m3"))
+        def up(v: org.apache.spark.sql.Column, b1: String, b2: String, b3: String) =
+          when(v <= col(b1), 1).when(v <= col(b2), 2).when(v <= col(b3), 3).otherwise(4)
+        rfm.join(broadcast(q))
+          .withColumn("r_score", lit(5) - up(col("rec"), "r1", "r2", "r3"))
+          .withColumn("f_score", up(col("freq"), "f1", "f2", "f3"))
+          .withColumn("m_score", up(col("mon"), "m1", "m2", "m3"))
+          .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+          .agg(count(lit(1)).as("n_users"), round(avg(col("mon")), 4).as("avg_mon"))
+          .orderBy(col("rfm_code"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+             |         count(*) AS freq, round(sum(value), 2) AS mon
+             |  FROM events GROUP BY user_id),
+             |ref AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
+             |rfm AS (SELECT user_id, date_diff('day', last_d, ref_d) AS rec,
+             |               freq, mon FROM per, ref),
+             |q AS (SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+             |             quantile_cont(rec, 0.75) AS r3,
+             |             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             |             quantile_cont(freq, 0.75) AS f3,
+             |             quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2,
+             |             quantile_cont(mon, 0.75) AS m3
+             |      FROM rfm),
+             |scored AS (
+             |  SELECT 5 - (CASE WHEN rec <= r1 THEN 1 WHEN rec <= r2 THEN 2
+             |                   WHEN rec <= r3 THEN 3 ELSE 4 END) AS r_score,
+             |         CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+             |              WHEN freq <= f3 THEN 3 ELSE 4 END AS f_score,
+             |         CASE WHEN mon <= m1 THEN 1 WHEN mon <= m2 THEN 2
+             |              WHEN mon <= m3 THEN 3 ELSE 4 END AS m_score,
+             |         mon
+             |  FROM rfm, q)
+             |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(mon), 4) AS avg_mon
+             |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q_sample_priority's core over an arbitrary (doc_id, n_chars) frame

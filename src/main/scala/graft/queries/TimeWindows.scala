@@ -459,6 +459,73 @@ object TimeWindows {
              |                    * (1.0 / n0 + 1.0 / n1)), 4) AS z
              |FROM wide""".stripMargin)),
 
+    // CUPED variance-reduced experiment readout (Deng et al., WSDM
+    // 2013) — the adjustment every mature experimentation platform runs
+    // on top of the raw q_ab_test readout: the PRE-period covariate X
+    // (a user's event count before the data-derived midpoint) explains
+    // away between-user variance in the post-period outcome Y (spend),
+    // Y_adj = Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X) pooled across
+    // variants. Pre-period behavior is independent of assignment, so
+    // the adjustment shifts no true effect — it only shrinks variance.
+    // Scale shape: ONE user-keyed aggregation builds the (X, Y) frame;
+    // θ/mean(X) reduce to ONE broadcast row; everything downstream
+    // operates on the user-sized frame, never raw events. The midpoint
+    // is day-integer arithmetic on data bounds (H4: no wall clock).
+    QueryDef("q_cuped",
+      (s, d) => {
+        val e = T.events(s, d)
+        val cut = e.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(date_add(col("d0"),
+            floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("cut"))
+        val per = e.join(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(to_date(col("ts")) < col("cut"), 1L).otherwise(0L)).as("x"),
+            round(coalesce(sum(when(to_date(col("ts")) >= col("cut"),
+              col("value"))), lit(0.0)), 2).as("y"))
+          .withColumn("variant", col("user_id") % 2)
+        val stats = per.agg(avg(col("x")).as("mx"),
+          (covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("theta"))
+        val adj = per.join(broadcast(stats))
+          .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("mx")))
+        adj.agg(
+            sum(when(col("variant") === 0, 1L)).as("n0"),
+            round(avg(when(col("variant") === 0, col("y"))), 4).as("my0"),
+            round(avg(when(col("variant") === 0, col("y_adj"))), 4).as("ma0"),
+            sum(when(col("variant") === 1, 1L)).as("n1"),
+            round(avg(when(col("variant") === 1, col("y"))), 4).as("my1"),
+            round(avg(when(col("variant") === 1, col("y_adj"))), 4).as("ma1"),
+            round(first(col("theta")), 4).as("theta"),
+            round(lit(1.0) - var_samp(col("y_adj")) / var_samp(col("y")), 4)
+              .as("var_red"))
+      },
+      Some("""WITH cut AS (
+             |  SELECT min(CAST(ts AS DATE))
+             |         + CAST(floor(date_diff('day', min(CAST(ts AS DATE)),
+             |                                 max(CAST(ts AS DATE))) / 2) AS INTEGER)
+             |         AS cut
+             |  FROM events),
+             |per AS (
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |         round(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= cut THEN value END), 0), 2) AS y,
+             |         user_id % 2 AS variant
+             |  FROM events, cut GROUP BY user_id),
+             |stats AS (
+             |  SELECT avg(x) AS mx, covar_samp(x, y) / var_samp(x) AS theta FROM per),
+             |adj AS (
+             |  SELECT variant, y, y - theta * (x - mx) AS y_adj, theta FROM per, stats)
+             |SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+             |       round(avg(CASE WHEN variant = 0 THEN y END), 4) AS my0,
+             |       round(avg(CASE WHEN variant = 0 THEN y_adj END), 4) AS ma0,
+             |       CAST(sum(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+             |       round(avg(CASE WHEN variant = 1 THEN y END), 4) AS my1,
+             |       round(avg(CASE WHEN variant = 1 THEN y_adj END), 4) AS ma1,
+             |       round(any_value(theta), 4) AS theta,
+             |       round(1.0 - var_samp(y_adj) / var_samp(y), 4) AS var_red
+             |FROM adj""".stripMargin)),
+
     // First-order Markov transition matrix over per-user event streams:
     // P(next event type | previous), the behavioral model behind
     // session simulation and anomaly scoring (a transition with
@@ -488,6 +555,42 @@ object TimeWindows {
              |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev), 4) AS p
              |FROM seq WHERE prev IS NOT NULL
              |GROUP BY prev, next ORDER BY prev, next""".stripMargin)),
+
+    // Second-order path mining: counts + shares of every 3-step event
+    // path (prev2 → prev1 → current) over per-user ordered streams —
+    // where q_transitions models one step of memory, this is the
+    // sequence table session-simulation and bot-path detection actually
+    // consume (a frequent (signup → purchase → purchase) vs a never-seen
+    // (error → purchase → purchase) differ only at depth 2). ONE
+    // user-keyed shuffle feeds BOTH lag windows; the path table is
+    // |types|³-bounded (125 rows here) at any corpus size, so the
+    // normalizing window over it is driver-trivial.
+    QueryDef("q_event_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seq = T.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .withColumn("p1", lag(col("event_type"), 1).over(w))
+          .filter(col("p2").isNotNull && col("p1").isNotNull)
+        seq.groupBy(col("p2"), col("p1"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            round(col("n") / sum(col("n")).over(Window.partitionBy()), 4))
+          .orderBy(col("p2"), col("p1"), col("cur"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |         lag(event_type, 2) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS p2,
+             |         lag(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS p1
+             |  FROM events)
+             |SELECT p2, p1, event_type AS cur, CAST(count(*) AS BIGINT) AS n,
+             |       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share
+             |FROM seq WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+             |GROUP BY p2, p1, cur ORDER BY p2, p1, cur""".stripMargin)),
 
     // Rolling tail-latency dashboard shape: hourly p95 of value per
     // event type, then a trailing 6-hour PEAK-HOLD of that p95 (the

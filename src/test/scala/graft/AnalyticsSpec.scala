@@ -263,4 +263,95 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(got._1 == n0 && got._2 == c0 && got._4 == n1 && got._5 == c1)
     assert(math.abs(got._7 - z) < 5e-5, s"z: got ${got._7} want $z")
   }
+
+  /** Exact interpolated percentile, the Spark/DuckDB `percentile`/
+    * `quantile_cont` definition: rank (n−1)·p, linear between floor and
+    * ceil neighbors of the sorted sample.
+    */
+  private def pctl(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val r = (s.length - 1) * p
+    val lo = r.toInt; val hi = math.ceil(r).toInt
+    s(lo) + (r - lo) * (s(hi) - s(lo))
+  }
+
+  test("q_anomaly_mad equals a driver-side median/MAD recompute") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), round(col("value"), 2))
+      .as[(String, Long, Double)].collect()
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (t, es) =>
+      val med = r(pctl(es.map(_._3).toSeq, 0.5), 3)
+      val devs = es.map { case (_, id, v) => (id, v, r(v - med, 3)) }
+      val mad = r(pctl(devs.map(d => math.abs(d._3)).toSeq, 0.5), 4)
+      devs.flatMap { case (id, v, dev) =>
+        // the query's integer-exact threshold: 6745·|dev_mils| > 3500·mad_tm
+        if (6745L * math.abs(math.round(dev * 1000)) >
+            3500L * math.round(mad * 10000))
+          Some((id, t, v, dev, mad))
+        else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_anomaly_mad")(spark, sf)
+      .as[(Long, String, Double, Double, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain MAD outliers")
+    assert(got == want,
+      s"only-want=${(want -- got).take(3)} only-got=${(got -- want).take(3)}")
+  }
+
+  test("q_cuped: theta matches a driver recompute and variance reduction = corr^2 >= 0") {
+    val row = SparkEntry.queries("q_cuped")(spark, sf).collect().head
+    val (n0, n1) = (row.getLong(0), row.getLong(3))
+    val (theta, varRed) = (row.getDouble(6), row.getDouble(7))
+    // rebuild the per-user (x, y) frame exactly as the query defines it
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .as[(Long, java.sql.Date, Double)].collect()
+    val days = e.map(_._2.toLocalDate)
+    val cut = days.min.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) / 2)
+    val per = e.groupBy(_._1).toSeq.map { case (_, es) =>
+      val x = es.count(_._2.toLocalDate.isBefore(cut)).toDouble
+      val y = BigDecimal(es.filter(!_._2.toLocalDate.isBefore(cut)).map(_._3).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (x, y)
+    }.toSeq
+    assert(n0 + n1 == per.size)
+    val n = per.size
+    val mx = per.map(_._1).sum / n; val my = per.map(_._2).sum / n
+    val cov = per.map(p => (p._1 - mx) * (p._2 - my)).sum / (n - 1)
+    val vx = per.map(p => (p._1 - mx) * (p._1 - mx)).sum / (n - 1)
+    val vy = per.map(p => (p._2 - my) * (p._2 - my)).sum / (n - 1)
+    assert(math.abs(theta - cov / vx) < 5e-4, s"theta $theta vs ${cov / vx}")
+    // var(Y − θX) = var(Y) − cov²/var(X) when θ = cov/var(X) on the same
+    // sample, so the reported reduction is exactly corr² — and ≥ 0
+    val corr2 = cov * cov / (vx * vy)
+    assert(varRed >= 0.0, "CUPED can never increase variance")
+    assert(math.abs(varRed - corr2) < 5e-4, s"var_red $varRed vs corr² $corr2")
+  }
+
+  test("q_event_paths: counts cover every user triple, shares sum to 1") {
+    val got = SparkEntry.queries("q_event_paths")(spark, sf)
+      .as[(String, String, String, Long, Double)].collect()
+    val perUser = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect()
+    val wantTriples = perUser.map(p => math.max(0L, p._2 - 2)).sum
+    assert(got.map(_._4).sum == wantTriples)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-2)
+    assert(got.map(t => (t._1, t._2, t._3)).distinct.length == got.length)
+  }
+
+  test("q_rfm: segments partition the user base, codes are valid 3-digit scores") {
+    val got = SparkEntry.queries("q_rfm")(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(got.map(_._2).sum == nUsers, "every user lands in exactly one segment")
+    got.foreach { case (code, _, _) =>
+      val (r, f, m) = (code / 100, code / 10 % 10, code % 10)
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4, s"code $code")
+    }
+    // quartile scoring must actually spread users: more than one segment
+    assert(got.length > 1)
+  }
 }

@@ -36,7 +36,10 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     // round-9 second-half additions (q_orc_roundtrip excluded: its plan
     // is a scan of the session-written ORC dir, not a stable shape)
     "q_dedup_substr", "q_sample_priority", "q_join_range", "q_curriculum",
-    "q_sample_group", "q_drift_psi")
+    "q_sample_group", "q_drift_psi",
+    // round-9 close-out additions: lock the broadcast-moments /
+    // broadcast-quantile-row shapes (fact side must never shuffle)
+    "q_anomaly_mad", "q_rfm")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

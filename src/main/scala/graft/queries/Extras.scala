@@ -157,6 +157,54 @@ object Extras {
              |      > 3500 * CAST(round(mad * 10000) AS BIGINT)
              |ORDER BY event_id""".stripMargin)),
 
+    // Benford first-digit audit — the forensic DQ screen for fabricated
+    // or truncated numeric columns: observed leading-significant-digit
+    // shares of value vs Benford's log10(1 + 1/d), published as exact
+    // floor-scaled integers against a LITERAL expectation table (the
+    // nine constants are baked in at 4 dp — no engine evaluates a
+    // transcendental). The leading digit comes from the INTEGER cents
+    // rendering (floor(value·100 + 0.5) ≥ 1 after the v > 0 filter, and
+    // int→string is format-identical across engines), never from
+    // log10(v), whose ulp-level rounding could flip floor() at exact
+    // powers of ten. Scale: one scan, one 9-group map-side-combined
+    // aggregation; the expectation join is a 9-row broadcast.
+    QueryDef("q_benford",
+      (s, d) => {
+        val ben = Seq(("1", 3010L), ("2", 1760L), ("3", 1249L), ("4", 969L),
+          ("5", 791L), ("6", 669L), ("7", 579L), ("8", 511L), ("9", 457L))
+        val sess = s; import sess.implicits._
+        val benDf = ben.toDF("digit", "benford_e4")
+        val cents = T.events(s, d).filter(col("value") > 0)
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+          .filter(col("c") >= 1)
+        val tot = cents.agg(count(lit(1)).as("total"))
+        cents.groupBy(substring(col("c").cast("string"), 1, 1).as("digit"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(tot))
+          .join(broadcast(benDf), Seq("digit"))
+          .select(col("digit"), col("n"),
+            expr("(10000 * n) div total").as("share_e4"),
+            col("benford_e4"),
+            (expr("(10000 * n) div total") - col("benford_e4")).as("dev_e4"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH ben(digit, benford_e4) AS (VALUES
+             |  ('1', 3010), ('2', 1760), ('3', 1249), ('4', 969), ('5', 791),
+             |  ('6', 669), ('7', 579), ('8', 511), ('9', 457)),
+             |cents AS (
+             |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |  FROM events WHERE value > 0),
+             |obs AS (
+             |  SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit, count(*) AS n
+             |  FROM cents WHERE c >= 1 GROUP BY 1),
+             |tot AS (SELECT sum(n) AS total FROM obs)
+             |SELECT o.digit, CAST(o.n AS BIGINT) AS n,
+             |       CAST((10000 * o.n) // total AS BIGINT) AS share_e4,
+             |       CAST(b.benford_e4 AS BIGINT) AS benford_e4,
+             |       CAST((10000 * o.n) // total - b.benford_e4 AS BIGINT) AS dev_e4
+             |FROM obs o JOIN ben b USING (digit) CROSS JOIN tot
+             |ORDER BY o.digit""".stripMargin)),
+
     // Count-min sketch heavy-hitter estimation: one bounded-size,
     // mergeable sketch aggregated over the stream of keys (map-side
     // partial merge like any agg), then probed for the known key set.

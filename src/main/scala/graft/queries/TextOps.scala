@@ -600,7 +600,66 @@ object TextOps {
               |                 i -> xxhash64(concat_ws(' ', toks[i], toks[i+1]))))
               |  ELSE NULL END""".stripMargin).as("content_fp"))
         .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // Collocation mining: document-level co-occurrence LIFT for
+    // top-vocab token pairs — the exact-integer core of PMI (PMI > 0
+    // ⟺ lift > 1; the ln is monotone, so ranking by the floor-scaled
+    // rational lift_e4 = (10⁴·df_ab·N) div (df_a·df_b) IS ranking by
+    // PMI, with no transcendental for the engines to disagree on).
+    // Where q_assoc_rules mines ORDER baskets for directional rules,
+    // this mines the DOCUMENT corpus for symmetric word association —
+    // the embedding-free phrase detector (word2vec's input statistic).
+    // Scale: the pair blow-up is bounded by the top-100 vocab (≤ C(100,
+    // 2) distinct pairs; per-doc lists ≤ 100 after the vocab semi-join,
+    // exploded map-side AFTER the doc_id shuffle); vocab selection is a
+    // TakeOrderedAndProject, df/N ride in as broadcasts, and the top-50
+    // cut is a total order (lift, a, b). Headroom: 10⁴·df_ab·N < 2^63
+    // until df_ab·N ≈ 9e14 — rescale the ratio past that.
+    QueryDef("q_pmi",
+      (s, d) => {
+        val toks = T.documents(s, d).select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val vocab = dfreq.orderBy(col("df").desc, col("tok")).limit(100)
+        val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val lists = toks.join(broadcast(vocab.select(col("tok"))), "tok")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("tok"))).as("ts"))
+        val pairs = lists.select(explode(col("ts")).as("a"), col("ts"))
+          .select(col("a"), explode(col("ts")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df_ab"))
+          .filter(col("df_ab") >= 5)
+        pairs
+          .join(broadcast(vocab.select(col("tok").as("a"), col("df").as("df_a"))), "a")
+          .join(broadcast(vocab.select(col("tok").as("b"), col("df").as("df_b"))), "b")
+          .join(broadcast(nDocs))
+          .withColumn("lift_e4",
+            expr("(10000 * df_ab * n_docs) div (df_a * df_b)"))
+          .select(col("a"), col("b"), col("df_ab"), col("df_a"), col("df_b"),
+            col("lift_e4"))
+          .orderBy(col("lift_e4").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+             |vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab USING (tok)),
+             |pairs AS (
+             |  SELECT l.tok AS a, r.tok AS b, count(*) AS df_ab
+             |  FROM vt l JOIN vt r ON l.doc_id = r.doc_id AND l.tok < r.tok
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT a, b, CAST(df_ab AS BIGINT) AS df_ab,
+             |       CAST(va.df AS BIGINT) AS df_a, CAST(vb.df AS BIGINT) AS df_b,
+             |       CAST((10000 * df_ab * n_docs) // (va.df * vb.df) AS BIGINT)
+             |         AS lift_e4
+             |FROM pairs JOIN vocab va ON pairs.a = va.tok
+             |JOIN vocab vb ON pairs.b = vb.tok CROSS JOIN n
+             |ORDER BY lift_e4 DESC, a, b LIMIT 50""".stripMargin))
   )
 
   /** q_inverted_index's body over an arbitrary (doc_id, text) frame —

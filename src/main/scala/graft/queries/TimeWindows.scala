@@ -714,6 +714,380 @@ object TimeWindows {
              |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
              |  ON p.user_id = s.user_id
              | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL '24 hours'
-             |ORDER BY purchase_id, signup_ts""".stripMargin))
+             |ORDER BY purchase_id, signup_ts""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov test between the user_id%2 cohorts
+    // on value — the distributional complement of q_ab_test/q_cuped's
+    // mean readouts (a treatment that moves the SHAPE but not the mean
+    // is invisible to both; KS sees it). Scale shape: values
+    // pre-rounded to 2 dp bound the distinct-value table at range×100
+    // rows (the q_anomaly_mad buffer argument), so the two CDFs are
+    // cumulative windows over that BOUNDED bin table, never over raw
+    // events — the global ORDER BY v window is bin-count rows, not a
+    // one-partition corpus sort. Exactness: the KS statistic is kept as
+    // the exact BIGINT cross-product numerator d_num =
+    // max|cum0·n1 − cum1·n0| (headroom: per-cohort counts to ~3e9
+    // before n0·n1 nears 2^63; rescale the cross-terms past that),
+    // published as the floor-scaled integer d_e4 = (10000·d_num) div
+    // (n0·n1) — `div`/`//` agree on non-negatives — and the 5%
+    // rejection verdict compares two doubles each produced by a single
+    // correctly-rounded IEEE op chain on identical integer inputs
+    // (long→double casts, one divide, one sqrt, one multiply — no
+    // accumulation order anywhere).
+    QueryDef("q_ks_test",
+      (s, d) => {
+        val e = T.events(s, d).select((col("user_id") % 2).as("g"),
+          round(col("value"), 2).as("v"))
+        val per = e.groupBy(col("v")).agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+        val n = e.agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per.withColumn("cum0", sum(col("c0")).over(w))
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .join(broadcast(n))
+          .agg(max(abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+              .as("d_num"),
+            first(col("n0")).as("n0"), first(col("n1")).as("n1"))
+          .select(col("n0"), col("n1"), col("d_num"),
+            expr("(10000 * d_num) div (n0 * n1)").as("d_e4"),
+            (col("d_num").cast("double") / (col("n0") * col("n1"))
+              > lit(1.358) * sqrt((col("n0") + col("n1")).cast("double")
+                / (col("n0") * col("n1")))).as("reject_5pct"))
+      },
+      Some("""WITH e AS (SELECT user_id % 2 AS g, round(value, 2) AS v FROM events),
+             |n AS (SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+             |             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1 FROM e),
+             |per AS (SELECT v, sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+             |               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+             |        FROM e GROUP BY v),
+             |cum AS (SELECT sum(c0) OVER (ORDER BY v) AS cum0,
+             |               sum(c1) OVER (ORDER BY v) AS cum1 FROM per),
+             |d AS (SELECT max(abs(cum0 * n1 - cum1 * n0)) AS d_num FROM cum, n)
+             |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |       CAST(d_num AS BIGINT) AS d_num,
+             |       CAST((10000 * d_num) // (n0 * n1) AS BIGINT) AS d_e4,
+             |       CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE)
+             |         > 1.358 * sqrt(CAST(n0 + n1 AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))
+             |         AS reject_5pct
+             |FROM d, n""".stripMargin)),
+
+    // Per-type OLS trend of daily revenue — the closed-form regression
+    // slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²) every metrics
+    // dashboard fits, computed WITHOUT regr_slope's float accumulation
+    // (partial-agg order would differ between engines at the ulp):
+    // y is exact daily revenue-cents (floor(value·100 + 0.5) — one
+    // IEEE multiply + add + floor, deterministic), t the data-derived
+    // day index (H4), so all five sufficient statistics are exact
+    // BIGANTs aggregated map-side, the slope numerator/denominator are
+    // exact, and the published slope_e6 is sign(num)·(10⁶·|num| div
+    // den) — floor-div of non-negatives, engine-identical. Scale: one
+    // fact-table aggregation to |types|×|days| rows, then a types-sized
+    // reduction; headroom documented at BENCH scale (Σty < 2^63 until
+    // daily corpus revenue passes ~3e14 cents·days).
+    QueryDef("q_trend_ols",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+        daily.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n"), sum(col("t")).as("st"),
+            sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+            sum(col("t") * col("t")).as("stt"))
+          .withColumn("num", col("n") * col("sty") - col("st") * col("sy"))
+          .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+          .select(col("event_type"), col("n").as("n_days"),
+            col("sy").as("sum_cents"), col("num"), col("den"),
+            (signum(col("num")).cast("long")
+              * expr("(1000000 * abs(num)) div den")).as("slope_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+             |  FROM events, d0 GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             |         sum(t * y) AS sty, sum(t * t) AS stt
+             |  FROM daily GROUP BY 1),
+             |nd AS (SELECT event_type, n, sy, n * sty - st * sy AS num,
+             |              n * stt - st * st AS den FROM stats)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             |       CAST(sy AS BIGINT) AS sum_cents,
+             |       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+             |       CAST(sign(num) AS BIGINT)
+             |         * CAST((1000000 * abs(num)) // den AS BIGINT) AS slope_e6
+             |FROM nd ORDER BY event_type""".stripMargin)),
+
+    // Kaplan–Meier risk table over user lifetimes — the survival/churn
+    // operator: per-user lifetime t = days between first and last
+    // event, right-CENSORED when the user is still active in the final
+    // 7 days of the corpus (H4: the boundary derives from max(ts), not
+    // the wall clock). For each observed t: deaths, censorings, the
+    // at-risk count n_t (reverse-cumulative over the day-bounded
+    // lifetime axis), and the discrete hazard d_t/n_t published as the
+    // exact floor-scaled integer hazard_e4 — the survival curve itself
+    // is the trivial ≤|days|-row product fold downstream of this table
+    // (AnalyticsSpec folds it and checks monotonicity). Scale: ONE
+    // user-keyed aggregation reduces the corpus; everything after
+    // operates on ≤|days| rows.
+    QueryDef("q_survival_km",
+      (s, d) => {
+        val e = T.events(s, d)
+        val bounds = e.agg(max(to_date(col("ts"))).as("dmax"))
+        val life = e.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("b"), max(to_date(col("ts"))).as("dd"))
+          .join(broadcast(bounds))
+          .select(datediff(col("dd"), col("b")).as("t"),
+            (col("dd") >= date_sub(col("dmax"), 6)).as("cens"))
+        val w = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        life.groupBy(col("t")).agg(
+            sum(when(col("cens"), 0L).otherwise(1L)).as("n_deaths"),
+            sum(when(col("cens"), 1L).otherwise(0L)).as("n_censored"))
+          .withColumn("n_risk",
+            sum(col("n_deaths") + col("n_censored")).over(w))
+          .select(col("t"), col("n_risk"), col("n_deaths"), col("n_censored"),
+            expr("(10000 * n_deaths) div n_risk").as("hazard_e4"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH bounds AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+             |life AS (
+             |  SELECT date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t,
+             |         max(CAST(ts AS DATE)) >= (SELECT dmax FROM bounds) - 6 AS cens
+             |  FROM events GROUP BY user_id),
+             |by_t AS (
+             |  SELECT t, sum(CASE WHEN cens THEN 0 ELSE 1 END) AS n_deaths,
+             |         sum(CASE WHEN cens THEN 1 ELSE 0 END) AS n_censored
+             |  FROM life GROUP BY t),
+             |risk AS (
+             |  SELECT t, n_deaths, n_censored,
+             |         sum(n_deaths + n_censored) OVER (ORDER BY t DESC) AS n_risk
+             |  FROM by_t)
+             |SELECT CAST(t AS INTEGER) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             |       CAST(n_deaths AS BIGINT) AS n_deaths,
+             |       CAST(n_censored AS BIGINT) AS n_censored,
+             |       CAST((10000 * n_deaths) // n_risk AS BIGINT) AS hazard_e4
+             |FROM risk ORDER BY t""".stripMargin)),
+
+    // CUSUM changepoint detection on the daily event-count series per
+    // type: the classic argmax_k |Σ_{i≤k}(x_i − x̄)| estimator, kept
+    // EXACT by clearing the mean's denominator — cus_num_k = n·prefix_k
+    // − k·total is an integer identical in both engines, so the argmax
+    // (ties broken toward the earlier day) needs no float tolerance
+    // anywhere. Scale: the fact table reduces to |types|×|days| daily
+    // rows in one map-side-combined aggregation; the prefix window and
+    // argmax run per type over that bounded series.
+    QueryDef("q_changepoint",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        val cus = daily
+          .withColumn("k", row_number().over(wo))
+          .withColumn("pre", sum(col("x")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(tot), "event_type")
+          .withColumn("cus_num", col("n") * col("pre") - col("k") * col("tot"))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cus_num")).desc, col("t"))
+        cus.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+          .select(col("event_type"), col("t").as("cp_t"), col("cus_num"),
+            col("n").as("n_days"), col("tot").as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         count(*) AS x
+             |  FROM events, d0 GROUP BY 1, 2),
+             |tot AS (SELECT event_type, count(*) AS n, sum(x) AS tot
+             |        FROM daily GROUP BY 1),
+             |cus AS (
+             |  SELECT d.event_type, d.t,
+             |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.t) AS k,
+             |         sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.t) AS pre,
+             |         t2.n, t2.tot
+             |  FROM daily d JOIN tot t2 USING (event_type)),
+             |num AS (SELECT event_type, t, n * pre - k * tot AS cus_num, n, tot,
+             |               row_number() OVER (PARTITION BY event_type
+             |                 ORDER BY abs(n * pre - k * tot) DESC, t) AS rn
+             |        FROM cus)
+             |SELECT event_type, CAST(t AS INTEGER) AS cp_t,
+             |       CAST(cus_num AS BIGINT) AS cus_num,
+             |       CAST(n AS BIGINT) AS n_days, CAST(tot AS BIGINT) AS n_events
+             |FROM num WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Exponentially-weighted daily-revenue smoother (α = 1/2), the
+    // dashboard EWMA — made oracle-eligible by keeping every weight a
+    // DYADIC integer: the kernel is truncated at 10 observed points
+    // (residual mass 2⁻¹⁰ < 0.1%, documented), each term is
+    // 2^(10−j)·cents so the smoothed numerator s1024 and the weight
+    // normalizer are exact BIGINTs, and the published smooth_cents is
+    // their floor quotient — no float enters the query at all. Early
+    // rows renormalize over the lags that exist instead of leaking the
+    // missing mass to an implicit zero history. Scale: one
+    // map-side-combined daily aggregation, then 10 row-based lags over
+    // the |types|×|days| series — per-key state is the 10-row frame,
+    // constant at any corpus size.
+    QueryDef("q_ewma",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        val terms = (0 to 9).map { j =>
+          val wgt = 1L << (10 - j)
+          (coalesce(lag(col("cents"), j).over(wo) * wgt, lit(0L)),
+            when(lag(col("cents"), j).over(wo).isNotNull, lit(wgt))
+              .otherwise(lit(0L)))
+        }
+        daily
+          .withColumn("s1024", terms.map(_._1).reduce(_ + _))
+          .withColumn("w1024", terms.map(_._2).reduce(_ + _))
+          .select(col("event_type"), col("t"), col("cents"),
+            expr("s1024 div w1024").as("smooth_cents"))
+          .orderBy(col("event_type"), col("t"))
+      },
+      Some {
+        val terms = (0 to 9).map { j =>
+          val wgt = 1L << (10 - j)
+          s"coalesce(lag(cents, $j) OVER w * $wgt, 0)"
+        }.mkString(" + ")
+        val wsum = (0 to 9).map { j =>
+          val wgt = 1L << (10 - j)
+          s"CASE WHEN lag(cents, $j) OVER w IS NOT NULL THEN $wgt ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+           |daily AS (
+           |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+           |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+           |  FROM events, d0 GROUP BY 1, 2),
+           |sm AS (
+           |  SELECT event_type, t, cents,
+           |         $terms AS s1024,
+           |         $wsum AS w1024
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY t))
+           |SELECT event_type, CAST(t AS INTEGER) AS t, CAST(cents AS BIGINT) AS cents,
+           |       CAST(s1024 // w1024 AS BIGINT) AS smooth_cents
+           |FROM sm ORDER BY event_type, t""".stripMargin
+      }),
+
+    // DAU / rolling WAU-7 / cumulative MAU per day — the sliding-window
+    // COUNT DISTINCT dashboard, which is NOT decomposable as a window
+    // aggregate (distinct users in [t−6, t] ≠ any combination of daily
+    // distincts). The 100-TB form is the activity BITMASK: one
+    // user-keyed aggregation folds each user's active days into a
+    // single BIGINT (bit t = active on day t; a longer horizon shards
+    // into 64-day words), after which every day's three counts are bit
+    // tests on the user-dimension-sized mask table — the corpus is
+    // touched exactly once, and the window never re-scans it. The
+    // ORACLE deliberately computes the same numbers the NAIVE way
+    // (per-day windowed COUNT DISTINCT over a day×user-day join), so
+    // the hash-match proves the bitmap algebra, not a mirrored
+    // implementation. Day indexes are data-derived (H4).
+    QueryDef("q_active_users",
+      (s, d) => {
+        val e = T.events(s, d)
+        val b = e.agg(min(to_date(col("ts"))).as("d0"),
+          datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).as("maxd"))
+        val masks = e.join(broadcast(b))
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), col("d0")).as("day"), col("maxd"))
+          .groupBy(col("user_id"), col("maxd"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
+        masks
+          .select(explode(sequence(lit(0), col("maxd"))).as("t"), col("mask"))
+          .groupBy(col("t")).agg(
+            sum(expr("CASE WHEN (mask & shiftleft(CAST(1 AS BIGINT), t)) != 0"
+              + " THEN 1 ELSE 0 END")).as("dau"),
+            sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1)"
+              + " - shiftleft(CAST(1 AS BIGINT), greatest(0, t - 6)))) != 0"
+              + " THEN 1 ELSE 0 END")).as("wau7"),
+            sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1) - 1))"
+              + " != 0 THEN 1 ELSE 0 END")).as("mau"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0,
+             |                   date_diff('day', min(CAST(ts AS DATE)),
+             |                             max(CAST(ts AS DATE))) AS maxd
+             |            FROM events),
+             |ud AS (SELECT DISTINCT user_id,
+             |              date_diff('day', d0, CAST(ts AS DATE)) AS day
+             |       FROM events, d0),
+             |ts_axis AS (SELECT unnest(generate_series(0, (SELECT maxd FROM d0))) AS t)
+             |SELECT CAST(t AS INTEGER) AS t,
+             |       CAST(count(DISTINCT CASE WHEN day = t THEN user_id END) AS BIGINT) AS dau,
+             |       CAST(count(DISTINCT CASE WHEN day BETWEEN t - 6 AND t
+             |                               THEN user_id END) AS BIGINT) AS wau7,
+             |       CAST(count(DISTINCT CASE WHEN day <= t THEN user_id END) AS BIGINT) AS mau
+             |FROM ts_axis CROSS JOIN ud
+             |GROUP BY t ORDER BY t""".stripMargin)),
+
+    // Seasonal-naive forecast backtest: tomorrow looks like the same
+    // weekday last week (f_t = x_{t−7}), scored against the naive-1
+    // persistence baseline (f_t = x_{t−1}) on daily event counts per
+    // type. The lags are DAY-OFFSET joins, not row-offset window lags,
+    // so a gap in the series can never silently misalign the season;
+    // the scored errors are exact integer counts (sae = Σ|x−f|,
+    // mae_e2 the floor-scaled mean) and the skill verdict is an
+    // integer comparison. Scale: the corpus reduces to |types|×|days|
+    // in one map-side agg; both lag joins run on that bounded table.
+    QueryDef("q_forecast_snaive",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(count(lit(1)).as("x"))
+        val l7 = daily.select(col("event_type"),
+          (col("t") + 7).as("t"), col("x").as("f7"))
+        val l1 = daily.select(col("event_type"),
+          (col("t") + 1).as("t"), col("x").as("f1"))
+        daily.join(l7, Seq("event_type", "t"))
+          .join(l1, Seq("event_type", "t"))
+          .groupBy(col("event_type")).agg(
+            count(lit(1)).as("n_scored"),
+            sum(abs(col("x") - col("f7"))).as("sae7"),
+            sum(abs(col("x") - col("f1"))).as("sae1"))
+          .select(col("event_type"), col("n_scored"), col("sae7"),
+            expr("(100 * sae7) div n_scored").as("mae7_e2"), col("sae1"),
+            (col("sae7") < col("sae1")).as("seasonal_wins"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         count(*) AS x
+             |  FROM events, d0 GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT d.event_type, d.x, l7.x AS f7, l1.x AS f1
+             |  FROM daily d
+             |  JOIN daily l7 ON d.event_type = l7.event_type AND l7.t = d.t - 7
+             |  JOIN daily l1 ON d.event_type = l1.event_type AND l1.t = d.t - 1)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+             |       CAST(sum(abs(x - f7)) AS BIGINT) AS sae7,
+             |       CAST((100 * sum(abs(x - f7))) // count(*) AS BIGINT) AS mae7_e2,
+             |       CAST(sum(abs(x - f1)) AS BIGINT) AS sae1,
+             |       sum(abs(x - f7)) < sum(abs(x - f1)) AS seasonal_wins
+             |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -354,4 +354,213 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     // quartile scoring must actually spread users: more than one segment
     assert(got.length > 1)
   }
+
+  test("q_ks_test: d_num equals the driver-side exact KS cross-numerator") {
+    val Array((n0, n1, dNum, dE4, _)) = SparkEntry.queries("q_ks_test")(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val pts = Tables.events(spark, sf)
+      .selectExpr("user_id % 2 AS g", "round(value, 2) AS v")
+      .as[(Long, Double)].collect()
+    val (g0, g1) = (pts.filter(_._1 == 0).map(_._2), pts.filter(_._1 == 1).map(_._2))
+    assert(n0 == g0.length && n1 == g1.length)
+    // exact integer KS numerator: max over observed v of |cum0·n1 − cum1·n0|
+    val vs = pts.map(_._2).distinct.sorted
+    val want = vs.map { v =>
+      math.abs(g0.count(_ <= v).toLong * n1 - g1.count(_ <= v).toLong * n0)
+    }.max
+    assert(dNum == want, s"d_num $dNum vs driver $want")
+    assert(dE4 == 10000L * dNum / (n0 * n1))
+  }
+
+  test("q_trend_ols: slope num/den equal the least-squares normal equations") {
+    val got = SparkEntry.queries("q_trend_ols")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // driver recompute straight from raw events
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d", "CAST(floor(value * 100 + 0.5) AS LONG) AS c")
+      .as[(String, java.sql.Date, Long)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    got.foreach { case (et, nDays, sumCents, num, den, slopeE6) =>
+      val series = rows.filter(_._1 == et)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(d0, r._2.toLocalDate))
+        .map { case (t, rs) => (t, rs.map(_._3).sum) }.toSeq
+      val n = series.size.toLong
+      val st = series.map(_._1).sum; val sy = series.map(_._2).sum
+      val sty = series.map(p => p._1 * p._2).sum
+      val stt = series.map(p => p._1 * p._1).sum
+      assert(nDays == n && sumCents == sy)
+      assert(num == n * sty - st * sy, s"$et num")
+      assert(den == n * stt - st * st, s"$et den")
+      assert(slopeE6 == num.signum * (1000000L * math.abs(num) / den), s"$et slope")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_survival_km: risk sets are reverse-cumulative and the KM fold is monotone") {
+    val got = SparkEntry.queries("q_survival_km")(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(got.map(r => r._3 + r._4).sum == nUsers, "every user counted once")
+    // n_risk(t) = users with lifetime >= t
+    got.foreach { case (t, nRisk, _, _, hazE4) =>
+      val want = got.filter(_._1 >= t).map(r => r._3 + r._4).sum
+      assert(nRisk == want, s"t=$t risk")
+    }
+    got.foreach { case (_, nRisk, d, _, hazE4) =>
+      assert(hazE4 == 10000L * d / nRisk)
+    }
+    // the survival curve downstream of the table is monotone non-increasing
+    val km = got.scanLeft(1.0) { case (s, (_, nRisk, d, _, _)) =>
+      s * (nRisk - d).toDouble / nRisk
+    }.tail
+    assert(km.zip(km.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(km.last >= 0.0 && km.head <= 1.0)
+  }
+
+  test("q_changepoint: the flagged day is the exact integer-CUSUM argmax") {
+    val got = SparkEntry.queries("q_changepoint")(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect()
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d")
+      .as[(String, java.sql.Date)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    got.foreach { case (et, cpT, cusNum, nDays, nEvents) =>
+      val daily = rows.filter(_._1 == et)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(d0, r._2.toLocalDate))
+        .map { case (t, rs) => (t, rs.size.toLong) }.toSeq.sortBy(_._1)
+      val n = daily.size.toLong; val tot = daily.map(_._2).sum
+      assert(nDays == n && nEvents == tot)
+      val cums = daily.zipWithIndex.map { case ((t, _), i) =>
+        val pre = daily.take(i + 1).map(_._2).sum
+        (t, n * pre - (i + 1) * tot)
+      }
+      val best = cums.maxBy(c => (math.abs(c._2), -c._1))
+      assert(cpT.toLong == best._1 && cusNum == best._2, s"$et cp")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_ewma: smoother equals the dyadic kernel recompute; first row is identity") {
+    val got = SparkEntry.queries("q_ewma")(spark, sf)
+      .as[(String, Int, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (et, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_._2)
+      rows.zipWithIndex.foreach { case ((_, t, cents, smooth), i) =>
+        val lags = (0 to 9).flatMap { j =>
+          if (i - j >= 0) Some((1L << (10 - j)) * rows(i - j)._3) else None
+        }
+        val wsum = (0 to 9).flatMap { j =>
+          if (i - j >= 0) Some(1L << (10 - j)) else None
+        }.sum
+        assert(smooth == lags.sum / wsum, s"$et t=$t")
+      }
+      // renormalized kernel: the series head smooths to itself
+      assert(rows.head._4 == rows.head._3, s"$et head identity")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q_link_pred equals the driver-side common-neighbor recompute") {
+    val got = SparkEntry.queries("q_link_pred")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    val edges = graft.queries.Graph.coPurchaseEdges(Tables.lineitem(spark, sf))
+      .filter(col("src") < col("dst")).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices.iterator; j <- (i + 1 until nodes.size).iterator
+      a = nodes(i); b = nodes(j)
+      if !edges.contains((a, b))
+      cn = (adj(a) & adj(b)).size.toLong
+      if cn > 0
+    } yield {
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      (a, b, cn, da, db, 10000L * cn / (da + db - cn))
+    }).toList
+      .sortBy(t => (-t._3, -t._6, t._1, t._2)).take(100)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("q_pmi lift matches the definitional document co-occurrence recompute") {
+    val got = SparkEntry.queries("q_pmi")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(got.nonEmpty, "fixture must produce collocations")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val vocab = df.toSeq.sortBy(t => (-t._2, t._1)).take(100).toMap
+    // full definitional recompute: every vocab pair's doc co-occurrence,
+    // support-floored, ranked by the same total order
+    val coCounts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { d =>
+      val vs = d._2.distinct.filter(vocab.contains).sorted
+      for (i <- vs.indices; j <- i + 1 until vs.size)
+        coCounts((vs(i), vs(j))) += 1L
+    }
+    val want = coCounts.toSeq.filter(_._2 >= 5).map { case ((a, b), dfAb) =>
+      (a, b, dfAb, vocab(a), vocab(b), 10000L * dfAb * nDocs / (vocab(a) * vocab(b)))
+    }.sortBy(t => (-t._6, t._1, t._2)).take(50).toList
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("q_active_users: bitmap DAU/WAU/MAU equal the naive windowed distinct counts") {
+    val got = SparkEntry.queries("q_active_users")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    val ud = Tables.events(spark, sf)
+      .selectExpr("user_id", "to_date(ts) AS d").distinct()
+      .as[(Long, java.sql.Date)].collect()
+    val d0 = ud.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val days = ud.map(p => (p._1, java.time.temporal.ChronoUnit.DAYS.between(d0, p._2.toLocalDate)))
+    val maxd = days.map(_._2).max
+    assert(got.map(_._1.toLong) sameElements (0L to maxd), "one row per day, gaps included")
+    got.foreach { case (t, dau, wau7, mau) =>
+      assert(dau == days.filter(_._2 == t).map(_._1).distinct.length.toLong, s"dau t=$t")
+      assert(wau7 == days.filter(p => p._2 >= t - 6 && p._2 <= t).map(_._1).distinct.length.toLong, s"wau t=$t")
+      assert(mau == days.filter(_._2 <= t).map(_._1).distinct.length.toLong, s"mau t=$t")
+    }
+  }
+
+  test("q_forecast_snaive: integer MAE scores match the day-offset recompute") {
+    val got = SparkEntry.queries("q_forecast_snaive")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d").as[(String, java.sql.Date)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    got.foreach { case (et, nScored, sae7, mae7E2, sae1, wins) =>
+      val daily = rows.filter(_._1 == et)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(d0, r._2.toLocalDate))
+        .map { case (t, rs) => t -> rs.size.toLong }
+      val scored = daily.keys.filter(t => daily.contains(t - 7) && daily.contains(t - 1)).toSeq
+      assert(nScored == scored.size.toLong, s"$et n")
+      val w7 = scored.map(t => math.abs(daily(t) - daily(t - 7))).sum
+      val w1 = scored.map(t => math.abs(daily(t) - daily(t - 1))).sum
+      assert(sae7 == w7 && sae1 == w1, s"$et sae")
+      assert(mae7E2 == 100L * w7 / nScored && wins == (w7 < w1), s"$et mae/skill")
+    }
+  }
+
+  test("q_benford: shares are exact floor-scaled integers over the cents digits") {
+    val got = SparkEntry.queries("q_benford")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val cents = Tables.events(spark, sf).filter(col("value") > 0)
+      .selectExpr("CAST(floor(value * 100 + 0.5) AS LONG) AS c").filter(col("c") >= 1)
+      .as[Long].collect()
+    val byDigit = cents.groupBy(_.toString.head.toString).map { case (dg, xs) => dg -> xs.length.toLong }
+    val total = cents.length.toLong
+    assert(got.map(_._2).sum == total, "every positive value classified once")
+    got.foreach { case (dg, n, shareE4, benE4, devE4) =>
+      assert(byDigit(dg) == n, s"digit $dg")
+      assert(shareE4 == 10000L * n / total && devE4 == shareE4 - benE4, s"digit $dg scale")
+    }
+    // Benford table is the 4-dp floor of log10(1 + 1/d)
+    got.foreach { case (dg, _, _, benE4, _) =>
+      val d = dg.toInt
+      assert(benE4 == math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong, s"digit $dg constant")
+    }
+  }
 }

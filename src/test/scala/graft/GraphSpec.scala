@@ -190,4 +190,39 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == lab)
   }
+
+  test("kcore: K4 plus a pendant tail keeps exactly the K4 at k = 3") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kcoreOf(e, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("kcore: a bare triangle has no 3-core (empty fixpoint terminates)") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(Graph.kcoreOf(e, 3).count() == 0)
+  }
+
+  test("q_kcore matches a naive driver-side peeling on the fixture graph") {
+    val edges = Graph.coPurchaseEdges(Tables.lineitem(spark, sf))
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.filter(_._2.size < 3).keySet
+      changed = drop.nonEmpty
+      adj = adj.collect { case (v, ns) if !drop(v) => v -> (ns -- drop) }
+        .filter(_._2.nonEmpty)
+      // nodes whose neighborhood emptied out drop next round via size < 3
+    }
+    val want = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val got = SparkEntry.queries("q_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"only-got=${got.keySet -- want.keySet} only-want=${want.keySet -- got.keySet}")
+  }
 }

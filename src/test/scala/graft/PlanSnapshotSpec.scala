@@ -39,7 +39,12 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     "q_sample_group", "q_drift_psi",
     // round-9 close-out additions: lock the broadcast-moments /
     // broadcast-quantile-row shapes (fact side must never shuffle)
-    "q_anomaly_mad", "q_rfm")
+    "q_anomaly_mad", "q_rfm",
+    // round-9 analytics batch: the bitmap rolling-distinct (corpus must
+    // be touched once — one user-keyed agg, no per-day rescan), the
+    // bounded-bin KS CDF windows, and the wedge-join link predictor
+    // (degrees must come back as broadcasts)
+    "q_active_users", "q_ks_test", "q_link_pred")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

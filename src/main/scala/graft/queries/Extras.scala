@@ -914,6 +914,86 @@ object Extras {
              |         OVER (PARTITION BY user_id ORDER BY ts, event_id
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |         AS last_purchase_val
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Gini coefficient of user spend — the inequality/concentration
+    // audit (how top-heavy is the revenue base?), and the repo's
+    // demonstration of the GLOBAL-RANK-WITHOUT-ONE-PARTITION primitive:
+    // the rank form G = (2·Σ i·yᵢ − (n+1)·Σy) / (n·Σy) needs every
+    // user's global position in the spend order, and a bare
+    // row_number() window would funnel the user dimension through a
+    // single partition. Instead the user-spend frame is RANGE-
+    // partitioned and sorted on (y, user_id), and RDD zipWithIndex
+    // assigns global indexes with one bounded driver exchange (one
+    // count per partition — the TeraSort ranking pattern). Range
+    // boundaries are sampled and vary run-to-run, but the total order
+    // is a function of the DATA, so the assigned ranks — and with the
+    // user_id tiebreak, the exact Σ i·y — are deterministic. All
+    // arithmetic is exact BIGINT cents (numerator ≥ 0 by the sort, so
+    // div is engine-identical); headroom: 10⁶·n·Σy < 2^63 until
+    // n·Σy ≈ 9e12 cents·users — rescale to e4 past that.
+    QueryDef("q_gini",
+      (s, d) => {
+        val sess = s; import sess.implicits._
+        val spend = T.events(s, d).groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+        val sorted = spend
+          .repartitionByRange(8, col("y"), col("user_id"))
+          .sortWithinPartitions(col("y"), col("user_id"))
+        val indexed = sorted.select(col("y")).rdd.zipWithIndex()
+          .map { case (r, i) => (r.getLong(0), i + 1) }
+          .toDF("y", "i")
+        indexed.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("i") * col("y")).as("siy"))
+          .select(col("n").as("n_users"), col("sy").as("total_cents"),
+            expr("(1000000 * (2 * siy - (n + 1) * sy)) div (n * sy)")
+              .as("gini_e6"))
+      },
+      Some("""WITH spend AS (
+             |  SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT y, row_number() OVER (ORDER BY y, user_id) AS i
+             |      FROM spend),
+             |a AS (SELECT count(*) AS n, sum(y) AS sy, sum(i * y) AS siy FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_users, CAST(sy AS BIGINT) AS total_cents,
+             |       CAST((1000000 * (2 * siy - (n + 1) * sy)) // (n * sy) AS BIGINT)
+             |         AS gini_e6
+             |FROM a""".stripMargin)),
+
+    // Blocked fuzzy-match entity resolution: duplicate-suspect customer
+    // records WITHIN a nation block, verified by edit distance ≤ 1 —
+    // the blocking-then-verify shape every record-linkage pipeline
+    // runs (q_str_sim's all-pairs nearest-neighbor is a 25-row toy;
+    // this is the operator that must NOT go corpus-quadratic). The
+    // pair blow-up happens AFTER the block shuffle, map-side, from
+    // per-block collected lists (the coPurchaseEdges pattern), so the
+    // quadratic cost is per-BLOCK and the production answer to a hot
+    // block is a finer key (nation × name-prefix), not a different
+    // plan. levenshtein has identical unit-cost DP semantics in both
+    // engines; everything else is integers and strings.
+    QueryDef("q_fuzzy_join",
+      (s, d) => {
+        val c = T.customer(s, d)
+          .select(col("c_nationkey"), struct(col("c_custkey"), col("c_name")).as("r"))
+        val pairs = c.groupBy(col("c_nationkey"))
+          .agg(collect_list(col("r")).as("rs"))
+          .select(col("c_nationkey"), explode(col("rs")).as("a"), col("rs"))
+          .select(col("c_nationkey"), col("a"), explode(col("rs")).as("b"))
+          .filter(col("a.c_custkey") < col("b.c_custkey"))
+          .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+          .filter(col("dist") <= 1)
+        pairs.select(col("c_nationkey"),
+            col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"),
+            col("a.c_name").as("name_a"), col("b.c_name").as("name_b"),
+            col("dist"))
+          .orderBy(col("cust_a"), col("cust_b"))
+      },
+      Some("""SELECT a.c_nationkey, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             |       a.c_name AS name_a, b.c_name AS name_b,
+             |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY cust_a, cust_b""".stripMargin))
   )
 }

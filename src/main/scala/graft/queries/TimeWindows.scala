@@ -1088,6 +1088,102 @@ object TimeWindows {
              |       CAST((100 * sum(abs(x - f7))) // count(*) AS BIGINT) AS mae7_e2,
              |       CAST(sum(abs(x - f1)) AS BIGINT) AS sae1,
              |       sum(abs(x - f7)) < sum(abs(x - f1)) AS seasonal_wins
-             |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Sequence-pattern detection over per-user event streams — the
+    // MATCH_RECOGNIZE-lite operator: each user's history becomes a
+    // single-char-coded string (one char per event type, ordered by
+    // (ts, event_id)), a regex counts non-overlapping browse-then-buy
+    // runs ('v+p': one or more views then a purchase), and the output
+    // is the corpus-level distribution of per-user match counts. Both
+    // engines scan left-to-right resuming after each match with greedy
+    // quantifiers, so the count is engine-identical. Scale: ONE
+    // user-keyed shuffle; the sort + encode + regex all run inside the
+    // aggregation's merge (per-user strings bounded by per-user
+    // activity, the same bound q_transitions/q_event_paths rely on);
+    // the match-count histogram is ≤ max-activity rows.
+    QueryDef("q_seq_detect",
+      (s, d) => {
+        val e = T.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+        e.groupBy(col("user_id"))
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(ts, event_id, c))), x -> x.c), '')").as("str"))
+          .select(size(expr("regexp_extract_all(str, 'v+p', 0)")).as("n_matches"))
+          .groupBy(col("n_matches")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_matches"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |         string_agg(substr(event_type, 1, 1), ''
+             |                    ORDER BY ts, event_id) AS str
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT len(regexp_extract_all(str, 'v+p')) AS n_matches FROM s)
+             |SELECT CAST(n_matches AS INTEGER) AS n_matches,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Autocorrelation of the daily count series per type at lags 1 and
+    // 7 — the seasonality detector behind q_forecast_snaive's fixed
+    // season (a high acf@7 is what justifies f_t = x_{t−7}). The ACF
+    // rational is kept exact by clearing the mean's denominator:
+    // NUM_k = Σ(n·x_t − S)(n·x_{t−k} − S) over day-offset pairs (a gap
+    // never misaligns the lag), DEN = Σ(n·x_t − S)² over the full
+    // series, acf_e4 = sign·(10⁴·|NUM|) div DEN — floor-div of
+    // non-negatives after the sign split, engine-identical. Headroom:
+    // (n·x − S) ~ n·daily-count keeps NUM below 2^63 until
+    // n²·maxdev² ≈ 9e18 (rescale past ~3e4 daily corpus days·counts).
+    QueryDef("q_autocorr",
+      (s, d) => {
+        val sess = s; import sess.implicits._
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(count(lit(1)).as("x"))
+        val st = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"))
+        val dev = daily.join(broadcast(st), "event_type")
+          .select(col("event_type"), col("t"),
+            (col("n") * col("x") - col("ss")).as("dx"))
+        val den = dev.groupBy(col("event_type"))
+          .agg(sum(col("dx") * col("dx")).as("den"))
+        val lags = Seq(1, 7).toDF("lag")
+        val lagged = dev.join(broadcast(lags))
+          .select(col("event_type"), (col("t") + col("lag")).as("t"),
+            col("lag"), col("dx").as("dx_lag"))
+        dev.join(lagged, Seq("event_type", "t"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dx") * col("dx_lag")).as("num"))
+          .join(broadcast(den), "event_type")
+          .select(col("event_type"), col("lag"), col("n_pairs"),
+            (signum(col("num")).cast("long")
+              * expr("(10000 * abs(num)) div den")).as("acf_e4"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         count(*) AS x
+             |  FROM events, d0 GROUP BY 1, 2),
+             |st AS (SELECT event_type, count(*) AS n, sum(x) AS ss
+             |       FROM daily GROUP BY 1),
+             |dev AS (SELECT d.event_type, d.t, s2.n * d.x - s2.ss AS dx
+             |        FROM daily d JOIN st s2 USING (event_type)),
+             |den AS (SELECT event_type, sum(dx * dx) AS den FROM dev GROUP BY 1),
+             |lags(lag) AS (VALUES (1), (7)),
+             |pairs AS (
+             |  SELECT a.event_type, l.lag, a.dx, b.dx AS dx_lag
+             |  FROM dev a CROSS JOIN lags l
+             |  JOIN dev b ON b.event_type = a.event_type AND b.t = a.t - l.lag)
+             |SELECT p.event_type, CAST(p.lag AS INTEGER) AS lag,
+             |       CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sign(sum(p.dx * p.dx_lag)) AS BIGINT)
+             |         * CAST((10000 * abs(sum(p.dx * p.dx_lag))) // any_value(d2.den)
+             |                AS BIGINT) AS acf_e4
+             |FROM pairs p JOIN den d2 USING (event_type)
+             |GROUP BY p.event_type, p.lag ORDER BY p.event_type, p.lag""".stripMargin))
   )
 }

@@ -563,4 +563,86 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
       assert(benE4 == math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong, s"digit $dg constant")
     }
   }
+
+  test("q_gini: distributed rank Gini equals the driver-side sorted recompute") {
+    val Array((nUsers, totalCents, giniE6)) = SparkEntry.queries("q_gini")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val spend = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+      .as[(Long, Long)].collect()
+    val ys = spend.sortBy(p => (p._2, p._1)).map(_._2)
+    val n = ys.length.toLong
+    val sy = ys.sum
+    val siy = ys.zipWithIndex.map { case (y, i) => (i + 1L) * y }.sum
+    assert(nUsers == n && totalCents == sy)
+    assert(giniE6 == 1000000L * (2 * siy - (n + 1) * sy) / (n * sy), "gini")
+    assert(giniE6 >= 0 && giniE6 < 1000000L)
+  }
+
+  test("q_gini is invariant to input partitioning (rank assignment is data-determined)") {
+    val a = SparkEntry.queries("q_gini")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_gini")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q_fuzzy_join equals the brute-force within-block edit-distance scan") {
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+      .as[(Int, Long, Long, String, String, Int)].collect().toList
+    assert(got.nonEmpty, "fixture customer ids must yield lev-1 name pairs")
+    val cs = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+      .as[(Int, Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (nk, grp) <- cs.groupBy(_._1).toSeq
+      i <- grp.indices; j <- grp.indices
+      if grp(i)._2 < grp(j)._2
+      d = lev(grp(i)._3, grp(j)._3) if d <= 1
+    } yield (nk, grp(i)._2, grp(j)._2, grp(i)._3, grp(j)._3, d))
+      .sortBy(t => (t._2, t._3)).toList
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+  }
+
+  test("q_seq_detect match counts equal the driver-side regex recompute") {
+    val got = SparkEntry.queries("q_seq_detect")(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "substr(event_type, 1, 1) AS c")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val want = evs.groupBy(_._1).map { case (_, es) =>
+      val s = es.sortBy(e => (e._2.getTime, e._3)).map(_._4).mkString
+      "v+p".r.findAllIn(s).size
+    }.groupBy(identity).map { case (m, xs) => m -> xs.size.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q_autocorr equals the cleared-denominator ACF recompute; acf(0) would be 1") {
+    val got = SparkEntry.queries("q_autocorr")(spark, sf)
+      .as[(String, Int, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d").as[(String, java.sql.Date)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    got.foreach { case (et, lag, nPairs, acfE4) =>
+      val daily = rows.filter(_._1 == et)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(d0, r._2.toLocalDate))
+        .map { case (t, rs) => t -> rs.size.toLong }
+      val n = daily.size.toLong; val ss = daily.values.sum
+      val dev = daily.map { case (t, x) => t -> (n * x - ss) }
+      val den = dev.values.map(d => d * d).sum
+      val pairs = dev.keys.filter(t => dev.contains(t - lag)).toSeq
+      assert(nPairs == pairs.size.toLong, s"$et@$lag n")
+      val num = pairs.map(t => dev(t) * dev(t - lag)).sum
+      assert(acfE4 == num.signum * (10000L * math.abs(num) / den), s"$et@$lag acf")
+      assert(math.abs(acfE4) <= 10000L)
+    }
+  }
 }

@@ -464,6 +464,7 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     val got = SparkEntry.queries("q_link_pred")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toList
     val edges = graft.queries.Graph.coPurchaseEdges(Tables.lineitem(spark, sf))
+      .filter(col("w") >= 2)
       .filter(col("src") < col("dst")).select("src", "dst")
       .as[(Long, Long)].collect().toSet
     val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())

@@ -205,6 +205,54 @@ object Extras {
              |FROM obs o JOIN ben b USING (digit) CROSS JOIN tot
              |ORDER BY o.digit""".stripMargin)),
 
+    // Winsorized mean per event type — the robust-mean complement of
+    // q_outliers (flag) and q_anomaly_mad (robust flag): clamp values
+    // into [p05, p95] and average, so a fat tail moves the estimate by
+    // at most 5% of mass × clamp distance instead of arbitrarily.
+    // Exactness (the q_anomaly_mad recipe): values pre-rounded to 2 dp
+    // bound the exact-percentile buffers AND make both clamp bounds
+    // exact 4-dp decimals (re-rounded to pin the engines' interpolation
+    // to identical doubles); clamped values are then exact 4-dp
+    // decimals, rescaled to e4 BIGINTs before the sum, so the
+    // winsorized mean is a floor-div of exact integers. The clamp
+    // comparisons compare pinned doubles — no epsilon anywhere. Scale:
+    // two broadcast-back moment tables over one fact scan, the
+    // q_anomaly_mad shuffle shape exactly.
+    QueryDef("q_winsorize",
+      (s, d) => {
+        val v = T.events(s, d).select(col("event_type"),
+          round(col("value"), 2).as("v"))
+        val pct = v.groupBy(col("event_type")).agg(
+          round(expr("percentile(v, 0.05)"), 4).as("lo"),
+          round(expr("percentile(v, 0.95)"), 4).as("hi"))
+        v.join(broadcast(pct), "event_type")
+          .select(col("event_type"), col("lo"), col("hi"),
+            floor(greatest(col("lo"), least(col("hi"), col("v"))) * 10000 + 0.5)
+              .cast("long").as("w4"),
+            floor(col("v") * 100 + 0.5).cast("long").as("c"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"),
+            first(col("hi")).as("hi"), sum(col("w4")).as("sw4"),
+            sum(col("c")).as("sc"))
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            expr("sw4 div n").as("win_mean_e4"),
+            expr("(100 * sc) div n").as("raw_mean_e4"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT event_type, round(value, 2) AS v FROM events),
+             |pct AS (SELECT event_type,
+             |               round(quantile_cont(v, 0.05), 4) AS lo,
+             |               round(quantile_cont(v, 0.95), 4) AS hi
+             |        FROM v GROUP BY event_type)
+             |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n, p.lo, p.hi,
+             |       CAST(sum(CAST(floor(greatest(p.lo, least(p.hi, v.v)) * 10000
+             |                           + 0.5) AS BIGINT)) // count(*) AS BIGINT)
+             |         AS win_mean_e4,
+             |       CAST((100 * sum(CAST(floor(v.v * 100 + 0.5) AS BIGINT)))
+             |            // count(*) AS BIGINT) AS raw_mean_e4
+             |FROM v JOIN pct p USING (event_type)
+             |GROUP BY v.event_type, p.lo, p.hi ORDER BY v.event_type""".stripMargin)),
+
     // Count-min sketch heavy-hitter estimation: one bounded-size,
     // mergeable sketch aggregated over the stream of keys (map-side
     // partial merge like any agg), then probed for the known key set.

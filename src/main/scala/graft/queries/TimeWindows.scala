@@ -66,6 +66,56 @@ object TimeWindows {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** q_active_users core over ABSOLUTE epoch-day activity rows
+    * (user_id, day_abs) — shared by the batch query and
+    * streaming.IncrementalDau's snapshot (which accumulates exactly
+    * such rows across micro-batches; absolute days are what make a
+    * late backfill that shifts the corpus min date re-anchor correctly
+    * instead of corrupting a moving-origin bitmask). The relative day
+    * axis, the per-user BIGINT mask, and the three bit-test counts are
+    * all derived inside, so incremental and one-shot share one body.
+    */
+  def activeUsersOf(ud: DataFrame): DataFrame = {
+    val b = ud.agg(min(col("day_abs")).as("a0"),
+      (max(col("day_abs")) - min(col("day_abs"))).as("maxd"))
+    val masks = ud.join(broadcast(b))
+      .select(col("user_id"), (col("day_abs") - col("a0")).as("day"), col("maxd"))
+      .groupBy(col("user_id"), col("maxd"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
+    masks
+      .select(explode(sequence(lit(0), col("maxd"))).as("t"), col("mask"))
+      .groupBy(col("t")).agg(
+        sum(expr("CASE WHEN (mask & shiftleft(CAST(1 AS BIGINT), t)) != 0"
+          + " THEN 1 ELSE 0 END")).as("dau"),
+        sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1)"
+          + " - shiftleft(CAST(1 AS BIGINT), greatest(0, t - 6)))) != 0"
+          + " THEN 1 ELSE 0 END")).as("wau7"),
+        sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1) - 1))"
+          + " != 0 THEN 1 ELSE 0 END")).as("mau"))
+      .orderBy(col("t"))
+  }
+
+  /** Shared by q_active_users and q_dau_inc (the q_substr_inc contract:
+    * the incremental query's snapshot is spec-proven ≡ the one-shot
+    * body, so it reuses the one-shot oracle VERBATIM).
+    */
+  val activeUsersOracle: String =
+    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0,
+      |                   date_diff('day', min(CAST(ts AS DATE)),
+      |                             max(CAST(ts AS DATE))) AS maxd
+      |            FROM events),
+      |ud AS (SELECT DISTINCT user_id,
+      |              date_diff('day', d0, CAST(ts AS DATE)) AS day
+      |       FROM events, d0),
+      |ts_axis AS (SELECT unnest(generate_series(0, (SELECT maxd FROM d0))) AS t)
+      |SELECT CAST(t AS INTEGER) AS t,
+      |       CAST(count(DISTINCT CASE WHEN day = t THEN user_id END) AS BIGINT) AS dau,
+      |       CAST(count(DISTINCT CASE WHEN day BETWEEN t - 6 AND t
+      |                               THEN user_id END) AS BIGINT) AS wau7,
+      |       CAST(count(DISTINCT CASE WHEN day <= t THEN user_id END) AS BIGINT) AS mau
+      |FROM ts_axis CROSS JOIN ud
+      |GROUP BY t ORDER BY t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Time-series densification (gap filling): the hourly event count
@@ -1004,42 +1054,21 @@ object TimeWindows {
     // the hash-match proves the bitmap algebra, not a mirrored
     // implementation. Day indexes are data-derived (H4).
     QueryDef("q_active_users",
-      (s, d) => {
-        val e = T.events(s, d)
-        val b = e.agg(min(to_date(col("ts"))).as("d0"),
-          datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).as("maxd"))
-        val masks = e.join(broadcast(b))
-          .select(col("user_id"),
-            datediff(to_date(col("ts")), col("d0")).as("day"), col("maxd"))
-          .groupBy(col("user_id"), col("maxd"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
-        masks
-          .select(explode(sequence(lit(0), col("maxd"))).as("t"), col("mask"))
-          .groupBy(col("t")).agg(
-            sum(expr("CASE WHEN (mask & shiftleft(CAST(1 AS BIGINT), t)) != 0"
-              + " THEN 1 ELSE 0 END")).as("dau"),
-            sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1)"
-              + " - shiftleft(CAST(1 AS BIGINT), greatest(0, t - 6)))) != 0"
-              + " THEN 1 ELSE 0 END")).as("wau7"),
-            sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1) - 1))"
-              + " != 0 THEN 1 ELSE 0 END")).as("mau"))
-          .orderBy(col("t"))
-      },
-      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0,
-             |                   date_diff('day', min(CAST(ts AS DATE)),
-             |                             max(CAST(ts AS DATE))) AS maxd
-             |            FROM events),
-             |ud AS (SELECT DISTINCT user_id,
-             |              date_diff('day', d0, CAST(ts AS DATE)) AS day
-             |       FROM events, d0),
-             |ts_axis AS (SELECT unnest(generate_series(0, (SELECT maxd FROM d0))) AS t)
-             |SELECT CAST(t AS INTEGER) AS t,
-             |       CAST(count(DISTINCT CASE WHEN day = t THEN user_id END) AS BIGINT) AS dau,
-             |       CAST(count(DISTINCT CASE WHEN day BETWEEN t - 6 AND t
-             |                               THEN user_id END) AS BIGINT) AS wau7,
-             |       CAST(count(DISTINCT CASE WHEN day <= t THEN user_id END) AS BIGINT) AS mau
-             |FROM ts_axis CROSS JOIN ud
-             |GROUP BY t ORDER BY t""".stripMargin)),
+      (s, d) => activeUsersOf(T.events(s, d).select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day_abs"))),
+      Some(activeUsersOracle)),
+
+    // q_active_users maintained across real foreachBatch micro-batches:
+    // each batch commits its DISTINCT (user, epoch-day) pairs (the
+    // batch-local dedup is the mergeable partial), the snapshot is the
+    // IDENTICAL activeUsersOf aggregation — so this shares the batch
+    // query's oracle VERBATIM (q_substr_inc contract). Absolute days
+    // make a min-date-shifting backfill re-anchor instead of
+    // corrupting committed masks; replay and redelivery are proven
+    // no-ops in IncrementalDauSpec.
+    QueryDef("q_dau_inc",
+      (s, d) => graft.streaming.IncrementalDau.fixtureRun(s, d),
+      Some(activeUsersOracle)),
 
     // Seasonal-naive forecast backtest: tomorrow looks like the same
     // weekday last week (f_t = x_{t−7}), scored against the naive-1
@@ -1089,6 +1118,108 @@ object TimeWindows {
              |       CAST(sum(abs(x - f1)) AS BIGINT) AS sae1,
              |       sum(abs(x - f7)) < sum(abs(x - f1)) AS seasonal_wins
              |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Difference-in-differences readout — the third leg of the causal
+    // stack (q_ab_test: mean shift; q_cuped: variance-reduced shift;
+    // DiD: shift NET of a shared time trend): cells are variant ×
+    // period (pre/post the data-derived day midpoint, H4 — the same
+    // cut q_cuped uses), cell outcome = spend cents per distinct
+    // active user, and DiD = (T·post − T·pre) − (C·post − C·pre).
+    // Exactness: each cell mean is the floor-scaled integer
+    // (10⁴·S) div u (documented e4 cell rounding; clearing all four
+    // denominators would need Π n_g headroom no BIGINT has), so every
+    // published number — including the DiD of those integers — is
+    // engine-identical arithmetic on exact integers. Scale: ONE
+    // fact-table aggregation to 4 cells (sum + distinct-user count,
+    // map-side combined); everything after is 4-row arithmetic.
+    QueryDef("q_did",
+      (s, d) => {
+        val e = T.events(s, d)
+        val cut = e.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(date_add(col("d0"),
+            floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("cut"))
+        val cells = e.join(broadcast(cut))
+          .select((col("user_id") % 2).as("variant"),
+            when(to_date(col("ts")) >= col("cut"), 1).otherwise(0).as("period"),
+            floor(col("value") * 100 + 0.5).cast("long").as("c"), col("user_id"))
+          .groupBy(col("variant"), col("period"))
+          .agg(sum(col("c")).as("s"), countDistinct(col("user_id")).as("u"))
+          .withColumn("mean_e4", expr("(10000 * s) div u"))
+        cells.groupBy().pivot("variant", Seq(0, 1)).agg(
+            sum(when(col("period") === 0, col("mean_e4"))).as("pre"),
+            sum(when(col("period") === 1, col("mean_e4"))).as("post"))
+          .select(col("0_pre").as("c_pre"), col("0_post").as("c_post"),
+            col("1_pre").as("t_pre"), col("1_post").as("t_post"),
+            ((col("1_post") - col("1_pre")) - (col("0_post") - col("0_pre")))
+              .as("did_e4"))
+      },
+      Some("""WITH cut AS (
+             |  SELECT min(CAST(ts AS DATE))
+             |         + CAST(floor(date_diff('day', min(CAST(ts AS DATE)),
+             |                                 max(CAST(ts AS DATE))) / 2) AS INTEGER)
+             |         AS cut
+             |  FROM events),
+             |cells AS (
+             |  SELECT user_id % 2 AS variant,
+             |         CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END AS period,
+             |         CAST((10000 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)))
+             |              // count(DISTINCT user_id) AS BIGINT) AS mean_e4
+             |  FROM events, cut GROUP BY 1, 2)
+             |SELECT
+             |  (SELECT mean_e4 FROM cells WHERE variant = 0 AND period = 0) AS c_pre,
+             |  (SELECT mean_e4 FROM cells WHERE variant = 0 AND period = 1) AS c_post,
+             |  (SELECT mean_e4 FROM cells WHERE variant = 1 AND period = 0) AS t_pre,
+             |  (SELECT mean_e4 FROM cells WHERE variant = 1 AND period = 1) AS t_post,
+             |  ((SELECT mean_e4 FROM cells WHERE variant = 1 AND period = 1)
+             |   - (SELECT mean_e4 FROM cells WHERE variant = 1 AND period = 0))
+             |  - ((SELECT mean_e4 FROM cells WHERE variant = 0 AND period = 1)
+             |     - (SELECT mean_e4 FROM cells WHERE variant = 0 AND period = 0))
+             |    AS did_e4""".stripMargin)),
+
+    // Theil–Sen robust trend — the median of all pairwise daily-revenue
+    // slopes, immune to the outlier days that drag q_trend_ols' least
+    // squares. Every pairwise slope is the floor-scaled integer
+    // sign·(10⁶·|Δcents|) div Δdays, and the published statistic is
+    // 2·median (= the sum of the two middle order statistics — an
+    // exact integer even when the median interpolates, so no float
+    // rounding can flip it). Scale: the pair explosion is over the
+    // |types|×|days| DAILY table (≤ C(|days|, 2) pairs per type at any
+    // corpus size — bounded by the calendar, not the data), after the
+    // corpus reduces in one map-side-combined aggregation.
+    QueryDef("q_theilsen",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+        val b = daily.select(col("event_type"), col("t").as("t2"), col("y").as("y2"))
+        daily.join(b, Seq("event_type")).filter(col("t") < col("t2"))
+          .withColumn("slope_e6",
+            signum(col("y2") - col("y")).cast("long")
+              * expr("(1000000 * abs(y2 - y)) div (t2 - t)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("CAST(2 * percentile(slope_e6, 0.5) AS BIGINT)").as("ts_slope2_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+             |  FROM events, d0 GROUP BY 1, 2),
+             |slopes AS (
+             |  SELECT a.event_type,
+             |         CAST(sign(b.y - a.y) AS BIGINT)
+             |           * CAST((1000000 * abs(b.y - a.y)) // (b.t - a.t) AS BIGINT)
+             |           AS slope_e6
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.t < b.t)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(2 * quantile_cont(slope_e6, 0.5) AS BIGINT) AS ts_slope2_e6
+             |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Sequence-pattern detection over per-user event streams — the
     // MATCH_RECOGNIZE-lite operator: each user's history becomes a

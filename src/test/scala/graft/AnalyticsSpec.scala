@@ -625,6 +625,67 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q_did cell means and the DiD stat match a driver recompute") {
+    val Array((cPre, cPost, tPre, tPost, didE4)) = SparkEntry.queries("q_did")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "to_date(ts) AS d", "CAST(floor(value * 100 + 0.5) AS LONG) AS c")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val ds = evs.map(_._2.toLocalDate)
+    val d0 = ds.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val d1 = ds.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val cut = d0.plusDays(java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 2)
+    def cell(variant: Long, post: Boolean): Long = {
+      val in = evs.filter(e => e._1 % 2 == variant &&
+        (!e._2.toLocalDate.isBefore(cut)) == post)
+      10000L * in.map(_._3).sum / in.map(_._1).distinct.length
+    }
+    assert(cPre == cell(0, post = false) && cPost == cell(0, post = true))
+    assert(tPre == cell(1, post = false) && tPost == cell(1, post = true))
+    assert(didE4 == (tPost - tPre) - (cPost - cPre))
+  }
+
+  test("q_theilsen doubled median slope matches the pairwise recompute") {
+    val got = SparkEntry.queries("q_theilsen")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "to_date(ts) AS d", "CAST(floor(value * 100 + 0.5) AS LONG) AS c")
+      .as[(String, java.sql.Date, Long)].collect()
+    val d0 = rows.map(_._2.toLocalDate).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    got.foreach { case (et, nPairs, slope2E6) =>
+      val daily = rows.filter(_._1 == et)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(d0, r._2.toLocalDate))
+        .map { case (t, rs) => t -> rs.map(_._3).sum }.toSeq.sortBy(_._1)
+      val slopes = (for {
+        i <- daily.indices; j <- i + 1 until daily.size
+        dy = daily(j)._2 - daily(i)._2; dx = daily(j)._1 - daily(i)._1
+      } yield dy.signum * (1000000L * math.abs(dy) / dx)).sorted
+      assert(nPairs == slopes.size.toLong, s"$et pairs")
+      val n = slopes.size
+      val want2 = if (n % 2 == 1) 2 * slopes(n / 2)
+                  else slopes(n / 2 - 1) + slopes(n / 2)
+      assert(slope2E6 == want2, s"$et slope2")
+    }
+  }
+
+  test("q_winsorize: clamped mean is between bounds and equals the driver fold") {
+    val got = SparkEntry.queries("q_winsorize")(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val vs = Tables.events(spark, sf)
+      .selectExpr("event_type", "round(value, 2) AS v").as[(String, Double)].collect()
+    got.foreach { case (et, n, lo, hi, winE4, rawE4) =>
+      val xs = vs.filter(_._1 == et).map(_._2)
+      assert(n == xs.length.toLong)
+      val sw = xs.map(v => math.floor(math.max(lo, math.min(hi, v)) * 10000 + 0.5).toLong).sum
+      assert(winE4 == sw / n, s"$et win")
+      val sc = xs.map(v => math.floor(v * 100 + 0.5).toLong).sum
+      assert(rawE4 == 100L * sc / n, s"$et raw")
+      assert(winE4 >= math.floor(lo * 10000).toLong && winE4 <= math.ceil(hi * 10000).toLong)
+    }
+  }
+
   test("q_autocorr equals the cleared-denominator ACF recompute; acf(0) would be 1") {
     val got = SparkEntry.queries("q_autocorr")(spark, sf)
       .as[(String, Int, Long, Long)].collect()

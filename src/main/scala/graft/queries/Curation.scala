@@ -514,50 +514,88 @@ object Curation {
     // first-4-hex-chars of md5 (Spark conv(.,16,10) ≡ DuckDB
     // ('0x'||…)::INT), so the oracle hashes identically.
     QueryDef("q_dsir_hashed",
+      (s, d) => dsirHashedScores(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH $DsirHashedCte
+              |SELECT doc_id, lang, n_toks, score
+              |FROM sc ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Score calibration table — the reliability diagram behind every
+    // score-thresholded document filter: group docs by milli-LLR score
+    // bin (floor(10³·score) of the 4-dp-rounded q_dsir_hashed score —
+    // the multiply and floor are single IEEE ops on engine-identical
+    // doubles, so the bin is exact) and report the observed weak-label
+    // rate per bin as a floor-scaled integer. A well-calibrated scorer
+    // shows rate rising with bin; the table is what picks q_pr_curve's
+    // operating threshold. Scale: the corpus-sized work IS the
+    // q_dsir_hashed scoring (bounded broadcast LLR table); the
+    // calibration agg is one map-side-combined groupBy over ≤ a few
+    // hundred bins.
+    QueryDef("q_calibration",
+      (s, d) => dsirHashedScores(s, d)
+        .select(floor(col("score") * 1000).cast("long").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .withColumn("pos_rate_e4", expr("(10000 * n_pos) div n"))
+        .orderBy(col("bin")),
+      Some(s"""WITH $DsirHashedCte
+              |SELECT CAST(floor(score * 1000) AS BIGINT) AS bin,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_pos,
+              |       CAST((10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+              |            // count(*) AS BIGINT) AS pos_rate_e4
+              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Precision/recall operating curve for the same scorer: predict
+    // positive at milli-LLR bin ≥ τ for a fixed integer threshold grid,
+    // count tp/fp/fn exactly, publish floor-scaled precision/recall
+    // (−1 when the denominator is empty — deterministic, never a float
+    // NaN). The threshold comparison is INTEGER (on the exact bin), so
+    // no score-boundary ulp can move a document across an operating
+    // point. Scale: one pass over the scored frame against a 7-row
+    // broadcast threshold table; each (τ) cell is three
+    // map-side-combined conditional counts.
+    QueryDef("q_pr_curve",
       (s, d) => {
-        val tk = T.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(split(lower(col("text")), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-          .withColumn("b",
-            conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-        val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
-        val tgt = tk.filter(col("lang") === "en")
-          .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
-        val totals = tk
-          .agg(count(lit(1)).as("n_r"),
-            count(when(col("lang") === "en", 1)).as("n_t"))
-          .crossJoin(raw.agg(count(lit(1)).as("v")))
-        val llr = raw
-          .join(tgt, col("b") === col("tb"), "left")
-          .crossJoin(broadcast(totals))
-          .select(col("b"),
-            (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("n_t") + col("v"))) -
-              log((col("c_r") + lit(1.0)) / (col("n_r") + col("v")))).as("llr"))
-        tk.join(broadcast(llr), "b")
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_toks"), round(avg(col("llr")), 4).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(50)
+        val sess = s; import sess.implicits._
+        val scored = dsirHashedScores(s, d)
+          .select(floor(col("score") * 1000).cast("long").as("m"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val taus = Seq(-20L, -10L, -5L, 0L, 5L, 10L, 20L).toDF("tau")
+        scored.join(broadcast(taus))
+          .groupBy(col("tau"))
+          .agg(sum(when(col("m") >= col("tau"), col("y")).otherwise(0L)).as("tp"),
+            sum(when(col("m") >= col("tau"), lit(1L) - col("y")).otherwise(0L)).as("fp"),
+            sum(when(col("m") < col("tau"), col("y")).otherwise(0L)).as("fn"))
+          .select(col("tau"), col("tp"), col("fp"), col("fn"),
+            expr("CASE WHEN tp + fp = 0 THEN -1 ELSE (10000 * tp) div (tp + fp) END")
+              .as("precision_e4"),
+            expr("CASE WHEN tp + fn = 0 THEN -1 ELSE (10000 * tp) div (tp + fn) END")
+              .as("recall_e4"))
+          .orderBy(col("tau"))
       },
-      Some("""WITH tk0 AS (
-             |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
-             |  FROM documents),
-             |tk AS (SELECT doc_id, lang,
-             |              ('0x' || substr(md5(w), 1, 4))::BIGINT AS b
-             |       FROM tk0 WHERE w <> ''),
-             |raw AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
-             |tgt AS (SELECT b, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
-             |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
-             |               (SELECT count(*) FROM tk WHERE lang = 'en') AS n_t,
-             |               (SELECT count(*) FROM raw) AS v),
-             |llr AS (SELECT b,
-             |          ln((coalesce(c_t, 0) + 1.0) / (n_t + v)) - ln((c_r + 1.0) / (n_r + v)) AS llr
-             |        FROM raw LEFT JOIN tgt USING (b), tot)
-             |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
-             |       round(avg(llr), 4) AS score
-             |FROM tk JOIN llr USING (b)
-             |GROUP BY 1, 2 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+      Some(s"""WITH $DsirHashedCte,
+              |m AS (SELECT CAST(floor(score * 1000) AS BIGINT) AS m,
+              |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              |      FROM sc),
+              |taus(tau) AS (VALUES (-20), (-10), (-5), (0), (5), (10), (20)),
+              |cells AS (
+              |  SELECT tau, sum(CASE WHEN m >= tau THEN y ELSE 0 END) AS tp,
+              |         sum(CASE WHEN m >= tau THEN 1 - y ELSE 0 END) AS fp,
+              |         sum(CASE WHEN m < tau THEN y ELSE 0 END) AS fn
+              |  FROM m CROSS JOIN taus GROUP BY tau)
+              |SELECT CAST(tau AS BIGINT) AS tau, CAST(tp AS BIGINT) AS tp,
+              |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+              |       CASE WHEN tp + fp = 0 THEN -1
+              |            ELSE CAST((10000 * tp) // (tp + fp) AS BIGINT) END
+              |         AS precision_e4,
+              |       CASE WHEN tp + fn = 0 THEN -1
+              |            ELSE CAST((10000 * tp) // (tp + fn) AS BIGINT) END
+              |         AS recall_e4
+              |FROM cells ORDER BY tau""".stripMargin)),
 
     // In-engine quality-classifier TRAINING (the CCNet/fastText pattern:
     // learn a document filter from weak labels, here lang='en'):
@@ -688,6 +726,62 @@ object Curation {
     * over the top-[[ClfVocab]] tokens plus a bias, weak label
     * y = [lang = en]. Returns (feats, nDocs).
     */
+  /** q_dsir_hashed's scored frame (doc_id, lang, n_toks, score) without
+    * the top-k cut — shared by q_dsir_hashed, q_calibration and
+    * q_pr_curve so all three score documents identically (16-bit
+    * md5-bucketed LLR, bounded broadcast importance table, 4-dp score
+    * rounding as the cross-engine ulp guard).
+    */
+  def dsirHashedScores(s: SparkSession, d: String): DataFrame = {
+    val tk = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+    val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgt = tk.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))
+    val totals = tk
+      .agg(count(lit(1)).as("n_r"),
+        count(when(col("lang") === "en", 1)).as("n_t"))
+      .crossJoin(raw.agg(count(lit(1)).as("v")))
+    val llr = raw
+      .join(tgt, col("b") === col("tb"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("n_t") + col("v"))) -
+          log((col("c_r") + lit(1.0)) / (col("n_r") + col("v")))).as("llr"))
+    tk.join(broadcast(llr), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("llr")), 4).as("score"))
+  }
+
+  /** The oracle mirror of [[dsirHashedScores]] as a WITH-clause body
+    * ending in `sc(doc_id, lang, n_toks, score)` — shared verbatim by
+    * the three scorer-consuming oracles.
+    */
+  // def, not val: `defs` above initializes first and interpolates this
+  // eagerly — a later-declared val would still be null at that point
+  def DsirHashedCte: String =
+    """tk0 AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |tk AS (SELECT doc_id, lang,
+      |              ('0x' || substr(md5(w), 1, 4))::BIGINT AS b
+      |       FROM tk0 WHERE w <> ''),
+      |raw AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
+      |               (SELECT count(*) FROM tk WHERE lang = 'en') AS n_t,
+      |               (SELECT count(*) FROM raw) AS v),
+      |llr AS (SELECT b,
+      |          ln((coalesce(c_t, 0) + 1.0) / (n_t + v)) - ln((c_r + 1.0) / (n_r + v)) AS llr
+      |        FROM raw LEFT JOIN tgt USING (b), tot),
+      |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+      |              round(avg(llr), 4) AS score
+      |       FROM tk JOIN llr USING (b) GROUP BY 1, 2)""".stripMargin
+
   private def clfFeats(s: SparkSession, d: String): (DataFrame, Double) = {
     val docs = T.documents(s, d)
     val tk = docs

@@ -686,6 +686,32 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_calibration partitions the corpus; q_pr_curve cells recompute from the scored frame") {
+    val cal = SparkEntry.queries("q_calibration")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(cal.map(_._2).sum == nDocs, "every doc lands in exactly one bin")
+    cal.foreach { case (_, n, pos, rateE4) =>
+      assert(rateE4 == 10000L * pos / n)
+    }
+    val scored = graft.queries.Curation.dsirHashedScores(spark, sf)
+      .selectExpr("CAST(floor(score * 1000) AS LONG) AS m",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS y")
+      .as[(Long, Long)].collect()
+    val pr = SparkEntry.queries("q_pr_curve")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    pr.foreach { case (tau, tp, fp, fn, pE4, rE4) =>
+      assert(tp == scored.count(s => s._1 >= tau && s._2 == 1).toLong, s"tau $tau tp")
+      assert(fp == scored.count(s => s._1 >= tau && s._2 == 0).toLong, s"tau $tau fp")
+      assert(fn == scored.count(s => s._1 < tau && s._2 == 1).toLong, s"tau $tau fn")
+      assert(pE4 == (if (tp + fp == 0) -1L else 10000L * tp / (tp + fp)))
+      assert(rE4 == (if (tp + fn == 0) -1L else 10000L * tp / (tp + fn)))
+    }
+    // recall is monotone non-increasing in the threshold
+    val recalls = pr.map(_._6).filter(_ >= 0)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q_autocorr equals the cleared-denominator ACF recompute; acf(0) would be 1") {
     val got = SparkEntry.queries("q_autocorr")(spark, sf)
       .as[(String, Int, Long, Long)].collect()

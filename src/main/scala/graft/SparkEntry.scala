@@ -20,7 +20,7 @@ object SparkEntry {
       Q.TimeWindows.defs ++ Q.TextOps.defs ++ Q.Similarity.defs ++
       Q.Udx.defs ++ Q.Multimodal.defs ++ Q.Extras.defs ++ Q.Pipeline.defs ++
       Q.Corpus.defs ++ Q.Curation.defs ++ Q.Graph.defs ++ Q.Vocab.defs ++
-      Q.Layout.defs ++ Q.Geo.defs ++ Q.Versioning.defs
+      Q.Layout.defs ++ Q.Geo.defs ++ Q.Versioning.defs ++ Q.Privacy.defs
 
   require(defs.map(_.name).distinct.size == defs.size,
     s"duplicate query names: ${defs.map(_.name).diff(defs.map(_.name).distinct)}")

@@ -695,7 +695,103 @@ object Curation {
              |  FROM fused)
              |SELECT lang, CAST(fused_rank AS INTEGER) AS fused_rank, doc_id, rrf
              |FROM topk WHERE fused_rank <= 5
-             |ORDER BY lang, fused_rank""".stripMargin))
+             |ORDER BY lang, fused_rank""".stripMargin)),
+
+    // Equi-DEPTH histogram of l_extendedprice (8 buckets of ~equal mass)
+    // — the profiling complement to q_histogram's equi-width bins and
+    // the statistic a cost-based layout planner actually wants (equal-
+    // mass bins expose skew that fixed-width bins hide). Plan shape:
+    // ONE 1-row percentile aggregate computes the 7 interior boundaries,
+    // broadcasts, and bucketing is a map-side sum of comparisons +
+    // bounded-key agg — never a global sort/ntile (an ntile(8) over an
+    // unpartitioned window would shuffle every row to sort order; at
+    // 100 TB the boundary-broadcast form is the only viable one, and
+    // `percentile` swaps for `approx_percentile` with no other change).
+    // Boundaries are rounded to 4 decimals BEFORE bucketing in both
+    // engines so the comparisons see bit-identical doubles.
+    QueryDef("q_hist_eqdepth",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_extendedprice").cast("double").as("v"))
+        val qs = (1 to 7).map(i => s"${i / 8.0}").mkString(", ")
+        val bounds = li.agg(expr(s"percentile(v, array($qs))").as("bs"))
+        val bucket = (1 to 7)
+          .map(i => (col("v") > round(element_at(col("bs"), i), 4)).cast("int"))
+          .reduce(_ + _) + 1
+        li.join(broadcast(bounds))
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("v")), 4).as("lo"),
+            round(max(col("v")), 4).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (
+             |  SELECT quantile_cont(l_extendedprice,
+             |           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+             |  FROM lineitem)
+             |SELECT CAST(1 + CAST(l_extendedprice > round(bs[1], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[2], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[3], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[4], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[5], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[6], 4) AS INT)
+             |         + CAST(l_extendedprice > round(bs[7], 4) AS INT) AS INT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(min(l_extendedprice), 4) AS lo,
+             |       round(max(l_extendedprice), 4) AS hi
+             |FROM lineitem CROSS JOIN b
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Cross-source vocabulary-overlap matrix: pairwise Jaccard of the
+    // distinct word sets of every source pair — the contamination/
+    // provenance screen run when merging crawl snapshots from multiple
+    // providers (a suspiciously high overlap between two "independent"
+    // sources means one mirrors the other; q_decontam covers train-vs-
+    // benchmark, this covers source-vs-source). Scale shape: the
+    // (source, word) set is vocabulary-bounded (distinct is map-side
+    // partial), the self-join is WORD-keyed — each word contributes at
+    // most |sources|² pairs (bounded, 20² here) regardless of corpus
+    // row count — and the 20-row size table broadcasts twice. Output is
+    // |sources| choose 2 rows at any data scale.
+    QueryDef("q_source_overlap",
+      (s, d) => {
+        val sw = T.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .distinct()
+        val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("nw"))
+        val inter = sw.as("a")
+          .join(sw.as("b"),
+            col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("common"))
+        inter
+          .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+            .withColumnRenamed("nw", "nw_a")), Seq("src_a"))
+          .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+            .withColumnRenamed("nw", "nw_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("common"),
+            round(col("common") / (col("nw_a") + col("nw_b") - col("common")), 4)
+              .as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH sw0 AS (
+             |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |sw AS (SELECT source, word FROM sw0 WHERE word <> ''),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nw
+             |          FROM sw GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |         CAST(count(*) AS BIGINT) AS common
+             |  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT i.src_a, i.src_b, i.common,
+             |       round(i.common / (sa.nw + sb.nw - i.common), 4) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON i.src_a = sa.source
+             |JOIN sizes sb ON i.src_b = sb.source
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** q_rrf_fusion's body over an arbitrary documents frame (the spec

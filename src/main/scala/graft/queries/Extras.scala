@@ -1057,6 +1057,30 @@ object Extras {
              |FROM customer a JOIN customer b
              |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1
-             |ORDER BY cust_a, cust_b""".stripMargin))
+             |ORDER BY cust_a, cust_b""".stripMargin)),
+
+    // Shuffled-hash join — the third physical equi-join strategy next to
+    // q_join_bcast (broadcast) and q_join_smj (sort-merge). SHJ is the
+    // right plan when BOTH sides are too big to broadcast but the build
+    // side's per-partition slice fits in memory: it saves sort-merge's
+    // two full sorts at the cost of building a hash table per partition.
+    // At 100 TB that is exactly the orders-side profile here (smaller
+    // table, uniformly key-partitioned). The hint pins the strategy so
+    // the plan is testable (PlanAuditSpec asserts ShuffledHashJoin);
+    // values are strategy-independent, so the oracle is a plain join.
+    QueryDef("q_join_shj",
+      (s, d) => {
+        val o = T.orders(s, d).hint("shuffle_hash")
+        T.customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       round(sum(o_totalprice), 4) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

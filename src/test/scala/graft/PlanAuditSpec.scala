@@ -286,4 +286,40 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("array_intersect"),
       "array_intersect allocates an intersection array per candidate pair")
   }
+
+  test("q_join_shj plans as ShuffledHashJoin (the hinted third strategy)") {
+    val plan = formattedPlan(q("q_join_shj"))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"hint must pin the shuffled-hash strategy:\n$plan")
+  }
+
+  test("q_hist_eqdepth broadcasts boundaries — no global sort/ntile, two aggs total") {
+    val plan = formattedPlan(q("q_hist_eqdepth"))
+    assert(!plan.contains("Window"), "equi-depth bucketing must not use ntile")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row boundary aggregate must broadcast")
+    // one boundary agg (ObjectHashAggregate, percentile) + one bucket agg
+    // (HashAggregate), each partial+final = 4 agg nodes total. Count the
+    // numbered detail entries — node names repeat in the tree header, and
+    // "ObjectHashAggregate" contains "HashAggregate" as a substring.
+    val aggNodes = raw"\(\d+\) (Object)?HashAggregate".r.findAllIn(plan).size
+    assert(aggNodes <= 4, s"unexpected agg explosion ($aggNodes agg nodes):\n$plan")
+  }
+
+  test("q_source_overlap joins word-keyed and broadcasts the size table twice") {
+    val plan = formattedPlan(q("q_source_overlap"))
+    assert(!plan.contains("CartesianProduct"),
+      "the source-pair matrix must come from the word-keyed join, not a cross join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both size-table joins must broadcast:\n$plan")
+  }
+
+  test("q_dp_noise and q_k_anon aggregate map-side with bounded keys") {
+    Seq("q_dp_noise", "q_k_anon").foreach { name =>
+      val plan = formattedPlan(q(name))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name: expected partial+final HashAggregate")
+      assert(!plan.contains("Window"), s"$name must not need a window")
+    }
+  }
 }

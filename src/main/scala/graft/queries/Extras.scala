@@ -1081,6 +1081,47 @@ object Extras {
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              |       round(sum(o_totalprice), 4) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Null-key skew split: an outer join whose probe side carries a heavy
+    // null-key share (here 20%, derived deterministically so the oracle
+    // sees the same keys). A null join key can never match, but Spark
+    // still shuffles those rows — and every null hashes to the SAME
+    // partition, so at 100 TB a nullable foreign key turns one reducer
+    // into the stage's straggler. The standard fix, expressed here as the
+    // engine plan: split the probe side on key nullability, join ONLY the
+    // non-null slice (its scan filters isnotnull, so the exchange never
+    // sees a null), pass the null slice through map-side with null-padded
+    // build columns, and union. The ORACLE is the naive unsplit left
+    // join — the hash match proves the rewrite is semantics-preserving
+    // (q_skyline algorithm ≠ oracle pattern). PlanAuditSpec pins exactly
+    // one join under the union and the isnotnull filter ahead of it.
+    QueryDef("q_join_nullskew",
+      (s, d) => {
+        val o = T.orders(s, d)
+          .withColumn("cust_fk",
+            when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+              .otherwise(col("o_custkey")))
+        val c = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val matched = o.filter(col("cust_fk").isNotNull)
+          .join(c, col("cust_fk") === col("c_custkey"), "left")
+        val nulls = o.filter(col("cust_fk").isNull)
+          .withColumn("c_custkey", lit(null).cast("long"))
+          .withColumn("c_mktsegment", lit(null).cast("string"))
+        matched.unionByName(nulls)
+          .groupBy(coalesce(col("c_mktsegment"), lit("(no key)")).as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("revenue"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             |              ELSE o_custkey END AS cust_fk, o_totalprice
+             |  FROM orders)
+             |SELECT coalesce(c_mktsegment, '(no key)') AS segment,
+             |       CAST(count(*) AS BIGINT) AS n_orders,
+             |       round(sum(o_totalprice), 4) AS revenue
+             |FROM o LEFT JOIN customer ON cust_fk = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }

@@ -167,7 +167,49 @@ object Udx {
              |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
              |         AS head_txt,
              |       n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Parquet schema evolution — the read path a corpus written over
+    // months actually has: early batches lack columns later batches
+    // added. Batch 1 (even order keys) is written WITHOUT
+    // o_orderpriority; batch 2 (odd keys) adds it. The merged read
+    // (`mergeSchema=true` over both paths) must union the schemas and
+    // null-fill the missing column — silently dropping it (parquet's
+    // default first-file schema) or failing the read are the two bugs
+    // this query pins. Declared output buckets on the evolved column
+    // with a '(pre-evolution)' sentinel; the oracle reproduces the
+    // batch split arithmetically from the unsplit table. Note the
+    // 100-TB caveat documented here deliberately: mergeSchema is a
+    // footer-sampling pass over files — a production lake keeps the
+    // union schema in a catalog and DECLARES it instead; the merge
+    // semantics (null-fill, type union) are identical either way, and
+    // they are what this query verifies.
+    QueryDef("q_schema_evo",
+      (s, d) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_schema_evo_${s.sparkContext.applicationId}_${dirTag(d)}")
+        val (v1, v2) = (new java.io.File(base, "v1").toString,
+          new java.io.File(base, "v2").toString)
+        val o = T.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(v1)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(v2)
+        s.read.option("mergeSchema", "true").parquet(v1, v2)
+          .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 4).as("total"))
+          .orderBy(col("priority"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+             |            ELSE '(pre-evolution)' END AS priority,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(o_totalprice), 4) AS total
+             |FROM orders
+             |GROUP BY 1 ORDER BY priority""".stripMargin))
   )
 
   /** The JSONL write + schema'd read-back itself, nested columns intact.

@@ -314,6 +314,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"both size-table joins must broadcast:\n$plan")
   }
 
+  test("q_join_nullskew: one join under the union, nulls filtered before it") {
+    val plan = formattedPlan(q("q_join_nullskew"))
+    // the null slice must NOT reach a join — exactly one join node total
+    val joins = raw"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+      .r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$plan")
+    // the key filter may be pushed below the aliasing Project (isnotnull
+    // over the CASE expression), so match the predicate, not the alias
+    assert(plan.contains("isnotnull"),
+      s"the joined slice must filter null keys before the join:\n$plan")
+    assert(plan.contains("Union"), "null slice must union around the join")
+  }
+
+  test("q_schema_evo merged read keeps the evolved column and both batches") {
+    val df = q("q_schema_evo")
+    assert(df.columns.toSeq == Seq("priority", "n", "total"))
+    // the merged scan must expose o_orderpriority (union schema), and the
+    // sentinel bucket must exist (null-fill of the pre-evolution batch)
+    val plan = formattedPlan(df)
+    assert(plan.contains("o_orderpriority"),
+      s"merged schema must include the evolved column:\n$plan")
+  }
+
   test("q_dp_noise and q_k_anon aggregate map-side with bounded keys") {
     Seq("q_dp_noise", "q_k_anon").foreach { name =>
       val plan = formattedPlan(q(name))

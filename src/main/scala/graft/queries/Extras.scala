@@ -1122,6 +1122,48 @@ object Extras {
              |       CAST(count(*) AS BIGINT) AS n_orders,
              |       round(sum(o_totalprice), 4) AS revenue
              |FROM o LEFT JOIN customer ON cust_fk = c_custkey
-             |GROUP BY 1 ORDER BY segment""".stripMargin))
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // Data-freshness audit — the SLA check next to q_dq_audit's content
+    // expectations: per event type, when did data last arrive and how
+    // far does it lag the corpus frontier? A 100-TB pipeline ingesting
+    // from many upstreams runs exactly this before every snapshot
+    // publish (a silently-stalled source passes every content check —
+    // its rows are fine, there are just no new ones). Plan shape: two
+    // aggs over one fact scan family — the per-type max/count is
+    // map-side combined on bounded keys, the corpus frontier reduces to
+    // ONE broadcast row (q_outliers' moment-table pattern); lag is an
+    // exact BIGINT epoch-micros floor-division, so the oracle hashes
+    // identically (no float time arithmetic).
+    QueryDef("q_freshness",
+      (s, d) => {
+        val e = T.events(s, d)
+        val perType = e.groupBy(col("event_type"))
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_rows"))
+        val frontier = e.agg(max(col("ts")).as("corpus_ts"))
+        perType.join(broadcast(frontier))
+          .select(col("event_type"),
+            date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+            expr("(unix_micros(corpus_ts) - unix_micros(last_ts)) div 1000000")
+              .as("lag_seconds"),
+            col("n_rows"),
+            (expr("(unix_micros(corpus_ts) - unix_micros(last_ts)) div 1000000")
+              > 86400L).as("stale"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH per_type AS (
+             |  SELECT event_type, max(ts) AS last_ts,
+             |         CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM events GROUP BY event_type),
+             |frontier AS (SELECT max(ts) AS corpus_ts FROM events)
+             |SELECT event_type,
+             |       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+             |       (epoch_us(corpus_ts) - epoch_us(last_ts)) // 1000000
+             |         AS lag_seconds,
+             |       n_rows,
+             |       ((epoch_us(corpus_ts) - epoch_us(last_ts)) // 1000000) > 86400
+             |         AS stale
+             |FROM per_type CROSS JOIN frontier
+             |ORDER BY event_type""".stripMargin))
   )
 }

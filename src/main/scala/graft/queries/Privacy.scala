@@ -86,6 +86,35 @@ object Privacy {
              |       count(*) < 3 AS suppress
              |FROM documents
              |GROUP BY 1, 2, 3
-             |ORDER BY lang, source, len_band""".stripMargin))
+             |ORDER BY lang, source, len_band""".stripMargin)),
+
+    // l-diversity audit — the k-anonymity refinement: a class can be
+    // k-large and still leak if every member shares the SAME sensitive
+    // value (the homogeneity attack k-anonymity misses). Here the
+    // quasi-identifier is (lang, 100-char length band) and the sensitive
+    // attribute is `source`: an observer who knows a document's language
+    // and rough length must not be able to infer where it was crawled
+    // from. l = distinct sensitive values per class; classes with l < 2
+    // are flagged. Same bounded-key single-agg shape as q_k_anon — the
+    // distinct is a two-phase partial aggregate, nothing grows with
+    // corpus rows.
+    QueryDef("q_l_diversity",
+      (s, d) => {
+        T.documents(s, d)
+          .groupBy(col("lang"),
+            (floor(col("n_chars") / 100) * 100).cast("long").as("len_band"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("source")).as("l_distinct"))
+          .withColumn("homogeneous", col("l_distinct") < 2)
+          .orderBy(col("lang"), col("len_band"))
+      },
+      Some("""SELECT lang,
+             |       CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_band,
+             |       CAST(count(*) AS BIGINT) AS class_size,
+             |       CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+             |       count(DISTINCT source) < 2 AS homogeneous
+             |FROM documents
+             |GROUP BY 1, 2
+             |ORDER BY lang, len_band""".stripMargin))
   )
 }

@@ -375,6 +375,37 @@ object Corpus {
     // (IncrementalCorpusSpec). Engine-hash clustering → scalatest.
     QueryDef("q_corpus_inc",
       (s, d) => graft.streaming.IncrementalCorpus.fixtureRun(s, d),
-      None)
+      None),
+
+    // Class-balance audit + reweighting: per-label counts, corpus share,
+    // and the inverse-frequency class weight w = N/(k·n) (the "balanced"
+    // convention) — the step before training the quality classifier on
+    // skewed labels, and the check that a stratified sample actually
+    // stratified. Exact floor-scaled BIGINTs throughout (no float ratio
+    // can drift); the (N, k) totals reduce to ONE broadcast row, the
+    // label agg is bounded-key map-side.
+    QueryDef("q_label_balance",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val tot = e.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("label")).as("k"))
+        e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .join(broadcast(tot))
+          .select(col("label"), col("n"),
+            expr("(10000 * n) div n_total").as("share_e4"),
+            expr("(10000 * n_total) div (k * n)").as("weight_e4"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |         CAST(count(DISTINCT label) AS BIGINT) AS k
+             |  FROM embeddings)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |       (10000 * CAST(count(*) AS BIGINT)) // any_value(n_total)
+             |         AS share_e4,
+             |       (10000 * any_value(n_total))
+             |         // (any_value(k) * CAST(count(*) AS BIGINT)) AS weight_e4
+             |FROM embeddings CROSS JOIN tot
+             |GROUP BY label ORDER BY label""".stripMargin))
   )
 }

@@ -224,6 +224,89 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int): DataFrame =
     bruteForceTopKOf(T.embeddings(s, d), probeIds, k)
 
+  /** Triplet mining for contrastive training: for each broadcast anchor,
+    * the most-similar vector with a DIFFERENT label (the hard negative)
+    * and the most-similar with the SAME label (the hardest positive,
+    * self excluded) — the pair-selection step of embedding-model
+    * fine-tuning. Plan shape: anchors broadcast, the corpus streams ONCE
+    * through the codegen'd cosine kernel, and both argmaxes are
+    * `max(struct(cos, -vec_id))` hash aggregations — partially
+    * aggregatable, so each partition ships ONE candidate per (anchor,
+    * side) into the shuffle, never rows. At 100 TB the candidate stream
+    * is pre-pruned by the IVF index (probe the anchor's nprobe lists);
+    * this brute form is the correctness baseline (SimilaritySpec
+    * recomputes it in the driver).
+    */
+  def hardNegativesOf(embeddings: DataFrame, anchorIds: Seq[Long]): DataFrame = {
+    val c = corpusOf(embeddings)
+    val anchors = corpusOf(embeddings.filter(col("vec_id").isin(anchorIds: _*)))
+      .select(col("vec_id").as("anchor_id"), col("emb").as("a_emb"),
+        col("label").as("a_label"))
+    val scored = c.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"),
+        cosine(col("emb"), col("a_emb")).as("cos"))
+    // struct max is lexicographic: best cos first, then the NEGATED id so
+    // equal scores break to the smaller vec_id — deterministic argmax
+    // that stays a partial-aggregable max, not a window
+    def pick(cond: Column): Column =
+      max(when(cond, struct(col("cos"),
+        (-col("vec_id")).as("nid"), col("vec_id").as("vid"))))
+    scored.groupBy(col("anchor_id"))
+      .agg(pick(col("label") =!= col("a_label")).as("hn"),
+        pick(col("label") === col("a_label")).as("pos"))
+      .select(col("anchor_id"),
+        col("hn.vid").as("hard_neg_id"), round(col("hn.cos"), 4).as("hn_cos"),
+        col("pos.vid").as("pos_id"), round(col("pos.cos"), 4).as("pos_cos"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k results trading relevance to the probe against
+    * redundancy with what's already selected — the diversification step
+    * between ANN retrieval and a training batch / context window. The
+    * corpus-scale work is exactly ONE brute/ANN scoring pass cut to the
+    * top-`pool` candidates (TakeOrderedAndProject); the greedy loop runs
+    * driver-side over that BOUNDED pool (the ≤4096-centroid
+    * bounded-collect convention), because MMR's argmax is sequential by
+    * definition — each pick changes the next redundancy term.
+    */
+  def mmrDiversifyOf(embeddings: DataFrame, probeId: Long, pool: Int,
+                     k: Int, lambda: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val c = corpusOf(embeddings)
+    val probe = corpusOf(embeddings.filter(col("vec_id") === probeId))
+      .select(col("emb").as("p_emb"))
+    val cands = c.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probe))
+      .select(col("vec_id"), col("emb"), cosine(col("emb"), col("p_emb")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scoredRem = remaining.map { case (id, emb, rel) =>
+        val red = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(emb, cands.find(_._1 == s._1).get._2)).max
+        (id, emb, rel, red, lambda * rel - (1 - lambda) * red)
+      }
+      val best = scoredRem.maxBy(t => (t._5, -t._1))
+      selected += ((best._1, best._3, best._4))
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, rel, red), i) =>
+        (i + 1, id, math.rint(rel * 10000) / 10000, math.rint(red * 10000) / 10000) }
+      .toSeq.toDF("rank", "vec_id", "relevance", "redundancy")
+  }
+
   val LshTables = 8       // OR-amplification: candidate if ANY table agrees
   val LshBitsPerTable = 6 // 64 buckets/table — tune to corpus density
   val EmbedDim = 64       // fixture embedding width; callers override inDim for other corpora
@@ -583,6 +666,16 @@ object Similarity {
     // path on the same rows (StreamingParitySpec). Engine-hash-specific
     // → scalatest, not oracle.
     QueryDef("q_stream_dedup_near",
-      (s, d) => graft.streaming.StreamingDedup.nearDedupFixtureRun(s, d), None)
+      (s, d) => graft.streaming.StreamingDedup.nearDedupFixtureRun(s, d), None),
+    // Contrastive triplet mining: hardest negative + hardest positive per
+    // broadcast anchor, both argmaxes partial-aggregable struct-max (no
+    // window, no vector shuffle). Float argmax is engine-order-sensitive
+    // → scalatest (SimilaritySpec driver recompute), not oracle.
+    QueryDef("q_hard_negatives",
+      (s, d) => hardNegativesOf(T.embeddings(s, d), Seq(0L, 1L, 2L)), None),
+    // MMR diversification over the top-20 pool for probe 0 (λ = 0.7):
+    // one corpus scoring pass + driver-side greedy over the bounded pool.
+    QueryDef("q_mmr_diversify",
+      (s, d) => mmrDiversifyOf(T.embeddings(s, d), 0L, 20, 5, 0.7), None)
   )
 }

@@ -1315,6 +1315,79 @@ object TimeWindows {
              |         * CAST((10000 * abs(sum(p.dx * p.dx_lag))) // any_value(d2.den)
              |                AS BIGINT) AS acf_e4
              |FROM pairs p JOIN den d2 USING (event_type)
-             |GROUP BY p.event_type, p.lag ORDER BY p.event_type, p.lag""".stripMargin))
+             |GROUP BY p.event_type, p.lag ORDER BY p.event_type, p.lag""".stripMargin)),
+
+    // Seasonal decomposition (STL-lite, additive): daily counts split
+    // into trend (7-day centered moving average — only days with the
+    // full window, the classic STL edge rule), weekly seasonal (per
+    // day-of-week mean of the detrended series), and residual. The
+    // detector-side complement of q_autocorr's ACF: autocorr SAYS the
+    // season exists, this query REMOVES it so q_outliers-style flags run
+    // on the residual instead of refiring every weekend. All arithmetic
+    // on cleared-denominator BIGINTs (det7 = 7·x − sum7 is exact; e4
+    // scalings via the sign·(10⁴·|v|) div d convention), so the oracle
+    // hash-matches with no float accumulation anywhere. Scale shape: the
+    // corpus reduces to the |types|×|days| daily table in one map-side
+    // agg; every window after that is calendar-bounded.
+    QueryDef("q_seasonal_decompose",
+      (s, d) => {
+        val e = T.events(s, d)
+        val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = e.join(broadcast(d0))
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).as("t"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rangeBetween(-3, 3)
+        val trended = daily
+          .withColumn("sum7", sum(col("x")).over(w))
+          .withColumn("n7", count(lit(1)).over(w))
+          .filter(col("n7") === 7)
+          .withColumn("det7", lit(7) * col("x") - col("sum7"))
+          .withColumn("dow", pmod(col("t"), lit(7)))
+        val seasonal = trended.groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("det7")).as("s_num"), count(lit(1)).as("s_n"))
+          .select(col("event_type"), col("dow"),
+            (signum(col("s_num")).cast("long")
+              * expr("(10000 * abs(s_num)) div (7 * s_n)")).as("seasonal_e4"))
+        trended.join(seasonal, Seq("event_type", "dow"))
+          .select(col("event_type"), col("t"), col("x"),
+            expr("(10000 * sum7) div 7").as("trend_e4"),
+            col("seasonal_e4"),
+            (signum(col("det7")).cast("long")
+              * expr("(10000 * abs(det7)) div 7")
+              - col("seasonal_e4")).as("residual_e4"))
+          .orderBy(col("event_type"), col("t"))
+      },
+      Some("""WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |daily AS (
+             |  SELECT event_type, date_diff('day', d0, CAST(ts AS DATE)) AS t,
+             |         count(*) AS x
+             |  FROM events, d0 GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT event_type, t, x,
+             |         sum(x) OVER w AS sum7, count(*) OVER w AS n7
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY t
+             |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (
+             |  SELECT event_type, t, x, sum7, 7 * x - sum7 AS det7,
+             |         t % 7 AS dow
+             |  FROM tr WHERE n7 = 7),
+             |seas AS (
+             |  SELECT event_type, dow,
+             |         CAST(sign(sum(det7)) AS BIGINT)
+             |           * CAST((10000 * abs(sum(det7))) // (7 * count(*)) AS BIGINT)
+             |           AS seasonal_e4
+             |  FROM det GROUP BY 1, 2)
+             |SELECT d2.event_type, CAST(d2.t AS INTEGER) AS t,
+             |       CAST(d2.x AS BIGINT) AS x,
+             |       CAST((10000 * d2.sum7) // 7 AS BIGINT) AS trend_e4,
+             |       s2.seasonal_e4,
+             |       CAST(sign(d2.det7) AS BIGINT)
+             |         * CAST((10000 * abs(d2.det7)) // 7 AS BIGINT)
+             |         - s2.seasonal_e4 AS residual_e4
+             |FROM det d2 JOIN seas s2 USING (event_type, dow)
+             |ORDER BY d2.event_type, d2.t""".stripMargin))
   )
 }

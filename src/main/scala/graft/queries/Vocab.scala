@@ -62,6 +62,31 @@ object Vocab {
             array_join(slice(col("toks"), 1, 8), " ").as("head_sub"))
           .orderBy(col("doc_id"))
       },
+      None),
+
+    // Tokenizer fertility per language: BPE subwords emitted per
+    // whitespace word under the learned table — THE cross-lingual
+    // tokenizer-evaluation metric (a vocabulary trained on one language
+    // mix over-fragments the others; fertility >> 1 on a language means
+    // its documents cost proportionally more sequence length). Encoding
+    // is one map-only pass of the plan-embedded bpe_tokens expression;
+    // the agg is |langs|-bounded; fertility published as an exact
+    // floor-scaled e4 of the two token-mass BIGINTs. Encoder is
+    // engine-learned → scalatest (BpeSpec), not oracle.
+    QueryDef("q_tok_fertility",
+      (s, d) => {
+        val table = BpeTable(learned(s, d))
+        T.documents(s, d)
+          .select(col("lang"),
+            size(BpeExprs.bpeTokens(col("text"), table)).cast("long").as("n_sub"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_sub")).as("sub_tokens"),
+            sum(col("n_words")).as("words"),
+            expr("(10000 * sum(n_sub)) div sum(n_words)").as("fertility_e4"))
+          .orderBy(col("lang"))
+      },
       None)
   )
 }

@@ -89,4 +89,34 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       assert(r.getLong(4) >= 2L)
     }
   }
+
+  test("q_tok_fertility matches a driver-side per-language recompute") {
+    val got = SparkEntry.queries("q_tok_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // the QUERY trains at the Vocab object's size, not this spec's
+    // smaller fixture table — recompute with the identical table
+    val qRanks = Bpe.train(
+        Bpe.wordHistogram(Tables.documents(spark, sf), queries.Vocab.VocabCap),
+        queries.Vocab.NumMerges)
+      .map(m => (m.left, m.right) -> m.rank).toMap
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val subs = ds.map { case (_, text) =>
+        // same tokenization the bpe_tokens expression applies
+        text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+          .map(w => Bpe.encode(w, qRanks).length).sum.toLong
+      }.sum
+      // Spark's split keeps trailing empties (java split limit -1)
+      val words = ds.map(_._2.split(" ", -1).length.toLong).sum
+      lang -> ((ds.length.toLong, subs, words,
+        (BigInt(10000) * subs / words).toLong))
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (lang, e) =>
+      assert(got(lang) == e, s"lang $lang: got ${got(lang)}, expected $e")
+    }
+  }
 }

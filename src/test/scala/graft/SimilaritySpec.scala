@@ -249,4 +249,77 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(ratios.forall(r => r > 0.2 && r < 3.0),
       s"worst-pair distortion out of range: min=${ratios.min} max=${ratios.max}")
   }
+
+  test("hard negatives match a driver-side brute-force recompute") {
+    val anchors = Seq(0L, 1L, 2L)
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expected = anchors.map { aid =>
+      val (_, aEmb, aLabel) = all.find(_._1 == aid).get
+      def best(pred: ((Long, Array[Double], Int)) => Boolean): (Long, Double) =
+        all.filter(v => v._1 != aid && pred(v))
+          .map(v => (v._1, cos(v._2, aEmb)))
+          .maxBy { case (id, c) => (c, -id) }
+      (aid, best(_._3 != aLabel), best(_._3 == aLabel))
+    }
+    val got = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)),
+        (r.getLong(3), r.getDouble(4)))).toSeq
+    assert(got.map(_._1) == anchors, "one row per anchor, anchor order")
+    expected.zip(got).foreach { case ((aid, (hnId, hnC), (pId, pC)),
+                                      (gAid, (gHnId, gHnC), (gPId, gPC))) =>
+      assert(gAid == aid)
+      assert(gHnId == hnId, s"anchor $aid hard-negative id")
+      assert(math.abs(gHnC - math.rint(hnC * 10000) / 10000) < 1e-9)
+      assert(gPId == pId, s"anchor $aid positive id")
+      assert(math.abs(gPC - math.rint(pC * 10000) / 10000) < 1e-9)
+      // a hard negative is only "hard" if it competes with the positive —
+      // sanity: both sides found something (fixture has multiple labels)
+    }
+  }
+
+  test("MMR selection matches an independent greedy recompute and diversifies") {
+    val got = SparkEntry.queries("q_mmr_diversify")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5)
+    assert(got.map(_._1).toSeq == (1 to 5), "ranks 1..5")
+    assert(got.map(_._2).distinct.length == 5, "no repeats")
+    // independent recompute of the greedy over the same pool
+    val all = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val pEmb = all.find(_._1 == 0L).get._2
+    val pool = all.filter(_._1 != 0L)
+      .map { case (id, e) => (id, e, cos(e, pEmb)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var selected = List.empty[(Long, Array[Double])]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var remaining = pool.toList
+    while (picks.size < 5 && remaining.nonEmpty) {
+      // (1 - 0.7), not literal 0.3: the helper computes the weight the
+      // same way, and the two differ by an ulp that could flip near-ties
+      val best = remaining.maxBy { case (id, e, rel) =>
+        val red = if (selected.isEmpty) 0.0 else selected.map(s => cos(e, s._2)).max
+        (0.7 * rel - (1 - 0.7) * red, -id)
+      }
+      picks += best._1; selected ::= ((best._1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    assert(got.map(_._2).toSeq == picks.toSeq,
+      s"greedy selection order: got ${got.map(_._2).toSeq}, expected $picks")
+    // first pick is the pure-relevance argmax; later picks pay redundancy
+    assert(got.head._4 == 0.0, "rank-1 redundancy is zero by definition")
+  }
 }

@@ -337,6 +337,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"merged schema must include the evolved column:\n$plan")
   }
 
+  test("q_hard_negatives: anchors broadcast, argmax is an aggregate, not a window") {
+    val plan = formattedPlan(q("q_hard_negatives"))
+    assert(!plan.contains("Window"),
+      "triplet mining must argmax via partial-aggregable struct-max, not a window")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the anchor side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the anchor pairing must broadcast, never a cartesian exchange")
+  }
+
+  test("q_seasonal_decompose and q_label_balance: daily/label-bounded plans") {
+    val sd = formattedPlan(q("q_seasonal_decompose"))
+    // the only sort feeding a window runs over the |types|x|days| daily
+    // table — the fact table itself must reduce through a HashAggregate
+    // before any Window appears
+    assert(sd.contains("Window"), "centered MA needs a range window")
+    assert("HashAggregate".r.findAllIn(sd).size >= 2,
+      "fact must reduce to the daily table map-side first")
+    val lb = formattedPlan(q("q_label_balance"))
+    assert(!lb.contains("Window") && lb.contains("BroadcastExchange"),
+      s"label balance = bounded agg + broadcast totals:\n$lb")
+  }
+
   test("q_dp_noise and q_k_anon aggregate map-side with bounded keys") {
     Seq("q_dp_noise", "q_k_anon").foreach { name =>
       val plan = formattedPlan(q(name))

@@ -21,6 +21,20 @@ object Bench {
     // `queryExecution.toRdd.count()` executes the already-planned query
     // unmodified (all expressions, joins, and sorts run; nothing but the
     // row count crosses to the driver).
+    // Storage hygiene between queries: localCheckpoint(true) (the
+    // iterative loops, the incremental fixtures, the rewrite scopes)
+    // registers MEMORY_AND_DISK blocks that are reclaimed only when the
+    // driver GC's the RDD reference (ContextCleaner weak refs) — across
+    // 260+ queries × 4 passes they pile into the shared local-mode
+    // storage pool until a LATE pass hits eviction/spill stalls at
+    // whatever query the pressure lands on (round-9 BENCH_FULL:
+    // q_quality_clf spread 9.7 s on a 3.4 s median, q_split_safe median
+    // poisoned to 6.4 s vs its OWN 10× median of 3.7 s). Every frame a
+    // query returns is dead once counted, so drop its blocks
+    // deterministically instead of waiting for a GC.
+    def drainStorage(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     def time(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -28,8 +42,11 @@ object Bench {
       // inside the try/catch statement and then returned the elapsed
       // time anyway, so a throwing query was silently timed as a fast
       // success (short time-to-failure shrinking the total)
-      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      val elapsed =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      drainStorage() // outside the timed span — costs the gap, not the query
+      elapsed
     }
     // Median of `runs` full passes per query: single-run timings flip-
     // flopped sub-second queries by 2-3x across rounds (GC pause,
@@ -56,8 +73,16 @@ object Bench {
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
+      drainStorage()
     }
-    val passes = (1 to runs).map(_ => names.map(n => n -> time(n)).toMap)
+    // A GC between passes lets ContextCleaner reap the pass's broadcast
+    // blocks (every broadcast join leaves one; they are weak-ref-cleaned
+    // only after a driver GC) so no timed pass starts under the previous
+    // pass's accumulated heap.
+    val passes = (1 to runs).map { _ =>
+      System.gc()
+      names.map(n => n -> time(n)).toMap
+    }
     def sortedTimes(n: String): Seq[Double] = passes.map(_(n)).sorted
     val results = names.map(n => n -> sortedTimes(n)(runs / 2)).toMap
     val spread = names.map(n => {

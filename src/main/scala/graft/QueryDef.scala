@@ -19,4 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    approxOracle: Option[ApproxOracle] = None)
+
+/** Tolerance-checked oracle for the approx/sketch query family (HLL
+  * distinct counts, GK percentiles): estimates are engine-specific, so
+  * a hash-match against DuckDB is impossible BY DESIGN — but the
+  * estimate is still checkable against the exact answer within the
+  * sketch's published error bound. `sql` computes the EXACT values
+  * under the same column names; `colTol` maps each approx column to its
+  * allowed relative error (columns not listed compare exactly). Dumped
+  * by Verify as oracle_bounds.json; tools/compare_oracle.py enforces
+  * it, so these queries report a checked-within-ε record instead of a
+  * bare no_oracle.
+  */
+final case class ApproxOracle(sql: String, colTol: Map[String, Double])

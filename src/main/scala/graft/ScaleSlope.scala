@@ -111,7 +111,12 @@ object ScaleSlope {
     // round-9 fourth pass: the prefix-filtered form of the exact
     // Jaccard join — measured against q_dedup_ngram's full shared-
     // shingle join on the same tiers
-    "q_dedup_prefix")
+    "q_dedup_prefix",
+    // round-10 100× tier: the documents-fed incremental queries (their
+    // events-fed siblings live in RelScale) — each replays the corpus
+    // through real foreachBatch micro-batches, so the slope prices the
+    // incremental machinery itself, not just the one-shot body
+    "q_substr_inc", "q_corpus_inc", "q_index_inc")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the
@@ -127,7 +132,11 @@ object ScaleSlope {
     * linear, at tolerable wall-clock.
     */
   private val MaxMult10 =
-    Set("q_dedup_ngram", "q_decontam", "q_dedup_contain", "q_dedup_prefix")
+    Set("q_dedup_ngram", "q_decontam", "q_dedup_contain", "q_dedup_prefix",
+      // composes q_decontam's %10 bench set (grows WITH the corpus —
+      // the same saturated-shingle-space quadratic); production
+      // decontaminates against FIXED bench sets
+      "q_corpus_inc")
 
   private def runsAt(q: String, m: Int): Boolean = m <= 10 || !MaxMult10(q)
 

@@ -41,4 +41,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Tolerance-checked oracles for the approx/sketch family (exact SQL
+    * + per-column relative error bound) — see [[ApproxOracle]].
+    */
+  def approxOracles: Map[String, ApproxOracle] =
+    defs.flatMap(q => q.approxOracle.map(q.name -> _)).toMap
 }

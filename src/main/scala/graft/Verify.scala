@@ -46,6 +46,19 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Tolerance oracles for the approx/sketch family: exact SQL + per-
+    // column relative bound; tools/compare_oracle.py enforces these so
+    // the approx queries get a checked-within-ε record, not a bare
+    // no_oracle. (Kept out of oracle_sql.json — the driver's gate is a
+    // hash match, which an estimate fails by design.)
+    val bounds = SparkEntry.approxOracles
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, a) =>
+        val tol = a.colTol.map { case (c, t) => s"${q(c)}: $t" }
+          .mkString("{", ",", "}")
+        s"${q(k)}: {${q("sql")}: ${q(a.sql)}, ${q("tol")}: $tol}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_bounds.json"), bounds)
     spark.stop()
   }
 }

@@ -109,6 +109,11 @@ object Kll extends Aggregator[Double, KllBuf, Array[Double]] {
     */
   def quantile(sk: Array[Double], p: Double): Double = {
     val n = sk(0)
+    // An empty sketch (n=0, serialized as [0.0] — e.g. the merge/finish
+    // of two zero buffers) has no items: falling through to sorted.last
+    // would throw NoSuchElementException deep in an executor. A quantile
+    // of nothing is NaN, same convention as percentile() over 0 rows.
+    if (n <= 0 || sk.length <= 1) return Double.NaN
     val items = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
     var i = 1
     while (i < sk.length) {

@@ -26,6 +26,12 @@ object Gram extends Aggregator[Seq[Float], GramBuf, Array[Double]] {
 
   override def reduce(b: GramBuf, v: Seq[Float]): GramBuf = {
     val x = v.toArray
+    // Fail fast with a clear message: a shorter vector would otherwise
+    // throw ArrayIndexOutOfBounds deep in an executor and a longer one
+    // would be SILENTLY truncated to its first Dim dimensions — a wrong
+    // PCA with no error.
+    require(x.length == Dim,
+      s"Gram sketch expects $Dim-dimensional embeddings, got ${x.length}")
     b.n += 1
     var i = 0
     while (i < Dim) {

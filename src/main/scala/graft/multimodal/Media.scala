@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   * fixtures of all three). VIDEO is real too as of round 9: RIFF/AVI
   * containers with uncompressed 24-bit DIB frames ([[AviCodec]]) —
   * frame sampling decodes true frames and re-emits them as standalone
-  * PPM images that flow into the image feature extractor. The codecs
-  * cover the cost spectrum: PPM/DIB are fixed-stride, WAV and AVI are
-  * variable-length chunk walks by declared (untrusted, guarded) sizes,
-  * and BMP RLE8 is genuinely COMPRESSED (an opcode stream whose work
-  * depends on image content). A COMPRESSED-frame video codec (H.26x)
-  * is the one thing that still needs external libraries; swapping the
-  * frame payload format changes no plan shape (`FakeCodec` stays only
-  * as the unknown-container fallback). Everything around the codecs —
-  * the schema,
+  * PPM images that flow into the image feature extractor. COMPRESSED
+  * video is real as of round 10: the video column alternates
+  * uncompressed-DIB AVI with MJPEG AVI whose `00dc` chunks each carry a
+  * baseline JPEG ([[JpegCodec]] — 8×8 DCT + quantization + canonical
+  * Huffman entropy coding, tables read from the stream's own DHT). The
+  * codecs cover the cost spectrum: PPM/DIB are fixed-stride, WAV and
+  * AVI are variable-length chunk walks by declared (untrusted, guarded)
+  * sizes, BMP RLE8 is run-length compressed, and JPEG/MJPEG is
+  * transform-coded (content-dependent entropy decode per block).
+  * Inter-frame-predicted codecs (H.26x motion compensation) remain the
+  * external-library boundary; swapping the frame payload format changes
+  * no plan shape (`FakeCodec` stays only as the unknown-container
+  * fallback). Everything around the codecs — the schema,
   * the `Dataset[MediaRecord]` encoder surface, the per-partition batch
   * processing (`mapPartitions`, the Scala analogue of Python's
   * `mapInPandas` batch shape), partitioning, and the handoff of
@@ -431,46 +435,111 @@ object Media {
       avih.getOrElse(throw new IllegalArgumentException("missing avih header"))
     }
 
-    /** (width, height, usPerFrame, top-down RGB frames). */
+    /** (width, height, usPerFrame, top-down RGB frames). Handles BOTH
+      * stream kinds: `00db` uncompressed DIB frames and `00dc`
+      * COMPRESSED frames carrying baseline-JPEG payloads (MJPEG — each
+      * frame its own [[JpegCodec]] grayscale image, expanded to RGB).
+      */
     def decode(content: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
-      val (avihOpt, dibs) = walk(content)
+      val (avihOpt, chunks) = walk(content)
       val (w, h, nFrames, usPf) = avihOpt
         .getOrElse(throw new IllegalArgumentException("missing avih header"))
-      require(dibs.length == nFrames,
-        s"avih declares $nFrames frames, movi carries ${dibs.length}")
+      require(chunks.length == nFrames,
+        s"avih declares $nFrames frames, movi carries ${chunks.length}")
       val stride = rowStride(w)
-      val frames = dibs.map { case (at, sz) =>
-        require(sz == stride * h, s"frame chunk of $sz bytes, expected ${stride * h}")
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          val src = at + (h - 1 - y) * stride
-          var x = 0
-          while (x < w) { // BGR → RGB
-            rgb((y * w + x) * 3) = content(src + x * 3 + 2)
-            rgb((y * w + x) * 3 + 1) = content(src + x * 3 + 1)
-            rgb((y * w + x) * 3 + 2) = content(src + x * 3)
-            x += 1
+      val frames = chunks.map {
+        case ("00dc", at, sz) => // MJPEG frame
+          val (jw, jh, gray) = JpegCodec.decode(
+            java.util.Arrays.copyOfRange(content, at, at + sz))
+          require(jw == w && jh == h,
+            s"MJPEG frame is ${jw}x$jh, avih declares ${w}x$h")
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) { // grayscale → replicated RGB
+            rgb(i * 3) = gray(i); rgb(i * 3 + 1) = gray(i); rgb(i * 3 + 2) = gray(i)
+            i += 1
           }
-          y += 1
-        }
-        rgb
+          rgb
+        case (_, at, sz) => // uncompressed DIB frame
+          require(sz == stride * h, s"frame chunk of $sz bytes, expected ${stride * h}")
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val src = at + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) { // BGR → RGB
+              rgb((y * w + x) * 3) = content(src + x * 3 + 2)
+              rgb((y * w + x) * 3 + 1) = content(src + x * 3 + 1)
+              rgb((y * w + x) * 3 + 2) = content(src + x * 3)
+              x += 1
+            }
+            y += 1
+          }
+          rgb
       }
       (w, h, usPf, frames)
     }
 
+    /** MJPEG encode: each grayscale frame (`w*h` bytes) becomes its own
+      * baseline-JPEG payload in a `00dc` (compressed) chunk — the real
+      * compressed-video shape, same container walk.
+      */
+    def encodeMjpeg(w: Int, h: Int, usPerFrame: Int,
+        grayFrames: Seq[Array[Byte]]): Array[Byte] = {
+      require(grayFrames.nonEmpty && grayFrames.forall(_.length == w * h),
+        "each grayscale frame must be w*h bytes")
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(grayFrames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+      val hdrl = "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ le32(avih.length) ++ avih
+      val jpgs = grayFrames.map { g =>
+        val jpg = JpegCodec.encode(w, h, g)
+        "00dc".getBytes("US-ASCII") ++ le32(jpg.length) ++ jpg ++
+          (if (jpg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      }
+      val movi = "movi".getBytes("US-ASCII") ++ jpgs.reduce(_ ++ _)
+      val body = "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(hdrl.length) ++ hdrl ++
+        "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** Deterministic synthetic MJPEG clip — the smooth moving gradient
+      * of [[synthetic]] as grayscale JPEG frames.
+      */
+    def syntheticMjpeg(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val base = rnd.nextInt(256)
+      val frames = (0 until nFrames).map { f =>
+        val g = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            g(y * w + x) = ((base + x * 7 + y * 3 + f * 31) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        g
+      }
+      encodeMjpeg(w, h, usPerFrame = 40000, frames)
+    }
+
     /** Shared nested-RIFF walk: returns the parsed avih (if any) and the
-      * (offset, size) of every `00db` frame chunk. All declared sizes
-      * are untrusted — negative or past-the-payload sizes throw (same
-      * contract as the WAV walk and the BMP opcode stream).
+      * (chunkId, offset, size) of every frame chunk — `00db`
+      * (uncompressed DIB) or `00dc` (compressed / MJPEG). All declared
+      * sizes are untrusted — negative or past-the-payload sizes throw
+      * (same contract as the WAV walk and the BMP opcode stream).
       */
     private def walk(content: Array[Byte])
-        : (Option[(Int, Int, Int, Int)], Seq[(Int, Int)]) = {
+        : (Option[(Int, Int, Int, Int)], Seq[(String, Int, Int)]) = {
       require(isAvi(content), "not a RIFF/AVI payload")
       def u16(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
       def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
       var avih: Option[(Int, Int, Int, Int)] = None
-      val dibs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      val frames = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
       def chunks(from: Int, until: Int): Unit = {
         var i = from
         while (i + 8 <= until) {
@@ -486,14 +555,14 @@ object Media {
             case "avih" =>
               require(sz >= 40, s"avih of $sz bytes, need 40")
               avih = Some((u32(at + 32), u32(at + 36), u32(at + 16), u32(at)))
-            case "00db" => dibs += ((at, sz))
+            case "00db" | "00dc" => frames += ((id, at, sz))
             case _ => () // index/junk chunks: skipped by declared size
           }
           i = at + sz + (sz & 1) // word alignment, as everywhere in RIFF
         }
       }
       chunks(12, content.length)
-      (avih, dibs.toSeq)
+      (avih, frames.toSeq)
     }
 
     /** Deterministic synthetic clip: n frames of a moving two-band
@@ -520,6 +589,383 @@ object Media {
         rgb
       }
       encode(w, h, usPerFrame = 40000, frames) // 25 fps
+    }
+  }
+
+  /** ----- REAL codec 5: baseline JPEG (JFIF, grayscale) -----
+    * The TRANSFORM-coded member of the codec family — DCT + quantization
+    * + Huffman entropy coding, i.e. the real compressed-frame work that
+    * BI_RLE8 (run-length) only gestures at. Single 8-bit grayscale
+    * component, baseline sequential (SOI/APP0/DQT/SOF0/DHT/SOS/EOI):
+    * 8×8 blocks are level-shifted, forward-DCT'd, quantized by the DQT
+    * table, and entropy-coded with DC prediction + AC zigzag
+    * run-length over CANONICAL Huffman tables that are EMITTED in the
+    * stream's own DHT segment — the decoder builds its tables from the
+    * bitstream (any spec-valid tables work), never from constants
+    * shared with the encoder. Flat tables (all-4-bit DC, all-8-bit AC
+    * codes) keep the table code honest and small; they satisfy Kraft
+    * and reserve the all-ones code as the standard requires. Lossy BY
+    * DESIGN like any JPEG, but deterministic, and the DC quantizer of 8
+    * keeps constant blocks EXACT (spatial error q/16 < 0.5 rounds
+    * away) — MediaSpec pins exact flat-image round-trips and a bounded
+    * gradient error. Used standalone and as the MJPEG frame payload in
+    * [[AviCodec]] `00dc` chunks.
+    */
+  object JpegCodec {
+
+    def isJpeg(content: Array[Byte]): Boolean =
+      content.length >= 3 && (content(0) & 0xff) == 0xFF &&
+        (content(1) & 0xff) == 0xD8 && (content(2) & 0xff) == 0xFF
+
+    /** Zigzag scan order: position i in the scan reads natural index
+      * Zigzag(i) of the 8×8 block (the T.81 scan pattern).
+      */
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Quantization table in zigzag order: DC 8 (constant blocks stay
+      * exact — see object doc), AC ramping 9..71 with frequency (mild,
+      * deterministic loss).
+      */
+    private val QuantZz: Array[Int] =
+      Array.tabulate(64)(i => if (i == 0) 8 else math.min(255, 8 + i))
+    private val QuantNat: Array[Int] = {
+      val q = new Array[Int](64)
+      var i = 0
+      while (i < 64) { q(Zigzag(i)) = QuantZz(i); i += 1 }
+      q
+    }
+
+    // Flat canonical Huffman tables. DC: 12 category symbols, all 4-bit
+    // codes (12/16 slots; 1111 unused). AC: EOB + 160 run/size symbols +
+    // ZRL, all 8-bit codes (162/256; 0xFF... all-ones unused).
+    private val DcBits: Array[Int] = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals: Array[Int] = (0 to 11).toArray
+    private val AcBits: Array[Int] = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val AcVals: Array[Int] =
+      0x00 +: (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size).toArray :+ 0xF0
+
+    /** Canonical code assignment (T.81 Annex C): symbols in `vals`
+      * order get increasing codes within increasing lengths. Returns
+      * symbol → (code, length).
+      */
+    private def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var k = 0
+      val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) {
+          out(vals(k)) = (code, len); code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        len += 1
+      }
+      out.toMap
+    }
+    private val DcEnc = canonical(DcBits, DcVals)
+    private val AcEnc = canonical(AcBits, AcVals)
+
+    private val CosT: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private def alpha(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+    /** Bit count of |v| (the JPEG "category"/"size"). */
+    private def bitSize(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0
+      private var nBits = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1)
+          nBits += 1
+          if (nBits == 8) {
+            out.write(acc)
+            if (acc == 0xFF) out.write(0x00) // byte stuffing
+            acc = 0; nBits = 0
+          }
+          i -= 1
+        }
+      }
+      def flushOnes(): Unit = if (nBits > 0) put(0xFF, 8 - nBits)
+    }
+
+    def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && gray.length == w * h,
+        s"gray payload must be w*h bytes, got ${gray.length} for ${w}x$h")
+      val out = new java.io.ByteArrayOutputStream()
+      def seg(m: Int, payload: Array[Byte]): Unit = {
+        out.write(0xFF); out.write(m)
+        out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+        out.write(payload, 0, payload.length)
+      }
+      out.write(0xFF); out.write(0xD8) // SOI
+      seg(0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+      seg(0xDB, 0.toByte +: QuantZz.map(_.toByte)) // Pq=0 Tq=0, zigzag order
+      seg(0xC0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+        (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0))
+      def dht(classId: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+        classId.toByte +: (bits.map(_.toByte) ++ vals.map(_.toByte))
+      seg(0xC4, dht(0x00, DcBits, DcVals) ++ dht(0x10, AcBits, AcVals))
+      seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      val bw = new BitWriter(out)
+      val coef = new Array[Int](64)
+      val block = new Array[Double](64)
+      var prevDc = 0
+      var by = 0
+      while (by < (h + 7) / 8) {
+        var bx = 0
+        while (bx < (w + 7) / 8) {
+          // load with edge replication + level shift
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(h - 1, by * 8 + y)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(w - 1, bx * 8 + x)
+              block(y * 8 + x) = (gray(sy * w + sx) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          // FDCT + quantize (natural order)
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0.0
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  s += block(yy * 8 + xx) * CosT(yy)(v) * CosT(xx)(u)
+                  xx += 1
+                }
+                yy += 1
+              }
+              val f = 0.25 * alpha(u) * alpha(v) * s
+              coef(v * 8 + u) = math.round(f / QuantNat(v * 8 + u)).toInt
+              u += 1
+            }
+            v += 1
+          }
+          // DC: predicted diff, category + magnitude bits
+          val diff = coef(0) - prevDc
+          prevDc = coef(0)
+          val dsz = bitSize(diff)
+          val (dc, dl) = DcEnc(dsz)
+          bw.put(dc, dl)
+          if (dsz > 0) bw.put(if (diff >= 0) diff else diff + (1 << dsz) - 1, dsz)
+          // AC: zigzag run-length with ZRL/EOB
+          var run = 0
+          var i = 1
+          while (i < 64) {
+            val ac = coef(Zigzag(i))
+            if (ac == 0) run += 1
+            else {
+              while (run > 15) { val (c, l) = AcEnc(0xF0); bw.put(c, l); run -= 16 }
+              val asz = bitSize(ac)
+              val (c, l) = AcEnc((run << 4) | asz)
+              bw.put(c, l)
+              bw.put(if (ac >= 0) ac else ac + (1 << asz) - 1, asz)
+              run = 0
+            }
+            i += 1
+          }
+          if (run > 0) { val (c, l) = AcEnc(0x00); bw.put(c, l) } // EOB
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flushOnes()
+      out.write(0xFF); out.write(0xD9) // EOI
+      out.toByteArray
+    }
+
+    /** (width, height, grayscale bytes). Tables come from the stream's
+      * own DQT/DHT segments; all declared lengths are untrusted (same
+      * guard contract as the RIFF walks).
+      */
+    def decode(content: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(isJpeg(content), "not a JPEG payload")
+      def u8(i: Int): Int = content(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      var w = 0; var h = 0
+      var quant: Array[Int] = null
+      // (class, id) → (bits, vals)
+      val tables = scala.collection.mutable.Map.empty[Int, (Array[Int], Array[Int])]
+      var pos = 2
+      var sosAt = -1
+      while (sosAt < 0) {
+        require(pos + 4 <= content.length, "truncated JPEG: no SOS")
+        require(u8(pos) == 0xFF, s"expected marker at $pos")
+        val m = u8(pos + 1)
+        val len = u16(pos + 2)
+        require(len >= 2 && pos + 2 + len <= content.length,
+          s"corrupt segment 0x${m.toHexString}: declared $len bytes")
+        val at = pos + 4
+        m match {
+          case 0xDB =>
+            require(len >= 67 && (u8(at) >> 4) == 0, "DQT: need one 8-bit table")
+            quant = Array.tabulate(64)(i => u8(at + 1 + i))
+          case 0xC0 =>
+            require(u8(at) == 8 && u8(at + 5) == 1,
+              "SOF0: 8-bit single-component baseline only")
+            h = u16(at + 1); w = u16(at + 3)
+          case 0xC4 =>
+            var p = at
+            while (p < pos + 2 + len) {
+              val tc = u8(p)
+              val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits.sum
+              require(p + 17 + n <= pos + 2 + len, "DHT overruns its segment")
+              tables(tc) = (bits, Array.tabulate(n)(i => u8(p + 17 + i)))
+              p += 17 + n
+            }
+          case 0xDA => sosAt = pos + 2 + len
+          case _ => () // APPn/COM/others: skip by declared length
+        }
+        pos += 2 + len
+      }
+      require(w > 0 && h > 0, "missing SOF0")
+      require(quant != null, "missing DQT")
+      val (dcBits, dcVals) = tables.getOrElse(0x00,
+        throw new IllegalArgumentException("missing DC Huffman table"))
+      val (acBits, acVals) = tables.getOrElse(0x10,
+        throw new IllegalArgumentException("missing AC Huffman table"))
+      val qNat = new Array[Int](64)
+      var zi = 0
+      while (zi < 64) { qNat(Zigzag(zi)) = quant(zi); zi += 1 }
+      // canonical decode tables: per length, [minCode, maxCode] + first
+      // symbol index (the T.81 Annex F DECODE procedure)
+      def decTables(bits: Array[Int], vals: Array[Int]) = {
+        val minC = new Array[Int](17); val maxC = new Array[Int](17)
+        val valP = new Array[Int](17)
+        var code = 0; var k = 0; var len = 1
+        while (len <= 16) {
+          if (bits(len - 1) == 0) { minC(len) = 0; maxC(len) = -1 }
+          else { valP(len) = k; minC(len) = code; code += bits(len - 1); k += bits(len - 1); maxC(len) = code - 1 }
+          code <<= 1
+          len += 1
+        }
+        (minC, maxC, valP, vals)
+      }
+      val dcT = decTables(dcBits, dcVals)
+      val acT = decTables(acBits, acVals)
+      // bit reader over the entropy stream (0xFF00 unstuffed; any other
+      // marker ends the scan)
+      var bp = sosAt
+      var bacc = 0; var bn = 0
+      def nextBit(): Int = {
+        if (bn == 0) {
+          require(bp < content.length, "entropy stream truncated")
+          var b = u8(bp); bp += 1
+          if (b == 0xFF) {
+            require(bp < content.length, "entropy stream truncated at 0xFF")
+            if (u8(bp) == 0x00) bp += 1 // stuffed data byte
+            else { bp -= 1; b = 0 } // marker: stay pinned on it; pad reads as zeros
+          }
+          bacc = b; bn = 8
+        }
+        bn -= 1
+        (bacc >> bn) & 1
+      }
+      def decodeSym(t: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+        val (minC, maxC, valP, vals) = t
+        var code = nextBit()
+        var len = 1
+        while (!(maxC(len) >= 0 && code <= maxC(len))) {
+          code = (code << 1) | nextBit()
+          len += 1
+          require(len <= 16, "invalid Huffman code in entropy stream")
+        }
+        vals(valP(len) + code - minC(len))
+      }
+      def receive(sz: Int): Int = {
+        var v = 0; var i = 0
+        while (i < sz) { v = (v << 1) | nextBit(); i += 1 }
+        if (sz > 0 && v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+      }
+      val gray = new Array[Byte](w * h)
+      val coef = new Array[Int](64)
+      var prevDc = 0
+      var by = 0
+      while (by < (h + 7) / 8) {
+        var bx = 0
+        while (bx < (w + 7) / 8) {
+          java.util.Arrays.fill(coef, 0)
+          prevDc += receive(decodeSym(dcT))
+          coef(0) = prevDc
+          var i = 1
+          while (i < 64) {
+            val rs = decodeSym(acT)
+            if (rs == 0x00) i = 64 // EOB
+            else if (rs == 0xF0) i += 16 // ZRL
+            else {
+              i += rs >> 4
+              require(i < 64, "AC run past block end")
+              coef(Zigzag(i)) = receive(rs & 0x0F)
+              i += 1
+            }
+          }
+          // dequant + IDCT + level shift, cropped to the true dims
+          var y = 0
+          while (y < 8) {
+            val py = by * 8 + y
+            var x = 0
+            while (x < 8) {
+              val px = bx * 8 + x
+              if (py < h && px < w) {
+                var s = 0.0
+                var v = 0
+                while (v < 8) {
+                  var u = 0
+                  while (u < 8) {
+                    val c = coef(v * 8 + u)
+                    if (c != 0)
+                      s += alpha(u) * alpha(v) * c * qNat(v * 8 + u) *
+                        CosT(y)(v) * CosT(x)(u)
+                    u += 1
+                  }
+                  v += 1
+                }
+                val pix = math.round(0.25 * s + 128.0).toInt
+                gray(py * w + px) = math.max(0, math.min(255, pix)).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      (w, h, gray)
+    }
+
+    /** Deterministic synthetic grayscale image (smooth two-gradient
+      * pattern — compresses well under the DCT, unlike noise).
+      */
+    def synthetic(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val base = rnd.nextInt(256)
+      val gray = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = ((base + x * 5 + y * 2) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      encode(w, h, gray)
     }
   }
 
@@ -585,17 +1031,23 @@ object Media {
         // a real mixed-crawl corpus never arrives in one format, and the
         // per-payload magic-number dispatch (not the metadata) is what
         // every decode path must exercise
-        val asBmp = (id / 3) % 2 == 1
+        // the VIDEO column alternates too: uncompressed-DIB AVI and
+        // MJPEG AVI (baseline-JPEG 00dc frames — transform-coded, the
+        // real compressed-video shape) under one container walk
+        val altFormat = (id / 3) % 2 == 1
         val content = kind match {
           case "image" =>
-            if (asBmp) BmpCodec.synthetic(w, h, seed = id) // real, compressed
+            if (altFormat) BmpCodec.synthetic(w, h, seed = id) // real, compressed
             else PpmCodec.synthetic(w, h, seed = id) // real format
           case "audio" => WavCodec.synthetic(16000, nSamples, seed = id) // real format
-          case _       => AviCodec.synthetic(w, h, nFrames, seed = id) // real container
+          case _ =>
+            if (altFormat) AviCodec.syntheticMjpeg(w, h, nFrames, seed = id)
+            else AviCodec.synthetic(w, h, nFrames, seed = id) // real container
         }
         val fmt = kind match {
-          case "image" => if (asBmp) "bmp" else "ppm"
-          case "audio" => "wav"; case _ => "avi"
+          case "image" => if (altFormat) "bmp" else "ppm"
+          case "audio" => "wav"
+          case _ => if (altFormat) "mjpeg" else "avi"
         }
         MediaRecord(id,
           MediaMeta(kind, fmt, w, h,

@@ -412,10 +412,23 @@ object Curation {
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
     // Single-pass HLL profile — the continuous-profiler form of
-    // q_profile (no oracle: estimates are engine-specific; CurationSpec
-    // bounds them against the exact profile)
+    // q_profile. No hash oracle (estimates are engine-specific); the
+    // TOLERANCE oracle checks each approx_distinct against the exact
+    // distinct within the rsd-0.02 sketch's 3σ ≈ 6% bound (10% ceiling)
+    // while n_nulls stays an EXACT compare; CurationSpec additionally
+    // bounds the estimates against the exact profile.
     QueryDef("q_profile_approx",
-      (s, d) => profileOrdersApproxOf(T.orders(s, d)), None),
+      (s, d) => profileOrdersApproxOf(T.orders(s, d)), None,
+      Some(graft.ApproxOracle(
+        Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice").map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS approx_distinct
+             |FROM orders""".stripMargin)
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY col_name"),
+        Map("approx_distinct" -> 0.10)))),
 
     // Deterministic corpus shuffle + shard assignment — the write-layout
     // step before training: every doc gets a stable pseudo-random md5

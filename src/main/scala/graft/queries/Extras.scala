@@ -65,15 +65,23 @@ object Extras {
     // percentile above. `approx_percentile` (Greenwald-Khanna, accuracy
     // 10000 ⇒ ε = 1e-4) aggregates a bounded-size sketch with map-side
     // partial merge — no per-group value buffering. Sketch output is
-    // engine-specific → scalatest-bounded against exact (WindowPropSpec),
-    // no DuckDB oracle, mirroring the q_agg_distinct/q_agg_approx pair.
+    // engine-specific → no hash oracle; the TOLERANCE oracle checks the
+    // sketch quantiles against exact quantile_cont within 1% (rank
+    // error 1e-4 × ~12k rows/type ≈ 1 rank on a smooth value axis),
+    // plus WindowPropSpec's scalatest bounds.
     QueryDef("q_agg_percentile_approx",
       (s, d) => T.events(s, d)
         .groupBy(col("event_type"))
         .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
           round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90"))
         .orderBy(col("event_type")),
-      None),
+      None,
+      Some(graft.ApproxOracle(
+        """SELECT event_type,
+          |       round(quantile_cont(value, 0.5), 4) AS p50,
+          |       round(quantile_cont(value, 0.9), 4) AS p90
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("p50" -> 0.01, "p90" -> 0.01)))),
 
     // Data-quality outlier detection: events beyond ±3σ of their type's
     // mean. The per-type moments come from one aggregation broadcast

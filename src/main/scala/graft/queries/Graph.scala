@@ -34,34 +34,50 @@ object Graph {
   val Scale = 1000000000000L
   val Iterations = 10
 
+  /** Node-dimension broadcast ceiling for the iterative loops: a
+    * (node, BIGINT-state) row is ~50 bytes materialized, so 10M nodes
+    * ≈ 500 MB — the most an executor should hold of somebody else's
+    * state. Below it, rank/label/vote vectors broadcast and each round
+    * costs ONE dst-keyed shuffle; above it, the SAME plan runs with the
+    * hints dropped — two m-row shuffle joins per round, still linear,
+    * no plan rewrite (the triangleStats fallback contract, now uniform
+    * across all three iterative operators).
+    */
+  val BroadcastNodeLimit = 10000000L
+
+  private def maybeBcast(df: DataFrame, nodeCount: Long, limit: Long): DataFrame =
+    if (nodeCount <= limit) broadcast(df) else df
+
   /** Spark-side deterministic integer PageRank; factored out so specs
     * can run it on crafted graphs (GraphSpec parity vs a naive
     * in-test implementation).
     */
-  def pagerankOf(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+  def pagerankOf(nodes: DataFrame, edges: DataFrame, iterations: Int,
+                 bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val nd = nodes.localCheckpoint(true)
+    val n = nd.count() // bounded: dimension-table count, one action
     // materialize the loop-invariant state ONCE: edges pre-joined with
     // their source's out-weight (the denominator never changes), and
     // the node list. Without this every iteration re-derives the edge
     // aggregation all the way from the fact-table self-join — measured
     // 20.5 s → 7 s at sf0.1.
     val ew = edges.join(
-        broadcast(edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))), "src")
+        maybeBcast(edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), n, bcastLimit),
+        "src")
       .select(col("src"), col("dst"), col("w"), col("wtot"))
       .localCheckpoint(true)
-    val nd = nodes.localCheckpoint(true)
-    val n = nd.count() // bounded: dimension-table count, one action
     val base = Scale / n
     val base15 = (15L * base) / 100L
     var pr = nd.withColumn("pr", lit(base))
     var it = 0
     while (it < iterations) {
       // rank is node-count rows (the contracted graph) — broadcast it
-      // into the edge scan so the only shuffle per iteration is the
-      // dst-keyed contribution aggregation
-      val contrib = broadcast(pr).join(ew, pr("node") === ew("src"))
+      // into the edge scan (conditional on BroadcastNodeLimit) so the
+      // only shuffle per iteration is the dst-keyed contribution agg
+      val contrib = maybeBcast(pr, n, bcastLimit).join(ew, pr("node") === ew("src"))
         .selectExpr("dst", "(pr * w) div wtot AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = nd.join(broadcast(contrib), nd("node") === contrib("dst"), "left")
+      pr = nd.join(maybeBcast(contrib, n, bcastLimit), nd("node") === contrib("dst"), "left")
         .select(nd("node"), coalesce(col("s"), lit(0L)).as("s"))
         .selectExpr("node", s"${base15}L + ((85 * s) div 100) AS pr")
         // truncate lineage: 10 chained join+agg rounds would otherwise
@@ -136,16 +152,19 @@ object Graph {
     * the contracted graph plus a per-dst argmax taken with the
     * GroupedTopK bounded-heap operator (k=1) — never a full sort of the
     * vote table. Labels are node-dimension rows and broadcast like the
-    * PageRank rank vector; state localCheckpoints per round so lineage
-    * never stacks.
+    * PageRank rank vector (conditional on BroadcastNodeLimit — past it
+    * the hint drops and the round runs as a shuffle join, same plan);
+    * state localCheckpoints per round so lineage never stacks.
     */
-  def lpaOf(edges: DataFrame, iterations: Int): DataFrame = {
+  def lpaOf(edges: DataFrame, iterations: Int,
+            bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val ew = edges.localCheckpoint(true)
     var lab = ew.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    val n = lab.count() // node-dimension count, one action on the checkpoint
     var it = 0
     while (it < iterations) {
-      val votes = broadcast(lab).join(ew, lab("node") === ew("src"))
+      val votes = maybeBcast(lab, n, bcastLimit).join(ew, lab("node") === ew("src"))
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
       lab = graft.plans.GroupedTopKOp
         .topK(votes, 1, Seq("dst"), Seq(("v", true), ("label", false)))

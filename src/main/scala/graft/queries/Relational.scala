@@ -281,15 +281,19 @@ object Relational {
     // bins anywhere), and the scoped RewriteRangeJoin rule injects the
     // equi key underneath it, turning the BroadcastNestedLoopJoin plan
     // into a hash join mechanically. Same answer, same oracle as
-    // q_join_range; rows materialize inside the rule's scope (100
-    // windows — bounded) so the rewritten plan is what produced them.
+    // q_join_range. The result must materialize inside the rule's
+    // register→deregister window (lazy eval would escape it), so we
+    // force it with an EAGER localCheckpoint: executors materialize the
+    // rewritten plan's partitions in place and the returned frame reads
+    // those blocks — no row ever transits the driver, unlike a
+    // collect()+createDataFrame forcing, which would pull every matched
+    // (window, event) row driver-side and grow with events-per-window.
     // RangeRewriteSpec pins the plan shape, parity, and no-fire guards.
     QueryDef("q_range_rewrite",
       (s, d) => {
         val naive = rangeJoinNaive(s, d)
         graft.plans.RewriteRangeJoin.withRule(s) {
-          val rows = naive.collect()
-          s.createDataFrame(java.util.Arrays.asList(rows: _*), naive.schema)
+          naive.localCheckpoint(eager = true)
         }
       },
       Some(rangeJoinOracle)),
@@ -347,14 +351,21 @@ object Relational {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // HLL approx distinct — estimates differ across engines, so this is
-    // scalatest-verified (bounds vs exact), not oracle-checked.
+    // HLL approx distinct — estimates differ across engines, so no
+    // hash-match oracle; instead a TOLERANCE oracle checks the estimate
+    // against the exact distinct within HLL's bound (default rsd 0.05;
+    // 3σ → 15% ceiling), plus scalatest bounds vs exact.
     QueryDef("q_agg_approx",
       (s, d) => T.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type")),
-      None),
+      None,
+      Some(graft.ApproxOracle(
+        """SELECT event_type,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("approx_users" -> 0.15)))),
 
     // Rollup over a 3-table join. NULLS FIRST is explicit on both sides:
     // Spark defaults nulls-first on ASC, DuckDB defaults nulls-last.

@@ -564,8 +564,13 @@ object Similarity {
     * centroid lists (equi-join on cid), then exact cosine re-rank.
     */
   def ivfTopK(s: SparkSession, d: String, probeIds: Seq[Long], k: Int,
+      nprobe: Int = IvfProbes, lists: Int = IvfCentroids): DataFrame =
+    ivfTopKOf(T.embeddings(s, d), probeIds, k, nprobe, lists)
+
+  /** Frame variant of [[ivfTopK]] (the auto route / specs). */
+  def ivfTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
       nprobe: Int = IvfProbes, lists: Int = IvfCentroids): DataFrame = {
-    val assigned = ivfAssignOf(T.embeddings(s, d), lists)._1
+    val assigned = ivfAssignOf(embeddings, lists)._1
     val probeCids = assigned.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         posexplode(col("dots")))
@@ -597,6 +602,115 @@ object Similarity {
     val lists = adaptiveCentroids(T.embeddings(s, d).count())
     ivfTopK(s, d, probeIds, k,
       nprobe = math.max(IvfProbes, lists * IvfProbes / IvfCentroids), lists = lists)
+  }
+
+  // ---- geometry probe: the SCALING.md round-9 finding as a mechanism ----
+
+  /** Sampled corpus-geometry measurement. `nnCos` is the median, over
+    * the sample, of each point's best cosine to another sample point
+    * (the structure signal: in a clustered corpus two sample points
+    * share a cluster long before 256 draws); `randCos` is the median
+    * cosine over ALL sample pairs (the isotropic baseline). Their gap
+    * is what separates "neighbors exist" from "neighbors are barely
+    * closer than random" — the exact distinction that decided the
+    * round-9 recall table (LSH-8 1.00 on clustered/heavy, 0.40 on iso).
+    */
+  final case class GeometryProbe(nnCos: Double, randCos: Double) {
+    def gap: Double = nnCos - randCos
+    def structured: Boolean = gap >= StructuredGap
+  }
+
+  /** Decision threshold on [[GeometryProbe.gap]]: measured ~0.9 on the
+    * clustered/heavy generators (same-cluster cosine ≈ 0.96 against a
+    * ~0 cross-cluster median) vs ~0.3 on iso (best-of-255 random cosine
+    * in 64-d). 0.6 sits in the middle of that empty band.
+    */
+  val StructuredGap = 0.6
+
+  /** Measure the corpus geometry from a bounded deterministic sample:
+    * top-`sampleSize` rows by md5(vec_id) (TakeOrderedAndProject — a
+    * streaming top-k, never a global sort), collected driver-side
+    * (≤256 × 64 doubles ≈ 128 KB, the ≤4096-centroid collect
+    * convention), then O(sample²) driver cosines — ~33k dot products,
+    * microseconds. ONE cheap corpus pass total, independent of n.
+    */
+  def probeGeometry(embeddings: DataFrame, sampleSize: Int = 256): GeometryProbe = {
+    val sample = corpusOf(embeddings)
+      .select(col("vec_id"), col("emb"))
+      .orderBy(md5(concat(lit("gp:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = sample.length
+    require(n >= 2, s"geometry probe needs >= 2 vectors, got $n")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def median(xs: Array[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val pairCos = Array.ofDim[Double](n * (n - 1) / 2)
+    val best = Array.fill(n)(-1.0)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val c = cos(sample(i), sample(j))
+        pairCos(p) = c; p += 1
+        if (c > best(i)) best(i) = c
+        if (c > best(j)) best(j) = c
+        j += 1
+      }
+      i += 1
+    }
+    GeometryProbe(median(best), median(pairCos))
+  }
+
+  /** ANN route selected by the probe. */
+  sealed trait AnnRoute { def name: String }
+  final case class RouteLsh(tables: Int) extends AnnRoute {
+    val name = s"lsh$tables"
+  }
+  case object RouteIvf extends AnnRoute { val name = "ivf" }
+
+  /** The round-9 geometry finding as a decision rule: structured corpus
+    * → LSH at the default table count (cheapest path, recall 1.00 on
+    * the clustered AND heavy generators); structureless → IVF, the
+    * measured zero-tuning recommendation (0.73→1.00 across tiers where
+    * LSH-8 sat at 0.40). [[lshTablesFor]] is the companion for callers
+    * pinned to LSH (e.g. a streaming path with no trained index): the
+    * priced 32-table OR-amplification remedy instead of a route change.
+    */
+  def chooseRoute(probe: GeometryProbe): AnnRoute =
+    if (probe.structured) RouteLsh(LshTables) else RouteIvf
+
+  def lshTablesFor(probe: GeometryProbe): Int =
+    if (probe.structured) LshTables else 32
+
+  /** Frame variant of [[lshTopKTables]] for the auto path / specs. */
+  def lshTopKTablesOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      nTables: Int): DataFrame = {
+    val exploded = lshBucketsOf(embeddings, nTables = nTables)
+      .select(col("vec_id"), col("emb"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    topKFromBuckets(exploded, probeIds, k)
+  }
+
+  /** Probe-then-route ANN top-k (q_ann_auto): one bounded geometry
+    * sample decides the index family, then the chosen path runs
+    * unchanged; the decision is surfaced as a `route` column so a
+    * pipeline (and the spec) can see which index served the query.
+    */
+  def autoTopKOf(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val route = chooseRoute(probeGeometry(embeddings))
+    val topk = route match {
+      case RouteLsh(t) => lshTopKTablesOf(embeddings, probeIds, k, t)
+      case RouteIvf =>
+        val lists = adaptiveCentroids(embeddings.count())
+        ivfTopKOf(embeddings, probeIds, k,
+          nprobe = math.max(IvfProbes, lists * IvfProbes / IvfCentroids), lists = lists)
+    }
+    topk.withColumn("route", lit(route.name))
   }
 
   /** Johnson-Lindenstrauss random projection: embeddings × a fixed
@@ -676,6 +790,13 @@ object Similarity {
     // MMR diversification over the top-20 pool for probe 0 (λ = 0.7):
     // one corpus scoring pass + driver-side greedy over the bounded pool.
     QueryDef("q_mmr_diversify",
-      (s, d) => mmrDiversifyOf(T.embeddings(s, d), 0L, 20, 5, 0.7), None)
+      (s, d) => mmrDiversifyOf(T.embeddings(s, d), 0L, 20, 5, 0.7), None),
+    // Probe-then-route ANN: a bounded geometry sample decides LSH-8
+    // (structured corpus) vs IVF (structureless — the fixture's case,
+    // so this runs the IVF path here), surfaced as a `route` column.
+    // SimilaritySpec proves the probe's decisions on all three
+    // generator geometries + the recall bound of the selected path.
+    QueryDef("q_ann_auto",
+      (s, d) => autoTopKOf(T.embeddings(s, d), Seq(0L, 1L, 2L), 5), None)
   )
 }

@@ -76,22 +76,53 @@ object TimeWindows {
     * all derived inside, so incremental and one-shot share one body.
     */
   def activeUsersOf(ud: DataFrame): DataFrame = {
+    // 64-day word SHARDING: Spark's shiftleft has Java shift-mod-64
+    // semantics, so a single BIGINT mask silently wraps on any corpus
+    // spanning >= 64 days (day 64 collides with day 0, and the naive
+    // mau lowbits form (1<<(t+1))-1 wraps to 0 at t=63). Each user
+    // therefore carries map<word, mask> with word = day div 64 and
+    // bit = day mod 64 — any horizon, no wrap, still one compact row
+    // per user (ceil(span/64) map entries, only non-empty words stored).
     val b = ud.agg(min(col("day_abs")).as("a0"),
       (max(col("day_abs")) - min(col("day_abs"))).as("maxd"))
-    val masks = ud.join(broadcast(b))
-      .select(col("user_id"), (col("day_abs") - col("a0")).as("day"), col("maxd"))
-      .groupBy(col("user_id"), col("maxd"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day))").as("mask"))
+    val wordMasks = ud.join(broadcast(b))
+      .select(col("user_id"),
+        (col("day_abs") - col("a0")).cast("int").as("day"), col("maxd"))
+      .groupBy(col("user_id"), col("maxd"),
+        expr("CAST(day DIV 64 AS INT)").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(day % 64 AS INT)))")
+        .as("m"))
+    val masks = wordMasks.groupBy(col("user_id"), col("maxd"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("m"))))
+        .as("wm"))
+    // Word/bit addressing over the t axis. lowBits(h) = bits 0..h (the
+    // unsigned right shift sidesteps the (1<<64)-1 wrap at h=63);
+    // hiBits(l) = bits l..63 as -1 << l — pure shift, no arithmetic
+    // (the tempting -(1<<l) form overflows ANSI mode at l=63, where
+    // 1<<63 is already Long.MinValue).
+    // A missing word reads as an all-zero mask via coalesce. The wau7
+    // span is 7 days < 64, so it straddles AT MOST two words — the
+    // CASE's two arms are exhaustive.
+    def w(d: String) = s"CAST(($d) DIV 64 AS INT)"
+    def bit(d: String) = s"CAST(($d) % 64 AS INT)"
+    def at(word: String) = s"coalesce(element_at(wm, $word), CAST(0 AS BIGINT))"
+    def lowBits(h: String) = s"shiftrightunsigned(CAST(-1 AS BIGINT), 63 - ($h))"
+    def hiBits(l: String) = s"shiftleft(CAST(-1 AS BIGINT), $l)"
+    val lo = "greatest(0, t - 6)"
+    val dauC = s"(${at(w("t"))} & shiftleft(CAST(1 AS BIGINT), ${bit("t")})) != 0"
+    val wauC =
+      s"""CASE WHEN ${w(lo)} = ${w("t")}
+         | THEN (${at(w("t"))} & (${hiBits(bit(lo))} & ${lowBits(bit("t"))})) != 0
+         | ELSE (${at(w(lo))} & ${hiBits(bit(lo))}) != 0
+         |   OR (${at(w("t"))} & ${lowBits(bit("t"))}) != 0 END""".stripMargin
+    val mauC = s"exists(map_keys(wm), k -> k < ${w("t")})" +
+      s" OR (${at(w("t"))} & ${lowBits(bit("t"))}) != 0"
     masks
-      .select(explode(sequence(lit(0), col("maxd"))).as("t"), col("mask"))
+      .select(explode(sequence(lit(0), col("maxd"))).as("t"), col("wm"))
       .groupBy(col("t")).agg(
-        sum(expr("CASE WHEN (mask & shiftleft(CAST(1 AS BIGINT), t)) != 0"
-          + " THEN 1 ELSE 0 END")).as("dau"),
-        sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1)"
-          + " - shiftleft(CAST(1 AS BIGINT), greatest(0, t - 6)))) != 0"
-          + " THEN 1 ELSE 0 END")).as("wau7"),
-        sum(expr("CASE WHEN (mask & (shiftleft(CAST(1 AS BIGINT), t + 1) - 1))"
-          + " != 0 THEN 1 ELSE 0 END")).as("mau"))
+        sum(expr(s"CASE WHEN $dauC THEN 1 ELSE 0 END")).as("dau"),
+        sum(expr(s"CASE WHEN $wauC THEN 1 ELSE 0 END")).as("wau7"),
+        sum(expr(s"CASE WHEN $mauC THEN 1 ELSE 0 END")).as("mau"))
       .orderBy(col("t"))
   }
 
@@ -1045,8 +1076,9 @@ object TimeWindows {
     // aggregate (distinct users in [t−6, t] ≠ any combination of daily
     // distincts). The 100-TB form is the activity BITMASK: one
     // user-keyed aggregation folds each user's active days into a
-    // single BIGINT (bit t = active on day t; a longer horizon shards
-    // into 64-day words), after which every day's three counts are bit
+    // map<word, BIGINT> of 64-day words (bit day%64 of word day/64 =
+    // active; sharded, so a >=64-day horizon can never hit Java's
+    // shift-mod-64 wrap), after which every day's three counts are bit
     // tests on the user-dimension-sized mask table — the corpus is
     // touched exactly once, and the window never re-scans it. The
     // ORACLE deliberately computes the same numbers the NAIVE way

@@ -185,32 +185,78 @@ object Udx {
     // semantics (null-fill, type union) are identical either way, and
     // they are what this query verifies.
     QueryDef("q_schema_evo",
-      (s, d) => {
-        val base = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_schema_evo_${s.sparkContext.applicationId}_${dirTag(d)}")
-        val (v1, v2) = (new java.io.File(base, "v1").toString,
-          new java.io.File(base, "v2").toString)
-        val o = T.orders(s, d)
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey"), col("o_totalprice"))
-          .write.mode("overwrite").parquet(v1)
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-          .write.mode("overwrite").parquet(v2)
-        s.read.option("mergeSchema", "true").parquet(v1, v2)
-          .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
-            .as("priority"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 4).as("total"))
-          .orderBy(col("priority"))
+      (s, d) => evolutionRun(s, d) { (spark, v1, v2) =>
+        spark.read.option("mergeSchema", "true").parquet(v1, v2)
       },
-      Some("""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
-             |            ELSE '(pre-evolution)' END AS priority,
-             |       CAST(count(*) AS BIGINT) AS n,
-             |       round(sum(o_totalprice), 4) AS total
-             |FROM orders
-             |GROUP BY 1 ORDER BY priority""".stripMargin))
+      Some(schemaEvoOracle)),
+
+    // The catalog-declared twin of q_schema_evo (the 100-TB form the
+    // comment above prescribes): the writer DECLARES each batch's
+    // schema into SchemaRegistry as it lands, the registry folds them
+    // into the running union, and the read path consumes that declared
+    // union directly — ZERO footer-sampling passes over the lake, while
+    // the null-fill/union semantics stay byte-identical to mergeSchema
+    // (SchemaRegistrySpec pins declare-vs-merge equivalence; this query
+    // shares q_schema_evo's oracle verbatim).
+    QueryDef("q_schema_evo_cat",
+      (s, d) => evolutionRun(s, d) { (spark, v1, v2) =>
+        import graft.sources.SchemaRegistry
+        val table = "orders_evo_cat"
+        SchemaRegistry.drop(table)
+        SchemaRegistry.declare(table, spark.read.parquet(v1).schema)
+        SchemaRegistry.declare(table, spark.read.parquet(v2).schema)
+        SchemaRegistry.readDeclared(spark, table, v1, v2)
+      },
+      Some(schemaEvoOracle))
   )
+
+  // a def, NOT a val: defs above references it during object init —
+  // a val declared after defs would still be null at capture time
+  private def schemaEvoOracle: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+      |            ELSE '(pre-evolution)' END AS priority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** Shared schema-evolution fixture: land batch v1 (even keys, WITHOUT
+    * o_orderpriority) and batch v2 (odd keys, with it) as parquet, hand
+    * the two paths to `reader` (mergeSchema vs catalog-declared), run
+    * the evolved-column aggregation, and — unlike the roundtrip sinks,
+    * which overwrite one stable path per app — delete the temp batches
+    * in a finally (the result is EAGERLY localCheckpointed first, so
+    * the returned frame no longer references the deleted files).
+    */
+  private def evolutionRun(s: org.apache.spark.sql.SparkSession, d: String)(
+      reader: (org.apache.spark.sql.SparkSession, String, String) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_schema_evo")
+    try {
+      val (v1, v2) = (new java.io.File(base.toFile, "v1").toString,
+        new java.io.File(base.toFile, "v2").toString)
+      val o = T.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(v1)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(v2)
+      reader(s, v1, v2)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("priority"))
+        .localCheckpoint(true)
+    } finally {
+      import scala.util.Try
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
+      finally walk.close()
+    }
+  }
 
   /** The JSONL write + schema'd read-back itself, nested columns intact.
     * Kept as the shared core so the spec verifies exactly what the

@@ -218,6 +218,14 @@ class AnalyticsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("Gram sketch fails fast on a dimension mismatch (no silent truncation)") {
+    import graft.ml.Gram
+    val short = Seq.fill(16)(1.0f)
+    val long = Seq.fill(128)(1.0f)
+    intercept[IllegalArgumentException](Gram.reduce(Gram.zero, short))
+    intercept[IllegalArgumentException](Gram.reduce(Gram.zero, long))
+  }
+
   test("q_embed_pca: convergence certificate, share bound, sketch equals driver Gram") {
     import graft.ml.{Gram, Pca}
     val vecs = Tables.embeddings(spark, sf)

@@ -55,6 +55,26 @@ class GraphSpec extends AnyFunSuite with SharedSpark {
     assert(got(1L) > got(5L))
   }
 
+  test("pagerank/LPA past the broadcast ceiling: hint-free plan, identical results") {
+    import spark.implicits._
+    // bcastLimit = 0 forces the >BroadcastNodeLimit fallback (the
+    // billion-node-dimension path): every round's rank/label/vote join
+    // runs WITHOUT the broadcast hint and must produce bit-identical
+    // state — integer arithmetic has no plan-order sensitivity to hide.
+    val prB = Graph.pagerankOf(nodes.toDF("node"), edges.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prS = Graph.pagerankOf(nodes.toDF("node"), edges.toDF("src", "dst", "w"), 5,
+        bcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prB == prS, "pagerank fallback diverged from the broadcast plan")
+    val sym = edges ++ edges.map { case (s, d, w) => (d, s, w) }
+    val lpB = Graph.lpaOf(sym.toDF("src", "dst", "w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpS = Graph.lpaOf(sym.toDF("src", "dst", "w"), 3, bcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpB == lpS, "LPA fallback diverged from the broadcast plan")
+  }
+
   test("pagerank is bit-identical under a different input partitioning") {
     import spark.implicits._
     val a = Graph.pagerankOf(nodes.toDF("node"), edges.toDF("src", "dst", "w"), 5)

@@ -54,6 +54,25 @@ class IncrementalDauSpec extends AnyFunSuite with SharedSpark {
       "redelivered activity must not change any count")
   }
 
+  test("a >64-day horizon does not wrap (64-day word sharding)") {
+    // Pre-sharding, shiftleft's Java shift-mod-64 semantics made day 64
+    // collide with day 0 and the mau lowbits mask wrap to 0 at t=63.
+    // Axis spans 0..200: user 1 active on days 0 and 64 (the collision
+    // pair), user 2 only on day 63 (the t=63 mask-wrap row), user 3
+    // only on day 200 (anchors the axis; 3 words apart from day 0).
+    val got = rowsOf(TimeWindows.activeUsersOf(
+      Seq((1L, 0), (1L, 64), (2L, 63), (3L, 200)).toDF("user_id", "day_abs")))
+    assert(got.size == 201)
+    val byT = got.map(r => r._1 -> r).toMap
+    assert(byT(0) == ((0, 1L, 1L, 1L)), "day 0: only user 1")
+    assert(byT(63) == ((63, 1L, 1L, 2L)), "day 63: user 2 dau; mau 2 (u1+u2)")
+    assert(byT(64) == ((64, 1L, 2L, 2L)), "day 64: user 1 again, NOT a day-0 ghost; wau7 covers 58..64 = u1+u2")
+    assert(byT(70) == ((70, 0L, 1L, 2L)), "day 70: wau7 64..70 still sees u1's day 64")
+    assert(byT(71) == ((71, 0L, 0L, 2L)), "day 71: window 65..71 empty")
+    assert(byT(199) == ((199, 0L, 0L, 2L)), "mau carries across empty words")
+    assert(byT(200) == ((200, 1L, 1L, 3L)), "day 200: user 3 arrives")
+  }
+
   test("a late backfill shifting the min date re-anchors the whole day axis") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dau_backfill").toString
     IncrementalDau.commitBatch(acts((1L, 110), (2L, 111)), 0L, s"$tmp/state")

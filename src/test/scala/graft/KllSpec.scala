@@ -35,6 +35,16 @@ class KllSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("empty sketch (n=0) answers NaN instead of throwing") {
+    // merge/finish of two zero buffers legitimately serializes as [0.0];
+    // the quantile of nothing is NaN (the percentile-over-0-rows
+    // convention), never a NoSuchElementException in an executor
+    val empty = Kll.finish(Kll.merge(Kll.zero, Kll.zero))
+    assert(empty.toSeq == Seq(0.0))
+    for (p <- Seq(0.0, 0.5, 1.0))
+      assert(Kll.quantile(empty, p).isNaN, s"p=$p on empty sketch must be NaN")
+  }
+
   test("exact below capacity: n <= Cap sketches answer every quantile exactly") {
     val xs = (1 to Kll.Cap).map(i => (i * 37 % 251).toDouble)
     val sk = sketchOf(xs, 3)

@@ -276,6 +276,78 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("JPEG codec: flat images round-trip EXACTLY; gradients within the quantizer bound") {
+    // constant blocks have AC = 0 and a DC quantizer of 8 → spatial
+    // error < 0.5 rounds away: byte-exact despite lossy coding
+    // big enough that the ~330 bytes of emitted tables (DQT + the two
+    // DHT tables the decoder builds from) amortize away
+    val flat = Array.fill(64 * 48)(77.toByte)
+    val jpg = Media.JpegCodec.encode(64, 48, flat)
+    assert(Media.JpegCodec.isJpeg(jpg))
+    assert(jpg.length < flat.length / 4,
+      s"flat image must compress: ${jpg.length} vs ${flat.length}")
+    val (w, h, back) = Media.JpegCodec.decode(jpg)
+    assert(w == 64 && h == 48)
+    assert(back.toSeq == flat.toSeq, "flat image must round-trip exactly")
+    // smooth gradient (incl. non-multiple-of-8 dims → edge-replicated
+    // partial blocks): deterministic, bounded loss
+    val grad = Array.tabulate(21 * 13)(i => ((i % 21) * 5 + (i / 21) * 3 + 40).toByte)
+    val gj = Media.JpegCodec.encode(21, 13, grad)
+    val (gw, gh, gback) = Media.JpegCodec.decode(gj)
+    assert(gw == 21 && gh == 13)
+    val maxErr = grad.indices.map(i => math.abs((grad(i) & 0xff) - (gback(i) & 0xff))).max
+    assert(maxErr <= 8, s"gradient max error $maxErr exceeds the quantizer bound")
+    assert(Media.JpegCodec.encode(21, 13, grad).toSeq == gj.toSeq,
+      "encoding must be deterministic")
+  }
+
+  test("JPEG decode fails loudly on truncated or corrupt streams") {
+    val jpg = Media.JpegCodec.synthetic(16, 16, seed = 5L)
+    intercept[IllegalArgumentException](
+      Media.JpegCodec.decode(jpg.take(20))) // truncated before SOS
+    val notJpeg = Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException](Media.JpegCodec.decode(notJpeg))
+    // segment length lying past the payload
+    val corrupt = jpg.clone()
+    corrupt(4) = 0x7f.toByte // APP0 declared length huge
+    intercept[IllegalArgumentException](Media.JpegCodec.decode(corrupt))
+  }
+
+  test("MJPEG AVI: 00dc JPEG frames decode through the shared container walk") {
+    // crafted grayscale frames: frame f is constant (60 + 10f) — flat
+    // blocks are exact through JPEG, so the decoded RGB is EXACTLY the
+    // replicated gray value (the 'exact statistics on a crafted MJPEG
+    // fixture' check)
+    val frames = (0 until 3).map(f => Array.fill(8 * 8)((60 + 10 * f).toByte))
+    val avi = Media.AviCodec.encodeMjpeg(8, 8, usPerFrame = 40000, frames)
+    assert(Media.AviCodec.isAvi(avi))
+    assert(Media.AviCodec.header(avi) == ((8, 8, 3, 40000)))
+    val (w, h, usPf, back) = Media.AviCodec.decode(avi)
+    assert(w == 8 && h == 8 && usPf == 40000 && back.length == 3)
+    back.zipWithIndex.foreach { case (rgb, f) =>
+      val want = (60 + 10 * f).toByte
+      assert(rgb.forall(_ == want), s"frame $f must decode to constant $want in all channels")
+    }
+    // a DIB clip and an MJPEG clip of the same size: the MJPEG one is
+    // smaller (the frames are genuinely compressed)
+    val dib = Media.AviCodec.synthetic(32, 24, nFrames = 4, seed = 9L)
+    val mjpg = Media.AviCodec.syntheticMjpeg(32, 24, nFrames = 4, seed = 9L)
+    assert(mjpg.length < dib.length,
+      s"MJPEG must beat uncompressed DIB: ${mjpg.length} vs ${dib.length}")
+  }
+
+  test("corpus video is heterogeneous: DIB and MJPEG clips both decode with frames intact") {
+    val vids = Media.corpus(spark, sf).filter(_.meta.kind == "video").collect()
+    val fmts = vids.map(_.meta.format).toSet
+    assert(fmts == Set("avi", "mjpeg"), s"expected both video formats, got $fmts")
+    vids.take(8).foreach { r =>
+      val (w, h, _, frames) = Media.AviCodec.decode(r.content)
+      assert(w == r.meta.width && h == r.meta.height)
+      assert(frames.length == 6 && frames.forall(_.length == w * h * 3),
+        s"media ${r.media_id} (${r.meta.format}) frames must decode fully")
+    }
+  }
+
   test("AVI decode fails loudly on corrupt chunk sizes and frame-count lies") {
     val good = Media.AviCodec.synthetic(4, 4, nFrames = 2, seed = 3L)
     // declared chunk size past the payload

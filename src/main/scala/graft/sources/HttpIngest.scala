@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Live HTTP ingestion — SURVEY.md §2a R1–R5 as real code, closing the
+  * "no network client exists" boundary: login → token (R1), paginated
+  * POST fetch with the pageToken/short-page loop (R2/R3), exponential
+  * backoff on HTTP 429 (R4), and a minimum inter-request gap (R5).
+  * Built on the JDK's `java.net.http.HttpClient` (no dependencies);
+  * Jackson (shipped with Spark) parses the two response fields the
+  * protocol needs. The engine has zero network egress, so the
+  * integration boundary is an in-process `com.sun.net.httpserver`
+  * fixture (HttpIngestSpec) speaking the same protocol.
+  *
+  * Reference semantics mirrored (not copied —
+  * `prisma_report/lambda.py:36-73` login, `:105-136` backoff,
+  * `aler_report/lambda.py:203-260` pagination): the login POST carries
+  * `{password, prismaId, username}` and yields `{"token": ...}`; every
+  * subsequent request authenticates via the `x-redlock-auth` header;
+  * pagination POSTs a `pageToken` and stops when `items` is missing or
+  * shorter than a full page; ONLY 429 retries (other failures surface
+  * immediately), sleeping backoffBase·2^attempt between attempts.
+  * Deliberately NOT reproduced: the reference's hard-coded credentials
+  * (config is constructor-injected here) and its swallowed non-200
+  * login ([[HttpIngest.login]] fails fast — the reference reads
+  * `response.json()['token']` off an error body and crashes later).
+  *
+  * 100 TB note: this client is the LANDING step — a bounded,
+  * dimension-sized fetch (pages of alerts per policy). The fetched
+  * page payloads feed [[PrismaConnector]] / the DSv2 AlertPages source
+  * unchanged; nothing corpus-scale ever moves through a single HTTP
+  * loop.
+  */
+final case class HttpIngestConfig(
+    baseUrl: String,
+    username: String,
+    password: String,
+    prismaId: String,
+    pageSize: Int = 100,
+    maxRetries: Int = 5,
+    backoffBaseMs: Long = 1000L,
+    throttleMs: Long = 0L,
+    // injectable so specs assert the exact sleep schedule instead of
+    // actually sleeping (deterministic, wall-clock-free tests)
+    sleeper: Long => Unit = Thread.sleep,
+    clock: () => Long = System.nanoTime)
+
+class HttpIngest(cfg: HttpIngestConfig) {
+
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+  private var lastRequestNanos = Long.MinValue
+
+  private def jsonString(s: String): String = mapper.writeValueAsString(s)
+
+  /** R5: enforce a minimum gap between request STARTS. */
+  private def throttle(): Unit = {
+    if (cfg.throttleMs > 0 && lastRequestNanos != Long.MinValue) {
+      val elapsedMs = (cfg.clock() - lastRequestNanos) / 1000000L
+      if (elapsedMs < cfg.throttleMs) cfg.sleeper(cfg.throttleMs - elapsedMs)
+    }
+    lastRequestNanos = cfg.clock()
+  }
+
+  /** R4: send with exponential backoff on 429 ONLY (the reference's
+    * contract); returns the final response, whatever its status.
+    */
+  private def withBackoff(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    var resp: HttpResponse[String] = null
+    while (attempt < cfg.maxRetries) {
+      throttle()
+      resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 429) return resp
+      cfg.sleeper(cfg.backoffBaseMs * (1L << attempt))
+      attempt += 1
+    }
+    resp
+  }
+
+  private def post(path: String, body: String, headers: Seq[(String, String)])
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(cfg.baseUrl + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .header("Content-Type", "application/json; charset=UTF-8")
+      .header("Accept", "application/json; charset=UTF-8")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    withBackoff(b.build())
+  }
+
+  /** R1: login, returns the session token; non-200 fails fast. */
+  def login(): String = {
+    val body =
+      s"""{"password": ${jsonString(cfg.password)},
+         | "prismaId": ${jsonString(cfg.prismaId)},
+         | "username": ${jsonString(cfg.username)}}""".stripMargin
+    val resp = post("/login", body, Seq.empty)
+    require(resp.statusCode() == 200,
+      s"login failed with status ${resp.statusCode()}")
+    val tok = mapper.readTree(resp.body()).path("token")
+    require(!tok.isMissingNode && tok.isTextual, "login response has no token")
+    tok.asText()
+  }
+
+  /** R3: authenticated GET; non-200 returns None (the reference's
+    * get_api_response contract).
+    */
+  def getJson(path: String, token: String): Option[String] = {
+    val req = HttpRequest.newBuilder(URI.create(cfg.baseUrl + path))
+      .GET()
+      .header("Accept", "application/json; charset=UTF-8")
+      .header("x-redlock-auth", token)
+      .build()
+    val resp = withBackoff(req)
+    if (resp.statusCode() == 200) Some(resp.body()) else None
+  }
+
+  /** R2: the paginated POST loop — per request a `pageToken` (empty on
+    * the first call) plus the caller's filter body; stops when `items`
+    * is absent OR shorter than a full page (both reference exit
+    * conditions). Returns the raw page payloads (each a JSON object
+    * with `items` + `nextPageToken`) for schema-declared parsing on
+    * the Spark side — the client never interprets item contents.
+    */
+  def fetchPages(path: String, token: String,
+      filtersJson: String = "[]", maxPages: Int = 10000): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    var pageToken = ""
+    var done = false
+    var n = 0
+    while (!done && n < maxPages) {
+      val body =
+        s"""{"limit": ${cfg.pageSize}, "pageToken": ${jsonString(pageToken)},
+           | "filters": $filtersJson}""".stripMargin
+      val resp = post(path, body, Seq("x-redlock-auth" -> token))
+      require(resp.statusCode() == 200,
+        s"page fetch failed with status ${resp.statusCode()} after retries")
+      val root = mapper.readTree(resp.body())
+      val items = root.path("items")
+      if (items.isMissingNode || !items.isArray) done = true // exit 1
+      else {
+        pages += resp.body()
+        if (items.size() != cfg.pageSize) done = true // exit 2: short page
+        else {
+          val next = root.path("nextPageToken")
+          require(next.isTextual, "full page without a nextPageToken")
+          pageToken = next.asText()
+        }
+      }
+      n += 1
+    }
+    pages.result()
+  }
+
+  /** Land fetched page payloads as the connector's `json`-column frame
+    * (one row per page) — the handoff into
+    * [[PrismaConnector.alertReport]]'s schema-declared parse.
+    */
+  def land(spark: SparkSession, payloads: Seq[String]): DataFrame = {
+    import spark.implicits._
+    payloads.toDF("json")
+  }
+}

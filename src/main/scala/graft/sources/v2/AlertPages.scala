@@ -44,14 +44,31 @@ import org.apache.spark.unsafe.types.UTF8String
   *    returns ≤ |groups| partial rows and Spark merges, so a
   *    count-per-policy ships group tallies, not alert rows.
   *
-  * Offline build: rows are deterministic synthetic alerts (seeded per
-  * page); a live connector would issue the HTTP call inside the
-  * partition reader with the same structure.
+  * Default build: rows are deterministic synthetic alerts (seeded per
+  * page). With `httpBase` (+ `httpToken`) set, each partition reader
+  * issues the page POST itself, EXECUTOR-SIDE (round 10, composing
+  * with `sources.HttpIngest`'s protocol): the request body carries the
+  * page index, the pruned column list (the `fields=` analog), and the
+  * pushed equality filters (the server-side filter body), authenticated
+  * via `x-redlock-auth` — so N pages transfer over N parallel
+  * connections instead of the reference's sequential 1-page/s loop.
+  * Distributed-fetch caveat, stated honestly: a pageToken CHAIN is
+  * inherently sequential, so parallel page partitions model an
+  * offset-capable endpoint (or a driver that pre-walked the cheap
+  * token chain); HttpIngest.fetchPages remains the faithful
+  * token-chain client. Aggregate pushdown stays on the synthetic
+  * transport (this live protocol exposes no server-side groupBy;
+  * pushAggregation declines and Spark aggregates the fetched rows).
+  * HttpIngestSpec drives this path against the in-process fixture
+  * server (the zero-egress boundary).
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.v2.AlertPages")
   *     .option("pages", "10").option("pageSize", "100").load()
+  *   // live transport:
+  *   //   .option("httpBase", "http://127.0.0.1:8080")
+  *   //   .option("httpToken", token)
   * }}}
   */
 class AlertPages extends TableProvider {
@@ -63,9 +80,12 @@ class AlertPages extends TableProvider {
     // SQL OPTIONS must not silently fall back to defaults), so re-wrap
     // the raw properties map before lookup.
     val opts = new CaseInsensitiveStringMap(properties)
+    val http = Option(opts.get("httpBase"))
+      .map(base => (base, Option(opts.get("httpToken")).getOrElse("")))
     new AlertPagesTable(
       opts.getInt("pages", 10),
-      opts.getInt("pageSize", 100))
+      opts.getInt("pageSize", 100),
+      http)
   }
 }
 
@@ -90,16 +110,18 @@ object AlertPages {
   }
 }
 
-class AlertPagesTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+class AlertPagesTable(pages: Int, pageSize: Int,
+    http: Option[(String, String)] = None) extends Table with SupportsRead {
   override def name(): String = s"alert_pages($pages x $pageSize)"
   override def schema(): StructType = AlertPages.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AlertScanBuilder(pages, pageSize)
+    new AlertScanBuilder(pages, pageSize, http)
 }
 
-class AlertScanBuilder(pages: Int, pageSize: Int)
+class AlertScanBuilder(pages: Int, pageSize: Int,
+    http: Option[(String, String)] = None)
     extends ScanBuilder with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -146,6 +168,9 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
     * sequential pagination loop this connector exists to avoid.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // the live protocol exposes no server-side groupBy — decline, Spark
+    // aggregates the fetched rows (see class doc)
+    if (http.isDefined) return false
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -182,12 +207,13 @@ class AlertScanBuilder(pages: Int, pageSize: Int)
     val neededPages =
       if (limit == Int.MaxValue || pushed.nonEmpty) pages
       else math.min(pages.toLong, (limit.toLong + pageSize - 1) / pageSize).toInt
-    new AlertScan(neededPages, pageSize, required, eqPairs)
+    new AlertScan(neededPages, pageSize, required, eqPairs, http)
   }
 }
 
 class AlertScan(pages: Int, pageSize: Int, required: StructType,
-    eqFilters: Array[(String, String)]) extends Scan with Batch {
+    eqFilters: Array[(String, String)],
+    http: Option[(String, String)] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -196,7 +222,8 @@ class AlertScan(pages: Int, pageSize: Int, required: StructType,
       s"pushedFilters=[${eqFilters.map { case (a, v) => s"$a=$v" }.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(p =>
-      AlertPagePartition(p, pageSize, required.fieldNames, eqFilters): InputPartition).toArray
+      AlertPagePartition(p, pageSize, required.fieldNames, eqFilters,
+        http): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new AlertPageReaderFactory
 }
 
@@ -278,15 +305,20 @@ class AlertAggReaderFactory extends PartitionReaderFactory {
 }
 
 case class AlertPagePartition(page: Int, pageSize: Int,
-    columns: Array[String], eqFilters: Array[(String, String)]) extends InputPartition
+    columns: Array[String], eqFilters: Array[(String, String)],
+    http: Option[(String, String)] = None) extends InputPartition
 
 class AlertPageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AlertPagePartition]
+    p.http match {
+      case Some((base, token)) => httpReader(p, base, token)
+      case None => syntheticReader(p)
+    }
+  }
+
+  private def syntheticReader(p: AlertPagePartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      // A live connector performs the page POST here (executor-side),
-      // carrying the pushed filters in the request body and the pruned
-      // column list as the response field selection.
       private var i = -1
       private def alertNo: Long = p.page.toLong * p.pageSize + i
       private def matches(n: Long): Boolean =
@@ -301,5 +333,56 @@ class AlertPageReaderFactory extends PartitionReaderFactory {
           UTF8String.fromString(AlertPages.fieldValue(c, alertNo)): Any): _*)
       override def close(): Unit = ()
     }
-  }
+
+  /** The live transport: this partition's page POST runs HERE, on the
+    * executor — pruned columns as the `fields` selection, pushed
+    * equality filters as the server-side filter body, x-redlock-auth
+    * header — so N pages transfer in parallel. The server applies
+    * fields/filters (the reference API contract), and the reader
+    * re-checks nothing: pushed means pushed.
+    */
+  private def httpReader(p: AlertPagePartition, base: String,
+      token: String): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[InternalRow] = {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        def js(s: String) = mapper.writeValueAsString(s)
+        val filters = p.eqFilters
+          .map { case (a, v) => s"""{"name": ${js(a)}, "operator": "=", "value": ${js(v)}}""" }
+          .mkString("[", ",", "]")
+        val body =
+          s"""{"page": ${p.page}, "limit": ${p.pageSize},
+             | "fields": ${p.columns.map(js).mkString("[", ",", "]")},
+             | "filters": $filters}""".stripMargin
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"$base/alerts_page"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json; charset=UTF-8")
+          .header("Accept", "application/json; charset=UTF-8")
+          .header("x-redlock-auth", token)
+          .build()
+        val resp = java.net.http.HttpClient.newHttpClient()
+          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"page ${p.page} fetch failed with status ${resp.statusCode()}")
+        val items = mapper.readTree(resp.body()).path("items")
+        require(items.isArray, s"page ${p.page} response has no items array")
+        (0 until items.size()).iterator.map { i =>
+          val it = items.get(i)
+          InternalRow(p.columns.map { c =>
+            val f = it.path(c)
+            require(f.isTextual, s"item $i missing requested field $c")
+            UTF8String.fromString(f.asText()): Any
+          }: _*)
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val h = rows.hasNext
+        if (h) current = rows.next()
+        h
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
 }

@@ -66,6 +66,30 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
              |  "nextPageToken": "page-${page + 1}"}""".stripMargin)
       }
     })
+    // offset-paginated endpoint for the DSv2 parallel-page transport:
+    // applies the requested fields + equality filters SERVER-side and
+    // synthesizes items from the same AlertPages.fieldValue truth the
+    // synthetic reader uses, so the two transports are value-comparable
+    server.createContext("/alerts_page", (ex: HttpExchange) => {
+      import graft.sources.v2.{AlertPages => AP}
+      if (Option(ex.getRequestHeaders.getFirst("x-redlock-auth")).getOrElse("") != Token)
+        respond(ex, 401, """{"message": "no_auth"}""")
+      else {
+        val b = bodyOf(ex)
+        val page = "\"page\": (\\d+)".r.findFirstMatchIn(b).get.group(1).toInt
+        val limit = "\"limit\": (\\d+)".r.findFirstMatchIn(b).get.group(1).toInt
+        val fields = "\"fields\": \\[([^\\]]*)\\]".r.findFirstMatchIn(b).get.group(1)
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        val eqs = """\{"name": "([^"]+)", "operator": "=", "value": "([^"]+)"\}""".r
+          .findAllMatchIn(b).map(m => (m.group(1), m.group(2))).toSeq
+        val items = (0 until limit).map(i => page.toLong * limit + i)
+          .filter(n => eqs.forall { case (a, v) => AP.fieldValue(a, n) == v })
+          .map(n => fields.map(f => s""""$f": "${AP.fieldValue(f, n)}"""")
+            .mkString("{", ",", "}"))
+          .mkString("[", ",", "]")
+        respond(ex, 200, s"""{"items": $items}""")
+      }
+    })
     server.start()
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     (server, base, alertCalls, lastAuth)
@@ -141,6 +165,36 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
       // the first request must have slept a positive remainder <= 500
       assert(sleeps.size >= 3, s"expected a throttle sleep per follow-up request, got $sleeps")
       assert(sleeps.forall(s => s > 0 && s <= 500), s"gaps must be bounded by throttleMs: $sleeps")
+    } finally server.stop(0)
+  }
+
+  test("DSv2 live transport: parallel page partitions fetch over HTTP with pushdowns applied server-side") {
+    val (server, base, _, _) = fixture(pageSize = 3, nPages = 2)
+    try {
+      val ing = new HttpIngest(HttpIngestConfig(base, "u1", "p1", "id1"))
+      val tok = ing.login()
+      def live = spark.read.format("graft.sources.v2.AlertPages")
+        .option("pages", "4").option("pageSize", "25")
+        .option("httpBase", base).option("httpToken", tok).load()
+      def synth = spark.read.format("graft.sources.v2.AlertPages")
+        .option("pages", "4").option("pageSize", "25").load()
+      // full scan: the two transports agree row for row (the fixture
+      // server synthesizes from the same fieldValue truth)
+      assert(live.count() == 100)
+      assert(live.exceptAll(synth).isEmpty && synth.exceptAll(live).isEmpty)
+      // pruned + filtered: fields/filters applied SERVER-side, values equal
+      val lf = live.filter(col("cloudType") === "aws")
+        .select("alert_id", "policyId").collect().map(_.toSeq).toSet
+      val sf2 = synth.filter(col("cloudType") === "aws")
+        .select("alert_id", "policyId").collect().map(_.toSeq).toSet
+      assert(lf == sf2 && lf.size == 50)
+      // a bad token surfaces as a task failure, not silent empties
+      val bad = spark.read.format("graft.sources.v2.AlertPages")
+        .option("pages", "1").option("pageSize", "5")
+        .option("httpBase", base).option("httpToken", "nope").load()
+      val e = intercept[Exception](bad.count())
+      assert(e.getMessage.contains("401") ||
+        Option(e.getCause).exists(_.getMessage.contains("401")))
     } finally server.stop(0)
   }
 

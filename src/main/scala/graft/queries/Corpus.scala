@@ -82,6 +82,26 @@ object Corpus {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** q_ngram_novelty core over any (doc_id, text) frame: per corpus doc
+    * (doc_id % 10 != 0), distinct-3-gram count + how many of them the
+    * reference set (doc_id % 10 == 0) has never seen, novelty as
+    * floor-scaled e4. Reference shingles broadcast; the corpus streams
+    * once into a doc-keyed map-side agg.
+    */
+  def ngramNoveltyOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seen = Similarity.shinglesOf(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("shingle")).distinct()
+      .withColumn("seen", lit(1))
+    Similarity.shinglesOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .join(broadcast(seen), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1).otherwise(0)).as("n_novel"))
+      .withColumn("novelty_e4",
+        expr("(10000 * n_novel) div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping token-window chunks (`size` tokens, `stride` apart) of
     * any (doc_id, text) frame. Entirely map-side — the chunk index set
     * is generated per row with explode(sequence) inside the scan stage.
@@ -189,6 +209,38 @@ object Corpus {
              |FROM hits h JOIN sizes s USING (doc_id)
              |WHERE round(CAST(h.n_common AS DOUBLE) / s.n_sh, 4) >= 0.3
              |ORDER BY h.doc_id, h.bench_id""".stripMargin)),
+
+    // N-gram novelty — the MEMORIZATION screen next to q_decontam's
+    // leakage screen: per corpus document, the fraction of its distinct
+    // token-3-gram shingles NOT present anywhere in the reference set
+    // (doc_id % 10 == 0, the decontam convention). Low novelty = the
+    // doc is mostly recombined reference text — the signal used both to
+    // audit generated/synthetic data for training-set regurgitation and
+    // to down-weight boilerplate. Exact integers (novelty as floor-
+    // scaled e4) → oracle-exact. Scale shape: the reference shingle
+    // set is fixed-size at production (the eval/canary suites) and
+    // BROADCASTS; the corpus streams once into a doc-keyed map-side
+    // agg — no corpus shuffle, no pair space.
+    QueryDef("q_ngram_novelty",
+      (s, d) => ngramNoveltyOf(T.documents(s, d)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         unnest(range(len(string_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |shingles AS (
+             |  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+             |  FROM toks a
+             |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 10 = 0),
+             |corpus AS (SELECT * FROM shingles WHERE doc_id % 10 <> 0)
+             |SELECT c.doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_shingles,
+             |       CAST(count(*) FILTER (WHERE b.shingle IS NULL) AS BIGINT) AS n_novel,
+             |       CAST((10000 * count(*) FILTER (WHERE b.shingle IS NULL)) // count(*)
+             |            AS BIGINT) AS novelty_e4
+             |FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
     // RAG/context chunking: overlapping token windows (32 tokens,
     // stride 24), one output row per chunk — see [[chunksOf]].

@@ -45,6 +45,23 @@ class CorpusSpec extends AnyFunSuite with SharedSpark {
 
   // ---- chunking --------------------------------------------------------
 
+  test("ngram novelty: a reference copy scores 0, unseen text 10000, a half-mix in between") {
+    val docs = docsDF(
+      10L -> "alpha beta gamma delta epsilon zeta",              // reference
+      11L -> "alpha beta gamma delta epsilon zeta",              // pure copy → 0
+      12L -> "one two three four five six",                      // all unseen → 10000
+      13L -> "alpha beta gamma delta one two three four")        // mixed
+    val out = Corpus.ngramNoveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(11L) == ((4L, 0L, 0L)), "copy: 4 shingles, none novel")
+    assert(out(12L) == ((4L, 4L, 10000L)), "unseen: all novel")
+    // doc 13: 6 shingles; 'alpha beta gamma','beta gamma delta' seen →
+    // 4 novel ('gamma delta one', 'delta one two', 'one two three',
+    // 'two three four')
+    assert(out(13L) == ((6L, 4L, (10000L * 4) / 6)))
+    assert(!out.contains(10L), "reference docs are not scored")
+  }
+
   test("chunks tile each doc: stride offsets, full coverage, correct heads") {
     val words = (1 to 83).map(i => s"w$i")
     val docs = docsDF(1L -> words.mkString(" "), 2L -> "solo")

@@ -23,8 +23,14 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
     * items, the last page SHORT by one (forces exit condition 2);
     * `rateLimitFirst` initial /alerts calls answer 429.
     */
-  private def fixture(pageSize: Int, nPages: Int, rateLimitFirst: Int = 0) = {
+  private def fixture(pageSize: Int, nPages: Int, rateLimitFirst: Int = 0,
+      latencyMs: Long = 0L) = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // a thread pool so the PARALLEL transport can actually overlap
+    // requests (the default executor serializes exchanges), and an
+    // injectable per-request latency modeling a real API's RTT
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(64))
+    def simulateRtt(): Unit = if (latencyMs > 0) Thread.sleep(latencyMs)
     val alertCalls = new AtomicInteger(0)
     val remaining429 = new AtomicInteger(rateLimitFirst)
     val lastAuth = new AtomicReference[String]("")
@@ -44,6 +50,7 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
       else respond(ex, 401, """{"message": "login_failed"}""")
     })
     server.createContext("/alerts", (ex: HttpExchange) => {
+      simulateRtt()
       alertCalls.incrementAndGet()
       lastAuth.set(Option(ex.getRequestHeaders.getFirst("x-redlock-auth")).getOrElse(""))
       if (lastAuth.get != Token) respond(ex, 401, """{"message": "no_auth"}""")
@@ -72,6 +79,8 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
     // synthetic reader uses, so the two transports are value-comparable
     server.createContext("/alerts_page", (ex: HttpExchange) => {
       import graft.sources.v2.{AlertPages => AP}
+      simulateRtt()
+      alertCalls.incrementAndGet()
       if (Option(ex.getRequestHeaders.getFirst("x-redlock-auth")).getOrElse("") != Token)
         respond(ex, 401, """{"message": "no_auth"}""")
       else {
@@ -195,6 +204,37 @@ class HttpIngestSpec extends AnyFunSuite with SharedSpark {
       val e = intercept[Exception](bad.count())
       assert(e.getMessage.contains("401") ||
         Option(e.getCause).exists(_.getMessage.contains("401")))
+    } finally server.stop(0)
+  }
+
+  test("parallel page partitions beat the sequential pagination loop on a realistic RTT") {
+    // The reference's structural ceiling is its SEQUENTIAL loop: one
+    // page per round-trip (plus an unconditional 1 s sleep the fixture
+    // charitably omits). With a 100 ms modeled RTT and 24 pages, the
+    // faithful token-chain client pays >= 24 RTTs serially; the DSv2
+    // transport overlaps pages across local[4] executor threads. The
+    // >= 2x assertion is deliberately conservative (Spark job-launch
+    // overhead eats into a margin that grows with page count at any
+    // real scale).
+    val (server, base, calls, _) = fixture(pageSize = 20, nPages = 24, latencyMs = 100)
+    try {
+      val ing = new HttpIngest(HttpIngestConfig(base, "u1", "p1", "id1", pageSize = 20))
+      val tok = ing.login()
+      val t0 = System.nanoTime()
+      val seqPages = ing.fetchPages("/alerts", tok)
+      val seqMs = (System.nanoTime() - t0) / 1e6
+      assert(seqPages.length == 24)
+      val live = spark.read.format("graft.sources.v2.AlertPages")
+        .option("pages", "24").option("pageSize", "20")
+        .option("httpBase", base).option("httpToken", tok).load()
+      val t1 = System.nanoTime()
+      assert(live.count() == 480)
+      val parMs = (System.nanoTime() - t1) / 1e6
+      info(f"sequential token chain: $seqMs%.0f ms; parallel partitions: $parMs%.0f ms " +
+        f"(${seqMs / parMs}%.1fx)")
+      assert(seqMs >= 24 * 100, "sequential must pay every RTT serially")
+      assert(parMs < seqMs / 2,
+        f"parallel fetch must beat the sequential loop: $parMs%.0f vs $seqMs%.0f ms")
     } finally server.stop(0)
   }
 

@@ -189,4 +189,46 @@ object PrismaConnector {
       .option("header", "true").option("quoteAll", "true")
       .csv(path)
   }
+
+  /** [[writeReport]] in the reference's EXACT csv dialect —
+    * QUOTE_NONNUMERIC (`aler_report/lambda.py:318`: pandas `to_csv(...,
+    * quoting=QUOTE_NONNUMERIC)` quotes string cells, leaves numeric
+    * cells bare). Spark's csv sink quotes all-or-minimal with no
+    * per-type mode (and re-quotes delimiter-bearing cells no matter
+    * what), so the dialect is built IN the plan and written through the
+    * TEXT sink: string columns are escaped (`"` → `""`) and wrapped in
+    * literal quotes, numerics cast to their text form, the record
+    * assembled with concat_ws — every byte final before the sink sees
+    * it. Still one distributed map-only projection through the same
+    * committed, hive-partitioned sink — the dialect costs no plan
+    * shape. ConnectorSpec pins the byte-level dialect.
+    */
+  def writeReportQuoteNonNumeric(df: DataFrame, path: String): Unit = {
+    val out = if (df.columns.contains("transaction_date")) df
+      else df.withColumn("transaction_date",
+        date_format(current_date(), "yyyy-MM-dd"))
+    import org.apache.spark.sql.types.{StringType => SStr}
+    val part = "transaction_date"
+    val cells = out.schema.fields.filter(_.name != part).map { f =>
+      if (f.dataType == SStr)
+        concat(lit("\""),
+          regexp_replace(coalesce(col(f.name), lit("")), "\"", "\"\""),
+          lit("\"")).as(f.name)
+      else col(f.name).cast("string").as(f.name)
+    }
+    out.select(concat_ws(",", cells.toIndexedSeq: _*).as("value"), col(part))
+      .write.mode("overwrite")
+      .partitionBy(part)
+      .text(path)
+    // one header line per partition dir convention is NOT the pandas
+    // layout; the reference writes ONE file with one header. Emit the
+    // header once at the root (same commit-protocol-adjacent move as a
+    // _SUCCESS marker): readers that reassemble partitions prepend it.
+    val header = out.schema.fieldNames.filter(_ != part).map { n =>
+      if (out.schema(n).dataType == SStr) "\"" + n.replace("\"", "\"\"") + "\"" else "\"" + n + "\""
+    }.mkString(",")
+    val fs = new java.io.File(path); fs.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_header.csv"), header + "\n")
+  }
 }

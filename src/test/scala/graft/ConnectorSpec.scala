@@ -146,4 +146,37 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     assert(new java.io.File(dir).listFiles()
       .exists(_.getName.startsWith("transaction_date=")))
   }
+
+  test("QUOTE_NONNUMERIC sink: strings quoted, numerics bare, quotes doubled (R22 exact dialect)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_qnn").toString
+    val report = Seq(
+      ("svc one", 3L, 1.5, "has \"quotes\" inside", "2024-03-01"),
+      ("svc,two", 0L, 0.0, "plain", "2024-03-01"))
+      .toDF("name", "n_failed", "ratio", "note", "transaction_date")
+    PrismaConnector.writeReportQuoteNonNumeric(report, dir)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("transaction_date="))
+      .flatMap(_.listFiles().filter(f =>
+        f.getName.endsWith(".txt") || f.getName.endsWith(".csv")))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+      .sorted
+    assert(lines.length == 2)
+    // pandas QUOTE_NONNUMERIC byte-level dialect: strings quoted (incl.
+    // embedded delimiter), quotes escaped by doubling, numbers bare
+    assert(lines.contains(""""svc one",3,1.5,"has ""quotes"" inside""""),
+      s"dialect mismatch: $lines")
+    assert(lines.contains(""""svc,two",0,0.0,"plain""""), s"dialect mismatch: $lines")
+    // header emitted once, all names quoted (header cells are strings)
+    val header = scala.io.Source.fromFile(s"$dir/_header.csv").getLines().next()
+    assert(header == """"name","n_failed","ratio","note"""")
+    // and the dialect stays machine-readable: a schema'd read recovers
+    // the exact values
+    val back = spark.read
+      .schema("name STRING, n_failed BIGINT, ratio DOUBLE, note STRING")
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("transaction_date=")).head.toString)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("svc one", 3L), ("svc,two", 0L)))
+  }
 }

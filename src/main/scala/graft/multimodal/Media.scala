@@ -390,6 +390,13 @@ object Media {
         content.slice(0, 4).sameElements("RIFF".getBytes("US-ASCII")) &&
         content.slice(8, 12).sameElements("AVI ".getBytes("US-ASCII"))
 
+    /** True when the clip's frame stream is compressed (`00dc` MJPEG
+      * chunks) rather than uncompressed DIB — the stream-kind probe the
+      * resize path uses to re-encode like-for-like.
+      */
+    def isMjpeg(content: Array[Byte]): Boolean =
+      isAvi(content) && walk(content)._2.exists(_._1 == "00dc")
+
     private def rowStride(w: Int): Int = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
 
     /** Encode top-down RGB frames (each `w*h*3` bytes) at `usPerFrame`
@@ -1209,7 +1216,11 @@ object Media {
   }
 
   /** Nearest-neighbor resample of every frame in an AVI clip to (w, h),
-    * preserving frame count and frame period.
+    * preserving frame count, frame period, AND the stream kind: an
+    * MJPEG clip re-encodes as MJPEG (luma of the resampled RGB), a DIB
+    * clip as DIB — the metadata/payload consistency rule the audio
+    * resize bug taught (a record whose meta says one format while the
+    * bytes say another silently vanishes from format-dispatched paths).
     */
   private def resizeAvi(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val (sw, sh, usPf, frames) = AviCodec.decode(content)
@@ -1231,7 +1242,20 @@ object Media {
       }
       out
     }
-    AviCodec.encode(w, h, usPf, resized)
+    if (AviCodec.isMjpeg(content))
+      AviCodec.encodeMjpeg(w, h, usPf, resized.map { rgb =>
+        // ITU-R BT.601 integer luma; our MJPEG frames are gray-replicated
+        // RGB, for which this is exact (r = g = b → luma = that value)
+        val g = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          g(i) = ((77 * (rgb(i * 3) & 0xff) + 150 * (rgb(i * 3 + 1) & 0xff) +
+            29 * (rgb(i * 3 + 2) & 0xff)) >> 8).toByte
+          i += 1
+        }
+        g
+      })
+    else AviCodec.encode(w, h, usPf, resized)
   }
 
   /** Frame sampling for video records: n evenly-spaced REAL frames from

@@ -334,6 +334,23 @@ class MediaSpec extends AnyFunSuite with SharedSpark {
     val mjpg = Media.AviCodec.syntheticMjpeg(32, 24, nFrames = 4, seed = 9L)
     assert(mjpg.length < dib.length,
       s"MJPEG must beat uncompressed DIB: ${mjpg.length} vs ${dib.length}")
+    // stream-kind probe + resize consistency: resizing an MJPEG record
+    // must re-encode MJPEG (meta.format and payload stay in agreement —
+    // the audio-resize lesson), a DIB record must stay DIB
+    assert(Media.AviCodec.isMjpeg(mjpg) && !Media.AviCodec.isMjpeg(dib))
+    import spark.implicits._
+    val recs = Seq(
+      Media.MediaRecord(1L,
+        Media.MediaMeta("video", "mjpeg", 32, 24, 160, 16000), mjpg),
+      Media.MediaRecord(2L,
+        Media.MediaMeta("video", "avi", 32, 24, 160, 16000), dib)).toDS()
+    val resized = Media.resize(recs, 16, 12).collect().map(r => r.media_id -> r).toMap
+    assert(Media.AviCodec.isMjpeg(resized(1L).content),
+      "resized MJPEG clip must still carry 00dc JPEG frames")
+    assert(!Media.AviCodec.isMjpeg(resized(2L).content),
+      "resized DIB clip must stay uncompressed")
+    val (rw, rh, _, rframes) = Media.AviCodec.decode(resized(1L).content)
+    assert(rw == 16 && rh == 12 && rframes.length == 4)
   }
 
   test("corpus video is heterogeneous: DIB and MJPEG clips both decode with frames intact") {

@@ -116,7 +116,12 @@ object ScaleSlope {
     // events-fed siblings live in RelScale) — each replays the corpus
     // through real foreachBatch micro-batches, so the slope prices the
     // incremental machinery itself, not just the one-shot body
-    "q_substr_inc", "q_corpus_inc", "q_index_inc")
+    "q_substr_inc", "q_corpus_inc", "q_index_inc",
+    // round-10: novelty is a LEFT join against a broadcast shingle SET
+    // (output = corpus shingle rows, 1:1 — no pair space), so unlike
+    // its q_decontam sibling it stays linear even on the saturated
+    // fixture and runs the full tier
+    "q_ngram_novelty")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the

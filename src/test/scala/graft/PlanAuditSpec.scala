@@ -359,6 +359,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_ngram_novelty: reference shingles broadcast, corpus never shuffles for the join") {
+    val plan = formattedPlan(q("q_ngram_novelty"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the reference shingle set must broadcast:\n$plan")
+    assert(plan.contains("LeftOuter"),
+      "novelty is a left join (unseen shingles survive as nulls)")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus side must not shuffle for the membership join")
+  }
+
   test("q_hard_negatives: anchors broadcast, argmax is an aggregate, not a window") {
     val plan = formattedPlan(q("q_hard_negatives"))
     assert(!plan.contains("Window"),

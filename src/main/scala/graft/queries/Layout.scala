@@ -164,15 +164,40 @@ object Layout {
     // choice: bucket the z-sorted table into 64 equal z-ranges (the
     // would-be files) and report each bucket's row count and per-
     // dimension bounds — tight per-bucket boxes are WHY the layout
-    // prunes. ntile over the z order is the fixture stand-in for the
-    // writer's range partitioner; everything else is one map-side
-    // projection plus a 64-group aggregation.
+    // prunes. The equal-split assignment is EXACT GLOBAL RANK over the
+    // z order, computed with the q_gini/TeraSort primitive instead of a
+    // window: repartitionByRange + sortWithinPartitions puts the fact
+    // table in total (zcode, key) order across ORDERED partitions, RDD
+    // zipWithIndex assigns global positions with one bounded exchange
+    // (one count per partition) — never a single-partition ntile window
+    // over the whole fact table (a 100-TB scan through one task). Range
+    // boundaries are sampled and vary run-to-run, but the concatenated
+    // order is a function of the data, so ranks — and the ntile-law
+    // bucket derived from (rank, n) — are deterministic and match the
+    // oracle's ntile(64) exactly (first n%64 buckets take one extra row).
     QueryDef("q_zorder",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        ordersWithZ(T.orders(s, d))
-          .withColumn("bucket",
-            ntile(64).over(Window.orderBy(col("zcode"), col("o_orderkey"))).cast("long"))
+        val sess = s; import sess.implicits._
+        val z = ordersWithZ(T.orders(s, d))
+          .select(col("zcode"), col("o_orderkey"), col("dim_cust"), col("dim_day"))
+        val sorted = z
+          .repartitionByRange(32, col("zcode"), col("o_orderkey"))
+          .sortWithinPartitions(col("zcode"), col("o_orderkey"))
+        val indexed = sorted.rdd.zipWithIndex()
+          .map { case (r, i) => (r.getAs[Long]("zcode"),
+            r.getAs[Long]("dim_cust"), r.getAs[Long]("dim_day"), i + 1) }
+          .toDF("zcode", "dim_cust", "dim_day", "i")
+        // row count n rides in on a broadcast 1-row frame (count-star
+        // over parquet is a metadata read, no second data pass)
+        val nDf = T.orders(s, d).agg(count(lit(1)).as("n"))
+        indexed.crossJoin(broadcast(nDf))
+          // ntile law: with q = n div 64, r = n % 64, the first r
+          // buckets hold q+1 rows, the rest q — pure (i, n) arithmetic
+          .withColumn("bucket", expr(
+            """CASE WHEN i <= (n % 64) * (n div 64 + 1)
+              |     THEN (i - 1) div (n div 64 + 1) + 1
+              |     ELSE (n % 64) + (i - (n % 64) * (n div 64 + 1) - 1) div (n div 64) + 1
+              |END""".stripMargin).cast("long"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_rows"),
             min(col("zcode")).as("z_min"), max(col("zcode")).as("z_max"),

@@ -169,6 +169,40 @@ object Udx {
              |       n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Avro round-trip — completes the lake-format axis (parquet, CSV,
+    // JSONL, ORC above): the ROW-ORIENTED interchange format Kafka/
+    // schema-registry ingest pipelines land in before compaction to
+    // parquet. No spark-avro module on this classpath, so the write/
+    // read run on avro-core's container-file API via graft.sources
+    // .AvroIO — one container file per partition written executor-side
+    // (distributed, rows never leave their executor), read back
+    // self-describing from the container header with one partition per
+    // file. Same nested shape + final-projection rule as ORC: struct +
+    // array survive the format natively, the declared output flattens
+    // to scalars for the driver's dump/sort.
+    QueryDef("q_avro_roundtrip",
+      (s, d) => {
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_avro_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
+        val nested = T.documents(s, d)
+          .select(col("doc_id"),
+            struct(col("lang"), col("source")).as("meta"),
+            slice(split(col("text"), " "), 1, 3).as("head_toks"),
+            col("n_chars"))
+        graft.sources.AvroIO.write(nested, out)
+        graft.sources.AvroIO.read(s, out)
+          .select(col("doc_id"),
+            col("meta.lang").as("lang"), col("meta.source").as("source"),
+            array_join(col("head_toks"), " ").as("head_txt"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source,
+             |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+             |         AS head_txt,
+             |       n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Parquet schema evolution — the read path a corpus written over
     // months actually has: early batches lack columns later batches
     // added. Batch 1 (even order keys) is written WITHOUT

@@ -76,8 +76,10 @@ class HttpIngest(cfg: HttpIngestConfig) {
       throttle()
       resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() != 429) return resp
-      cfg.sleeper(cfg.backoffBaseMs * (1L << attempt))
       attempt += 1
+      // no sleep after the FINAL attempt — the schedule's longest wait
+      // would precede an unconditional give-up, pure wasted wall-clock
+      if (attempt < cfg.maxRetries) cfg.sleeper(cfg.backoffBaseMs * (1L << (attempt - 1)))
     }
     resp
   }
@@ -153,6 +155,12 @@ class HttpIngest(cfg: HttpIngestConfig) {
       }
       n += 1
     }
+    // Exiting via the maxPages guard means the token chain never hit a
+    // protocol exit condition — a silent truncation would look like a
+    // complete fetch. Fail loudly; callers that WANT a bounded fetch see
+    // the bound in the message and can raise it.
+    require(done, s"pagination did not terminate within maxPages=$maxPages " +
+      s"(no missing-items or short-page exit) — raise maxPages or check the endpoint")
     pages.result()
   }
 

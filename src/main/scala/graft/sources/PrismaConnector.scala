@@ -214,7 +214,12 @@ object PrismaConnector {
         concat(lit("\""),
           regexp_replace(coalesce(col(f.name), lit("")), "\"", "\"\""),
           lit("\"")).as(f.name)
-      else col(f.name).cast("string").as(f.name)
+      else
+        // coalesce AFTER the cast: concat_ws silently DROPS null
+        // arguments, so a bare null numeric cell would delete its field
+        // and shift every later cell left. pandas QUOTE_NONNUMERIC
+        // renders NaN/None as an empty bare field — match that.
+        coalesce(col(f.name).cast("string"), lit("")).as(f.name)
     }
     out.select(concat_ws(",", cells.toIndexedSeq: _*).as("value"), col(part))
       .write.mode("overwrite")
@@ -227,8 +232,15 @@ object PrismaConnector {
     val header = out.schema.fieldNames.filter(_ != part).map { n =>
       if (out.schema(n).dataType == SStr) "\"" + n.replace("\"", "\"\"") + "\"" else "\"" + n + "\""
     }.mkString(",")
-    val fs = new java.io.File(path); fs.mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_header.csv"), header + "\n")
+    // Resolve the filesystem FROM the path so the sidecar lands wherever
+    // the text sink wrote (local, HDFS, s3a) instead of assuming a local
+    // java.io path — the sink above supports any Hadoop filesystem and
+    // the header must follow it.
+    val headerPath = new org.apache.hadoop.fs.Path(path, "_header.csv")
+    val hfs = headerPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val os = hfs.create(headerPath, true)
+    try os.write((header + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
 }

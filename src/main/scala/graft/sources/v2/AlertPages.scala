@@ -69,6 +69,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   // live transport:
   *   //   .option("httpBase", "http://127.0.0.1:8080")
   *   //   .option("httpToken", token)
+  *   //   .option("httpMaxRetries", "4")      // 429 backoff attempts
+  *   //   .option("httpBackoffBaseMs", "100") // 100/200/400 ms schedule
+  *   //   .option("httpMinGapMs", "0")        // per-executor request gap
   * }}}
   */
 class AlertPages extends TableProvider {
@@ -80,12 +83,87 @@ class AlertPages extends TableProvider {
     // SQL OPTIONS must not silently fall back to defaults), so re-wrap
     // the raw properties map before lookup.
     val opts = new CaseInsensitiveStringMap(properties)
-    val http = Option(opts.get("httpBase"))
-      .map(base => (base, Option(opts.get("httpToken")).getOrElse("")))
+    val http = Option(opts.get("httpBase")).map(base => LiveHttp(
+      base,
+      Option(opts.get("httpToken")).getOrElse(""),
+      opts.getInt("httpMaxRetries", 4),
+      opts.getLong("httpBackoffBaseMs", 100L),
+      opts.getLong("httpMinGapMs", 0L)))
     new AlertPagesTable(
       opts.getInt("pages", 10),
       opts.getInt("pageSize", 100),
       http)
+  }
+}
+
+/** Live-transport config carried from read options into each page
+  * partition. Executor-side defaults are deliberately SHORT
+  * (100/200/400 ms): Spark's blind task retry adds an outer retry
+  * layer, so the inner loop only needs to absorb transient 429 bursts
+  * without hammering — the long driver-side schedule lives in
+  * [[graft.sources.HttpIngest]].
+  *
+  * `minGapMs` is the per-JVM (per-executor) minimum gap between request
+  * STARTS across all partition readers — the reference's R5 throttle
+  * (`prisma_report/lambda.py:268`) generalized to a parallel fetcher:
+  * cluster-wide request rate = numExecutors / minGap, tunable without
+  * serializing pages.
+  */
+case class LiveHttp(base: String, token: String, maxRetries: Int = 4,
+    backoffBaseMs: Long = 100L, minGapMs: Long = 0L)
+
+/** Executor-side HTTP plumbing shared by every live page reader in the
+  * JVM: ONE HttpClient (connection reuse across partitions instead of a
+  * socket per page), a 429-only exponential-backoff send (R4 semantics,
+  * mirrored from HttpIngest.withBackoff), and a JVM-wide inter-request
+  * throttle gate (R5). The sleeper is injectable so specs assert the
+  * exact schedule wall-clock-free (local mode: executor == driver JVM);
+  * clusters use the default.
+  */
+object AlertHttp {
+  import java.util.concurrent.atomic.AtomicLong
+  lazy val client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient()
+  @volatile var sleeper: Long => Unit = Thread.sleep
+
+  // next permitted request-start time per endpoint, claimed by CAS so N
+  // concurrent partition readers serialize their STARTS (not their
+  // transfers) minGapMs apart
+  private val gates =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private def throttle(base: String, minGapMs: Long): Unit = if (minGapMs > 0) {
+    val gate = gates.computeIfAbsent(base, _ => new AtomicLong(Long.MinValue))
+    val gapNs = minGapMs * 1000000L
+    var slot = 0L
+    var claimed = false
+    while (!claimed) {
+      val prev = gate.get()
+      val now = System.nanoTime()
+      slot = if (prev == Long.MinValue) now else math.max(now, prev + gapNs)
+      claimed = gate.compareAndSet(prev, slot)
+    }
+    val waitMs = (slot - System.nanoTime()) / 1000000L
+    if (waitMs > 0) sleeper(waitMs)
+  }
+
+  /** Send with the R4 contract: ONLY 429 retries (other statuses return
+    * immediately for the caller to judge), sleeping
+    * backoffBase·2^attempt between attempts, no sleep after the final
+    * one. Each attempt re-passes the throttle gate — a retry is a
+    * request too.
+    */
+  def sendWithBackoff(req: java.net.http.HttpRequest, cfg: LiveHttp)
+      : java.net.http.HttpResponse[String] = {
+    var attempt = 0
+    var resp: java.net.http.HttpResponse[String] = null
+    while (attempt < cfg.maxRetries) {
+      throttle(cfg.base, cfg.minGapMs)
+      resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 429) return resp
+      attempt += 1
+      if (attempt < cfg.maxRetries) sleeper(cfg.backoffBaseMs * (1L << (attempt - 1)))
+    }
+    resp
   }
 }
 
@@ -111,7 +189,7 @@ object AlertPages {
 }
 
 class AlertPagesTable(pages: Int, pageSize: Int,
-    http: Option[(String, String)] = None) extends Table with SupportsRead {
+    http: Option[LiveHttp] = None) extends Table with SupportsRead {
   override def name(): String = s"alert_pages($pages x $pageSize)"
   override def schema(): StructType = AlertPages.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -121,7 +199,7 @@ class AlertPagesTable(pages: Int, pageSize: Int,
 }
 
 class AlertScanBuilder(pages: Int, pageSize: Int,
-    http: Option[(String, String)] = None)
+    http: Option[LiveHttp] = None)
     extends ScanBuilder with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -213,7 +291,7 @@ class AlertScanBuilder(pages: Int, pageSize: Int,
 
 class AlertScan(pages: Int, pageSize: Int, required: StructType,
     eqFilters: Array[(String, String)],
-    http: Option[(String, String)] = None) extends Scan with Batch {
+    http: Option[LiveHttp] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -306,13 +384,13 @@ class AlertAggReaderFactory extends PartitionReaderFactory {
 
 case class AlertPagePartition(page: Int, pageSize: Int,
     columns: Array[String], eqFilters: Array[(String, String)],
-    http: Option[(String, String)] = None) extends InputPartition
+    http: Option[LiveHttp] = None) extends InputPartition
 
 class AlertPageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AlertPagePartition]
     p.http match {
-      case Some((base, token)) => httpReader(p, base, token)
+      case Some(cfg) => httpReader(p, cfg)
       case None => syntheticReader(p)
     }
   }
@@ -340,9 +418,16 @@ class AlertPageReaderFactory extends PartitionReaderFactory {
     * header — so N pages transfer in parallel. The server applies
     * fields/filters (the reference API contract), and the reader
     * re-checks nothing: pushed means pushed.
+    *
+    * Operational behavior (round 11): the send goes through
+    * [[AlertHttp]] — ONE HttpClient per executor JVM, 429-only
+    * exponential backoff on the short executor schedule, and the
+    * JVM-wide min-gap throttle — so a rate-limited endpoint sees
+    * backed-off retries instead of Spark's blind task-retry hammer,
+    * and N parallel partitions respect a configured aggregate rate.
     */
-  private def httpReader(p: AlertPagePartition, base: String,
-      token: String): PartitionReader[InternalRow] =
+  private def httpReader(p: AlertPagePartition,
+      cfg: LiveHttp): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[InternalRow] = {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -355,23 +440,26 @@ class AlertPageReaderFactory extends PartitionReaderFactory {
              | "fields": ${p.columns.map(js).mkString("[", ",", "]")},
              | "filters": $filters}""".stripMargin
         val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(s"$base/alerts_page"))
+          .newBuilder(java.net.URI.create(s"${cfg.base}/alerts_page"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .header("Content-Type", "application/json; charset=UTF-8")
           .header("Accept", "application/json; charset=UTF-8")
-          .header("x-redlock-auth", token)
+          .header("x-redlock-auth", cfg.token)
           .build()
-        val resp = java.net.http.HttpClient.newHttpClient()
-          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        val resp = AlertHttp.sendWithBackoff(req, cfg)
         require(resp.statusCode() == 200,
-          s"page ${p.page} fetch failed with status ${resp.statusCode()}")
+          s"page ${p.page} fetch failed with status ${resp.statusCode()} after retries")
         val items = mapper.readTree(resp.body()).path("items")
         require(items.isArray, s"page ${p.page} response has no items array")
         (0 until items.size()).iterator.map { i =>
           val it = items.get(i)
           InternalRow(p.columns.map { c =>
             val f = it.path(c)
-            require(f.isTextual, s"item $i missing requested field $c")
+            // any present, non-null value renders as text (the schema is
+            // string-typed); only genuinely absent fields are an error —
+            // a numeric JSON field must not break the reader
+            require(!f.isMissingNode && !f.isNull,
+              s"item $i missing requested field $c")
             UTF8String.fromString(f.asText()): Any
           }: _*)
         }

@@ -179,4 +179,41 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("svc one", 3L), ("svc,two", 0L)))
   }
+
+  test("QUOTE_NONNUMERIC sink: null numeric cells render as empty fields, never drop (column counts fixed)") {
+    // concat_ws silently skips null arguments — an uncoalesced null
+    // BIGINT/DOUBLE cell would delete its field and shift every later
+    // cell left. pandas QUOTE_NONNUMERIC writes an empty bare field for
+    // NaN/None; pin that exact byte shape on a row with null numerics
+    // in the middle AND at the end.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_qnn_null").toString
+    val report = Seq(
+      ("a", Some(1L), Some(2.5), "x", "2024-03-01"),
+      ("b", None, Some(0.5), "y", "2024-03-01"),
+      ("c", Some(7L), None, "z", "2024-03-01"))
+      .toDF("name", "n", "ratio", "note", "transaction_date")
+    PrismaConnector.writeReportQuoteNonNumeric(report, dir)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("transaction_date="))
+      .flatMap(_.listFiles().filter(f =>
+        f.getName.endsWith(".txt") || f.getName.endsWith(".csv")))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+      .sorted
+    assert(lines.toSeq == Seq(
+      "\"a\",1,2.5,\"x\"",
+      "\"b\",,0.5,\"y\"",
+      "\"c\",7,,\"z\""), s"null numerics must be empty fields: $lines")
+    // every row still parses to the full 4-column schema with nulls intact
+    val back = spark.read
+      .schema("name STRING, n BIGINT, ratio DOUBLE, note STRING")
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("transaction_date=")).head.toString)
+    val rows = back.collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getString(3))).toSet
+    assert(rows == Set(
+      ("a", Some(1L), Some(2.5), "x"),
+      ("b", None, Some(0.5), "y"),
+      ("c", Some(7L), None, "z")))
+  }
 }

@@ -228,6 +228,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!bad, s"unpartitioned window in:\n$plan")
   }
 
+  test("q_zorder has no window operator — global rank runs on the zipWithIndex primitive") {
+    // the one-time single-partition ntile(64) window over the whole
+    // fact table is gone: bucket assignment must come from range-
+    // partitioned sort + zipWithIndex (ordered partitions, bounded
+    // exchange), with the row count joined in as a broadcast scalar
+    val plan = formattedPlan(q("q_zorder"))
+    assert(!plan.contains("Window"),
+      s"q_zorder must not plan any window operator:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row count frame must ride a broadcast, not a shuffle")
+  }
+
   test("q_geo_radius joins on grid cells (hash join), never a nested-loop distance scan") {
     val plan = formattedPlan(q("q_geo_radius"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),

@@ -33,24 +33,23 @@ object BpeTable {
 
 object BpeKernels {
 
-  /** Tokenize `text` like the trainer's histogram pass (lowercase,
-    * non-letter runs split) and BPE-encode each word with `table`.
-    * Returns the concatenated subword stream as array<string>.
+  /** Tokenize `text` like the trainer's histogram pass (locale-free
+    * lowercase, `\p{L}`-run split — Unicode-correct, round 11: CJK and
+    * accented words encode instead of vanishing) and BPE-encode each
+    * word with `table`. Returns the concatenated subword stream as
+    * array<string>. Base symbols are CODE POINTS (Bpe.charSymbols), so
+    * supplementary-plane characters never tear into surrogates.
     */
   def encodeText(text: UTF8String, table: BpeTable): ArrayData = {
-    val words = text.toString.toLowerCase.split("[^a-z]+")
+    val words = text.toString
+      .toLowerCase(java.util.Locale.ROOT) // match Spark's locale-free lower()
+      .split("[^\\p{L}]+")
     val out = new scala.collection.mutable.ArrayBuffer[Any]
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var syms: Array[String] = {
-          val a = new Array[String](w.length + 1)
-          var i = 0
-          while (i < w.length) { a(i) = String.valueOf(w.charAt(i)); i += 1 }
-          a(w.length) = Bpe.EndOfWord
-          a
-        }
+        var syms: Array[String] = Bpe.charSymbols(w) :+ Bpe.EndOfWord
         var continue = syms.length > 1
         while (continue) {
           var bestRank = Int.MaxValue

@@ -43,14 +43,34 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
+  /** Split a word into per-CODE-POINT symbols (+ nothing else): the
+    * base alphabet of the merge algebra. Code points, not chars —
+    * `charAt` would tear supplementary-plane characters (emoji, CJK
+    * extension blocks) into unpaired surrogates that can never merge
+    * back into valid text.
+    */
+  def charSymbols(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Corpus-scale pass: lowercase, strip non-letter runs, explode,
     * count — then keep the top `cap` words by (count desc, word asc).
     * The sort+limit plans as TakeOrderedAndProject (per-partition heap,
     * driver merges `cap` rows), never a global sort of the word table.
+    * `\p{L}` runs, not `[a-z]` (round 11): BPE's base symbols are
+    * code points, so accented/CJK words train exactly like ASCII ones
+    * instead of being silently deleted from the histogram.
     */
   def wordHistogram(docs: DataFrame, cap: Int): Array[(String, Long)] = {
     val words = docs
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .select(explode(split(lower(col("text")), "[^\\p{L}]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(cap)
@@ -67,7 +87,7 @@ object Bpe {
     // mutable working set: each word as its current symbol sequence
     val freqs = histogram.map(_._2)
     val words: Array[Array[String]] = histogram.map { case (w, _) =>
-      w.map(_.toString).toArray :+ EndOfWord
+      charSymbols(w) :+ EndOfWord
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
@@ -133,7 +153,7 @@ object Bpe {
     * exactly (BpeSpec asserts the token-count identity).
     */
   def encode(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var syms: Array[String] = charSymbols(word) :+ EndOfWord
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

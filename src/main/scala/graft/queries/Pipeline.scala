@@ -891,17 +891,20 @@ object Pipeline {
     // Text normalization: lowercase, strip non-alphanumerics, collapse
     // whitespace — the canonicalization step ahead of exact dedup.
     // Pure map-side scalar pipeline (codegen'd regexp_replace chain).
+    // Unicode classes (round 11): [^a-z0-9 ] DELETED every non-Latin
+    // letter — normalizing "北京 café" to "caf" — so the strip keeps
+    // \p{L}\p{N} and spaces; identical on the ASCII fixture.
     QueryDef("q_text_norm",
       (s, d) => {
         val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+          regexp_replace(lower(col("text")), "[^\\p{L}\\p{N} ]", ""), " +", " "))
         T.documents(s, d).select(col("doc_id"), norm.as("norm_text"),
             size(split(norm, " ")).cast(LongType).as("n_tokens"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
-             |       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+             |       trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Deterministic ~30% sample with per-stratum accounting. The md5

@@ -37,6 +37,30 @@ object TextOps {
     */
   val MaxShingleDf = 128
 
+  /** Unicode word tokenizer — the engine's canonical text→tokens path
+    * (round 11): letter/digit RUNS (`\p{L}`/`\p{N}` classes) of the
+    * lowercased text, empty split-boundary fragments filtered. The
+    * ASCII `[^a-z]`-class splits this replaces silently DESTROYED
+    * non-Latin text (CJK tokenized to nothing, accented words
+    * fragmented at every diacritic) — invisible on the all-ASCII
+    * fixture, fatal on a real multilingual corpus. On ASCII input this
+    * tokenizer is byte-identical to the whitespace split it
+    * generalizes (fixture oracle hashes unchanged); on Unicode input
+    * "café", "straße", "北京" stay whole tokens. Scripts without word
+    * boundaries (CJK) tokenize to whole letter runs — honest without a
+    * dictionary segmenter; the sub-word unit for those is the
+    * code-point-level BPE (functions/BpeExprs) and character shingles.
+    * DuckDB oracle mirror (RE2 shares the classes):
+    * `list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+    * t -> t <> '')`.
+    */
+  def unicodeWords(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** The oracle-side rendering of [[unicodeWords]] (DuckDB SQL). */
+  val UnicodeWordsSql: String =
+    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')"""
+
   /** Shared overlap statistics for the exact set-similarity family:
     * one row per unordered doc pair sharing ≥1 kept shingle —
     * (doc_a, doc_b, n_common, n_a, n_b). Both Jaccard (symmetric) and
@@ -224,11 +248,14 @@ object TextOps {
              |FROM documents GROUP BY lower(trim(text))
              |ORDER BY keep_id""".stripMargin)),
 
-    // Token statistics + top term per language (tokenize→explode→agg).
+    // Token statistics + top term per language (tokenize→explode→agg)
+    // on the canonical Unicode tokenizer (letter/digit runs — see
+    // unicodeWords; identical to the whitespace split on the ASCII
+    // fixture, correct on CJK/accented text).
     QueryDef("q_text_stats",
       (s, d) => {
         val toks = T.documents(s, d)
-          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .select(col("lang"), explode(unicodeWords(col("text"))).as("word"))
         val perWord = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
         val top = perWord.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -238,7 +265,9 @@ object TextOps {
           .join(top, "lang")
           .orderBy(col("lang"))
       },
-      Some("""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      Some("""WITH toks AS (SELECT lang, unnest(list_filter(
+             |         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |         t -> t <> '')) AS word FROM documents),
              |per_word AS (SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word),
              |top AS (SELECT lang, word AS top_word, CAST(cnt AS BIGINT) AS top_word_n,
              |               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
@@ -443,17 +472,21 @@ object TextOps {
     // (split-boundary artifacts differ between regex engines otherwise).
     QueryDef("q_token_regex",
       (s, d) => T.documents(s, d)
+        // Unicode classes, not [a-zA-Z0-9] (round 11): é/ß/Han are
+        // letters, so "café" is ONE alnum run, not a fragment + dropped
+        // tail. Identical on the ASCII fixture; Java and RE2 agree on
+        // the \p{L}/\p{N} classes.
         .withColumn("toks", filter(
-          split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= ""))
+          split(col("text"), "[^\\p{L}\\p{N}]+"), t => t =!= ""))
         .select(col("doc_id"),
           size(col("toks")).as("n_subwords"),
           size(array_distinct(col("toks"))).as("n_distinct"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-             |       CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |       CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
              |                            t -> t <> '')) AS INTEGER) AS n_subwords,
              |       CAST(len(list_distinct(list_filter(
-             |              regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |              regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
              |              t -> t <> ''))) AS INTEGER) AS n_distinct
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -493,7 +526,7 @@ object TextOps {
     QueryDef("q_tfidf",
       (s, d) => {
         val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), explode(unicodeWords(col("text"))).as("word"))
         val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
         val dfreq = toks.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -505,7 +538,9 @@ object TextOps {
           .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
           .orderBy(col("doc_id"), col("rnk"))
       },
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+             |         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |         t -> t <> '')) AS word FROM documents),
              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
              |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
              |n AS (SELECT count(*) AS n_docs FROM documents),
@@ -534,19 +569,28 @@ object TextOps {
           "de" -> Seq("der", "die", "das"),
           "en" -> Seq("the", "a", "of"),
           "es" -> Seq("el", "la", "de"))
-        val docs = T.documents(s, d).withColumn("toks", split(col("text"), " "))
+        // Unicode tokenizer (round 11): stopword votes count over
+        // letter-run tokens, so "¡el niño!" votes for es. Scripts the
+        // stopword lexicons can't see get a SCRIPT vote: zh = the
+        // document's Han-codepoint count (CJK has no space-delimited
+        // stopwords to match — script detection IS the standard
+        // first-stage signal there). ASCII fixture: v_zh ≡ 0, the
+        // lexicon path is token-identical to the whitespace split.
+        val docs = T.documents(s, d).withColumn("toks", unicodeWords(col("text")))
         val voted = lexicon.foldLeft(docs) { case (df, (lang, words)) =>
           df.withColumn(s"v_$lang",
             size(filter(col("toks"), w => w.isin(words: _*))).cast("long"))
-        }
-        val top = greatest(col("v_de"), col("v_en"), col("v_es"))
+        }.withColumn("v_zh",
+          length(regexp_replace(col("text"), "[^\\p{IsHan}]", "")).cast("long"))
+        val top = greatest(col("v_de"), col("v_en"), col("v_es"), col("v_zh"))
         voted.select(col("doc_id"), col("lang"),
             // top.isNull guards NULL text (size(filter(NULL)) is NULL):
-            // without it the CASE chain would fall through to 'es'
+            // without it the CASE chain would fall through to 'zh'
             when(top.isNull || top === 0, lit("und"))
               .when(col("v_de") === top, lit("de"))
               .when(col("v_en") === top, lit("en"))
-              .otherwise(lit("es")).as("pred_lang"),
+              .when(col("v_es") === top, lit("es"))
+              .otherwise(lit("zh")).as("pred_lang"),
             coalesce(top, lit(0L)).as("votes"))
           .orderBy(col("doc_id"))
       },

@@ -60,10 +60,54 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
         BpeExprs.bpeTokens(col("text"), table).as("toks"))
       .collect()
     doc.foreach { r =>
-      val words = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}]+").filter(_.nonEmpty)
       val expect = words.flatMap(w => Bpe.encode(w, ranks)).toSeq
       assert(r.getSeq[String](2) == expect, s"doc ${r.getLong(0)} encoding drifted")
     }
+  }
+
+  test("unicode BPE: accented and Han words train and encode losslessly (round 11)") {
+    import spark.implicits._
+    // crafted non-ASCII corpus — the driver fixture is 100% ASCII, so
+    // this is the only place the multilingual path gets exercised
+    val docs = Seq(
+      (1L, "straße straße straße müller müller café café café café"),
+      (2L, "北京 北京 北京 北京 欢迎 欢迎 你好 你好 你好"),
+      (3L, "el niño pequeño según según según el niño"))
+      .toDF("doc_id", "text")
+    val h = Bpe.wordHistogram(docs, 64)
+    val words = h.map(_._1).toSet
+    assert(words.contains("straße") && words.contains("café") &&
+      words.contains("北京") && words.contains("según"),
+      s"non-Latin words must survive the histogram pass: ${words.mkString(",")}")
+    val m = Bpe.train(h, 32)
+    assert(m.nonEmpty)
+    val rk = m.map(x => (x.left, x.right) -> x.rank).toMap
+    // encoding is lossless: concatenated symbols minus the sentinel
+    // reproduce the word, for every trained word
+    words.foreach { w =>
+      val enc = Bpe.encode(w, rk)
+      assert(enc.mkString("").stripSuffix(Bpe.EndOfWord) == w,
+        s"lossy encode of $w: ${enc.toSeq}")
+    }
+    // the codegen'd expression agrees with the driver encoder on the
+    // unicode corpus too
+    val table = BpeTable(m)
+    val got = docs.select(col("doc_id"),
+        BpeExprs.bpeTokens(col("text"), table).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    docs.collect().foreach { r =>
+      val expect = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}]+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encode(w, rk)).toSeq
+      assert(got(r.getLong(0)) == expect)
+    }
+    // supplementary-plane safety: a 𝕊 (U+1D54A, surrogate pair) word
+    // must round-trip through code-point symbols, never tear
+    val tricky = "x𝕊y"
+    val enc = Bpe.encode(tricky, Map.empty)
+    assert(enc.toSeq == Seq("x", "𝕊", "y", Bpe.EndOfWord))
   }
 
   test("q_bpe_encode counts are consistent and the subword stream is real") {
@@ -106,7 +150,7 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     val expected = docs.groupBy(_._1).map { case (lang, ds) =>
       val subs = ds.map { case (_, text) =>
         // same tokenization the bpe_tokens expression applies
-        text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
           .map(w => Bpe.encode(w, qRanks).length).sum.toLong
       }.sum
       // Spark's split keeps trailing empties (java split limit -1)

@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextOpsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
+  /** Driver-side mirror of queries.TextOps.unicodeWords. */
+  private def uniToks(text: String): Seq[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+
   test("q_lang_id matches a driver-side recompute of the lexicon vote on every doc") {
     val lexicon = Seq(
       "de" -> Seq("der", "die", "das"),
@@ -18,16 +23,75 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
       .select("doc_id", "text").as[(Long, String)].collect()
     assert(texts.nonEmpty && got.size == texts.length)
     texts.foreach { case (id, text) =>
-      val toks = text.split(" ", -1)
+      val toks = uniToks(text)
       val votes = lexicon.map { case (lang, words) =>
         lang -> toks.count(words.contains).toLong
-      }
+      } :+ ("zh" -> text.codePoints().toArray
+        .count(cp => Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN).toLong)
       val best = votes.map(_._2).max
       val expect =
         if (best == 0) ("und", 0L)
         else (votes.find(_._2 == best).get._1, best) // alphabetical tiebreak
       assert(got(id) == expect, s"doc $id: got ${got(id)} want $expect")
     }
+  }
+
+  /** Crafted NON-ASCII documents.parquet (the driver fixture is 100%
+    * ASCII, so nothing there can exercise real multilingual text) —
+    * written once per run, served to any query under test as its sfDir.
+    */
+  private lazy val uniDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_unidocs").toString
+    Seq(
+      (1L, "Der Müller wohnt in der großen Straße", "de", "crafted", 38L),
+      (2L, "el niño pequeño y el árbol según el plan", "es", "crafted", 41L),
+      (3L, "the cat of the house saw a bird", "en", "crafted", 31L),
+      (4L, "北京欢迎你 我们都是好朋友 北京欢迎你", "zh", "crafted", 19L),
+      (5L, "Café crème, s'il vous plaît — naïve résumé!", "fr", "crafted", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("unicode tokenizer: accented and CJK text survives whole (the [^a-z] bug class)") {
+    val toks = Tables.documents(spark, uniDir)
+      .select($"doc_id", graft.queries.TextOps.unicodeWords($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(toks(1L) == Seq("der", "müller", "wohnt", "in", "der", "großen", "straße"))
+    assert(toks(2L) == Seq("el", "niño", "pequeño", "y", "el", "árbol", "según", "el", "plan"))
+    assert(toks(4L) == Seq("北京欢迎你", "我们都是好朋友", "北京欢迎你"),
+      "Han runs must tokenize to whole letter runs, not vanish")
+    assert(toks(5L) == Seq("café", "crème", "s", "il", "vous", "plaît", "naïve", "résumé"))
+    // and the Spark-side tokenizer agrees with the driver mirror used
+    // by the recompute tests
+    toks.foreach { case (id, t) =>
+      val text = Tables.documents(spark, uniDir).filter($"doc_id" === id)
+        .select("text").as[String].head()
+      assert(t == uniToks(text), s"doc $id tokenizer drift")
+    }
+  }
+
+  test("q_lang_id on non-ASCII docs: Han script votes zh, accented stopwords vote es/de") {
+    val got = SparkEntry.queries("q_lang_id")(spark, uniDir)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == "de", s"umlaut text must still match 'der': $got")
+    assert(got(2L) == "es", "accented es text votes el/la")
+    assert(got(3L) == "en")
+    assert(got(4L) == "zh", "Han-script doc must be detected via script votes")
+  }
+
+  test("q_token_regex and q_text_stats count non-ASCII words as words") {
+    val tr = SparkEntry.queries("q_token_regex")(spark, uniDir)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._2).toMap
+    // doc 5: café crème s il vous plaît naïve résumé = 8 alnum runs —
+    // the old [a-zA-Z0-9] class fragmented caf|é etc.
+    assert(tr(5L) == 8, s"accented runs must count whole: $tr")
+    assert(tr(4L) == 3, "three Han runs")
+    val ts = SparkEntry.queries("q_text_stats")(spark, uniDir)
+      .select("lang", "n_tokens").as[(String, Long)].collect().toMap
+    assert(ts("zh") == 3L, "zh doc contributes its three Han-run tokens")
+    assert(ts("de") == 7L)
   }
 
   test("substring dedup: planted shared spans are found with exact boundaries") {

@@ -283,7 +283,21 @@ object Extras {
           .select(col("event_type"), col("exact_n"), col("est_n"))
           .orderBy(col("event_type"))
       },
-      None),
+      None,
+      // bounds oracle (round 11): exact_n must equal the exact count;
+      // est_n must sit within the CMS guarantee. ε=0.001 of the TOTAL
+      // stream; each of the 5 types holds ~1/5 of it, so the relative
+      // point-estimate band is ≤ 5·ε ≈ 0.005 — checked at 0.01 (2×
+      // headroom; CMS never undercounts, so the band is one-sided in
+      // practice).
+      Some(graft.ApproxOracle(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS exact_n,
+          |       CAST(count(*) AS BIGINT) AS est_n
+          |FROM events
+          |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("est_n" -> 0.01)))),
 
     // KMV bottom-k sketch set algebra: distinct-token cardinality of
     // two domain halves AND their overlap from two bounded sketches.
@@ -313,7 +327,24 @@ object Extras {
             math.round(estU), math.round(estI)))
           .toDF("est_even", "est_odd", "est_union", "est_inter")
       },
-      None),
+      None,
+      // bounds oracle (round 11): every estimate within 3σ of the exact
+      // set algebra, σ = 1/√(k−2) ≈ 6.3% at k=256 → 0.19 (KMV is EXACT
+      // below k, so the fixture passes with zero error; the band is the
+      // published guarantee a larger corpus is held to).
+      Some(graft.ApproxOracle(
+        """WITH toks AS (
+          |  SELECT (CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2) AS grp,
+          |         unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |e AS (SELECT DISTINCT tok FROM toks WHERE grp = 0),
+          |o AS (SELECT DISTINCT tok FROM toks WHERE grp = 1)
+          |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS est_even,
+          |       CAST((SELECT count(*) FROM o) AS BIGINT) AS est_odd,
+          |       CAST((SELECT count(*) FROM (SELECT tok FROM e UNION SELECT tok FROM o)) AS BIGINT) AS est_union,
+          |       CAST((SELECT count(*) FROM (SELECT tok FROM e INTERSECT SELECT tok FROM o)) AS BIGINT) AS est_inter""".stripMargin,
+        Map("est_even" -> 0.19, "est_odd" -> 0.19,
+          "est_union" -> 0.19, "est_inter" -> 0.19)))),
 
     // SpaceSaving top-k frequent tokens — WHICH items are frequent, the
     // question CMS (point frequency) and KMV/HLL (distinct counts)
@@ -338,7 +369,22 @@ object Extras {
         top.zipWithIndex.map { case ((t, _), i) => (i + 1, t) }
           .toDF("rank", "token")
       },
-      None),
+      None,
+      // bounds oracle (round 11, no tolerance columns = exact compare):
+      // the declared head-10 must equal the EXACT top-10 by (count
+      // desc, token). Sound here because M=64 counters over the ~30-
+      // word vocabulary keep SpaceSaving in its exact regime (no
+      // eviction ⇒ counters are true counts — the same reason the head
+      // is declared at all); SketchTopKSpec separately asserts the
+      // distribution-free guarantees on saturated streams.
+      Some(graft.ApproxOracle(
+        """WITH toks AS (
+          |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank,
+          |       tok AS token
+          |FROM c ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+        Map.empty))),
 
     // KLL quantile sketch (Karnin–Lang–Liberty 2016) — the QUANTILE
     // member of the sketch family: approx_percentile answers the same
@@ -365,7 +411,21 @@ object Extras {
             Kll.quantile(sk, 0.99))
         }.toSeq.toDF("event_type", "n", "p50", "p95", "p99")
       },
-      None),
+      None,
+      // bounds oracle (round 11): n is exact (the sketch counts every
+      // update); each quantile sits within a VALUE band implied by the
+      // ≤3% rank-error guarantee KllSpec pins — on the fixture's
+      // smooth value axis a 3%-rank shift moves p50 by ≲5% of its
+      // value and the tail quantiles by ≲10% (flatter density ⇒ wider
+      // value band per rank).
+      Some(graft.ApproxOracle(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       quantile_cont(value, 0.5) AS p50,
+          |       quantile_cont(value, 0.95) AS p95,
+          |       quantile_cont(value, 0.99) AS p99
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("p50" -> 0.05, "p95" -> 0.10, "p99" -> 0.10)))),
 
     // Skyline / Pareto frontier (Börzsönyi et al. 2001): parts not
     // dominated in (minimize price, maximize size) — the multi-

@@ -53,6 +53,38 @@ object ScaleSlope {
         length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** Heaps-law documents — same doc shape as [[genDocuments]] (12–61
+    * tokens, every 20th doc a marked near-dup of its neighbor) but the
+    * VOCABULARY grows with the corpus: |V| = 30·√(n/5000), Heaps' law
+    * with β = 0.5 anchored at the 1×-tier's 30 words. This is the
+    * fixture the shingle-join family needs at big tiers: the 30-word
+    * vocabulary saturates the ≤27k 3-gram space, so per-shingle df
+    * grows ∝ corpus and any shared-shingle join output grows ∝ df² —
+    * a FIXTURE artifact no real crawl exhibits (natural text keeps
+    * per-shingle df roughly flat as vocabulary grows with corpus).
+    * Heaps tiers keep df bounded, so the measured slope prices the
+    * OPERATOR.
+    */
+  def genDocumentsHeaps(spark: SparkSession, n: Long): DataFrame = {
+    val vocabSize = math.max(30L, math.round(30.0 * math.sqrt(n / 5000.0)))
+    spark.range(n).toDF("doc_id")
+      .withColumn("base_id",
+        when(col("doc_id") % 20 === 19, col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("len",
+        (lit(12) + pmod(xxhash64(col("base_id"), lit(-1)), lit(50))).cast("int"))
+      .withColumn("words", transform(sequence(lit(0), col("len") - 1),
+        p => concat(lit("w"), pmod(xxhash64(col("base_id"), p), lit(vocabSize)))))
+      .withColumn("text",
+        when(col("doc_id") =!= col("base_id"),
+          concat_ws(" ", concat(col("words"), array(lit("dupmark")))))
+        .otherwise(concat_ws(" ", col("words"))))
+      .select(col("doc_id"), col("text"),
+        element_at(array(lit("en"), lit("es"), lit("de"), lit("zh")),
+          (pmod(xxhash64(col("doc_id"), lit(-2)), lit(4)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(10))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
     // 10 clusters: v_d = center(label, d) ± noise(id, d), floats in ~[-1.2, 1.2]
     spark.range(n).toDF("vec_id")
@@ -237,7 +269,7 @@ object ScaleSlope {
       for (m <- mults; q <- heavy if runsAt(q, m))
         SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
 
-    val times: Map[Int, Map[String, Double]] =
+    val times0: Map[Int, Map[String, Double]] =
       if (recallOnly) mults.map(_ -> Map.empty[String, Double]).toMap
       else mults.map { m =>
         m -> heavy.filter(runsAt(_, m)).map { q =>
@@ -246,6 +278,55 @@ object ScaleSlope {
           q -> (System.nanoTime() - t0) / 1e9
         }.toMap
       }.toMap
+
+    // round-11 production-shape variants of the three fixture-quadratic
+    // queries, run UNCAPPED at every tier (the MaxMult10 rows above
+    // price the saturated fixture, these price the OPERATOR):
+    //  - q_decontam_fixedref: decontaminate tier-m corpus docs against
+    //    the 1×-TIER benchmark (fixed eval-suite shape) instead of the
+    //    %10 set that grows with the corpus;
+    //  - q_corpus_inc_fixedref: the incremental corpus replay with
+    //    benchmark membership pinned to the 1×-tier ids (benchMaxId);
+    //  - q_dedup_ngram_heaps: the exact-Jaccard shared-shingle join on
+    //    the Heaps-vocabulary corpus (bounded per-shingle df — the
+    //    regime a real crawl is in; the 30-word fixture saturates).
+    val variantDefs: Seq[(String, Int => DataFrame)] = Seq(
+      "q_decontam_fixedref" -> { (m: Int) =>
+        queries.Corpus.decontamAgainst(
+          Tables.documents(spark, s"$base/x$m").filter(col("doc_id") % 10 =!= 0),
+          Tables.documents(spark, s"$base/x1").filter(col("doc_id") % 10 === 0)) },
+      "q_corpus_inc_fixedref" -> { (m: Int) =>
+        streaming.IncrementalCorpus.fixtureRun(spark, s"$base/x$m",
+          benchMaxId = 5000L) },
+      "q_dedup_ngram_heaps" -> { (m: Int) =>
+        queries.TextOps.jaccardPairsOf(
+          Tables.documents(spark, s"$base/heaps_x$m")) })
+    val variants =
+      if (recallOnly) Nil
+      else args.find(_.startsWith("only="))
+        .map(o => variantDefs.filter(v => o.stripPrefix("only=").split(",").toSet(v._1)))
+        .getOrElse(variantDefs)
+    if (variants.exists(_._1.endsWith("_heaps")))
+      for (m <- mults) {
+        val dir = s"$base/heaps_x$m"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+          genDocumentsHeaps(spark, 5000L * m).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+      }
+    // same warm-then-time discipline as the main pass (corpus_inc's
+    // foreachBatch replay is already cold-start-shaped, but warming
+    // still pages in this tier's parquet before the timed run)
+    for (m <- mults; (_, f) <- variants) f(m).queryExecution.toRdd.count()
+    val varTimes: Map[Int, Map[String, Double]] = mults.map { m =>
+      m -> variants.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        f(m).queryExecution.toRdd.count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }.toMap
+    val times: Map[Int, Map[String, Double]] =
+      mults.map(m => m -> (times0(m) ++ varTimes(m))).toMap
+    val reported = heavy ++ variants.map(_._1)
 
     // recall@5 vs exact brute force for the ANN family at every tier
     // (after the timed region — collects are probe-bounded, 15 rows each)
@@ -280,7 +361,7 @@ object ScaleSlope {
     // mults the query actually ran at, with "slope_over" naming that
     // span. A query whose every tier was filtered out (e.g. a MaxMult10
     // query in a 100-only run) is skipped, not a crash at report time.
-    val slopes = heavy.flatMap { q =>
+    val slopes = reported.flatMap { q =>
       val qm = mults.sorted.filter(m => times(m).contains(q))
       if (qm.isEmpty) None
       else {

@@ -76,9 +76,17 @@ object IncrementalCorpus {
   /** Ingest one micro-batch (the foreachBatch body; idempotent under
     * replay). `threshold` is the near-dup dedup threshold, `minOverlap`
     * the decontamination bar — both matching CorpusPipeline's defaults.
+    * `benchMaxId` bounds benchmark MEMBERSHIP (doc_id % 10 == 0 AND
+    * doc_id < benchMaxId): the default admits every %10 doc (the
+    * q_corpus_inc fixture convention, where the benchmark grows with
+    * the corpus); a finite bound is the PRODUCTION shape — a fixed
+    * eval/canary suite that new corpus batches are screened against
+    * but never enlarge (ScaleSlope's fixedref tier uses this to price
+    * the incremental machinery, not the growing-bench fixture).
     */
   def ingestBatch(batch: DataFrame, batchId: Long, base: String,
-      threshold: Double = 0.5, minOverlap: Double = 0.3): Unit = {
+      threshold: Double = 0.5, minOverlap: Double = 0.3,
+      benchMaxId: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     // State-layout compatibility guard, BEFORE any state mutation: a dir
     // written before the benchsh/ store existed has earlier bench/
@@ -97,7 +105,8 @@ object IncrementalCorpus {
     // one materialization of the arriving docs: feeds the bench split,
     // the quality gate, and (via commitBatch) signature generation
     val b = batch.localCheckpoint(true)
-    val benchDelta = b.filter(col("doc_id") % 10 === 0)
+    val benchDelta = b.filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") < benchMaxId)
       .select(col("doc_id"), col("text"))
     val q = CorpusPipeline.qualityFilter(b)
       .withColumn("digest", sha2(lower(trim(col("text"))), 256))
@@ -190,7 +199,8 @@ object IncrementalCorpus {
     * [[snapshot]]. The temp state is deleted after localCheckpointing
     * the result, as in [[StreamingDedup.nearDedupFixtureRun]].
     */
-  def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 2): DataFrame = {
+  def fixtureRun(spark: SparkSession, sfDir: String, nFiles: Int = 2,
+      benchMaxId: Long = Long.MaxValue): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_corpus")
     graft.Tables.documents(spark, sfDir)
       .repartition(nFiles).write.parquet(s"$tmp/in")
@@ -199,7 +209,7 @@ object IncrementalCorpus {
       .writeStream
       .option("checkpointLocation", s"$tmp/ck")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, s"$tmp/state")
+        ingestBatch(batch, batchId, s"$tmp/state", benchMaxId = benchMaxId)
       }
       .start()
     q.processAllAvailable()

@@ -171,6 +171,20 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     val after = IvfIndex.search(spark, dir, probes, k = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(after == before, "replay must not change search results")
+    // the replay is a TRUE no-op (round 11): the committed batch is
+    // recognized and the delta partitions are not rewritten — their
+    // files are byte-identical, not merely content-equivalent
+    def deltaState() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/delta"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).sorted.toSeq
+      .map(p => (p, java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)).toMillis))
+    val filesBefore = deltaState()
+    val st = IvfIndex.append(spark, dir, batch, batchId = 7L)
+    assert(st.appended == 200 && !st.retrainAdvised)
+    assert(deltaState() == filesBefore,
+      "a recognized replay must not rewrite delta files")
   }
 
   test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {

@@ -265,9 +265,16 @@ object ScaleSlope {
     // toRdd.count() (not df.count()) so Catalyst can't prune computed
     // projections / eliminate the sort or keyed joins out of the timed
     // plan — same rationale as Bench.time
+    // storage hygiene between queries (the Bench.drainStorage lesson —
+    // localCheckpoint blocks are dead once counted; see RelScale)
+    def drainStorage(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     if (!recallOnly)
-      for (m <- mults; q <- heavy if runsAt(q, m))
+      for (m <- mults; q <- heavy if runsAt(q, m)) {
         SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
+        drainStorage()
+      }
 
     val times0: Map[Int, Map[String, Double]] =
       if (recallOnly) mults.map(_ -> Map.empty[String, Double]).toMap
@@ -275,7 +282,9 @@ object ScaleSlope {
         m -> heavy.filter(runsAt(_, m)).map { q =>
           val t0 = System.nanoTime()
           SparkEntry.queries(q)(spark, s"$base/x$m").queryExecution.toRdd.count()
-          q -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          drainStorage()
+          q -> dt
         }.toMap
       }.toMap
 
@@ -316,12 +325,17 @@ object ScaleSlope {
     // same warm-then-time discipline as the main pass (corpus_inc's
     // foreachBatch replay is already cold-start-shaped, but warming
     // still pages in this tier's parquet before the timed run)
-    for (m <- mults; (_, f) <- variants) f(m).queryExecution.toRdd.count()
+    for (m <- mults; (_, f) <- variants) {
+      f(m).queryExecution.toRdd.count()
+      drainStorage()
+    }
     val varTimes: Map[Int, Map[String, Double]] = mults.map { m =>
       m -> variants.map { case (name, f) =>
         val t0 = System.nanoTime()
         f(m).queryExecution.toRdd.count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        drainStorage()
+        name -> dt
       }.toMap
     }.toMap
     val times: Map[Int, Map[String, Double]] =

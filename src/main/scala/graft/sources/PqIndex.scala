@@ -159,6 +159,16 @@ object PqIndex {
       .getOrElse(throw new IllegalStateException(
         s"$path has no meta/ (pre-append index layout) — rebuild with " +
           "PqIndex.build before appending"))
+    // Replay fast-path (round 11, the IvfIndex.append contract): a
+    // committed batch_id with the batch's exact row count means the
+    // encode + dynamic overwrite below would rewrite identical
+    // partitions — skip entirely; the first commit already carried the
+    // drift advisory for this data.
+    val nBatch = batch.count()
+    val committed = readOr(spark, s"$path/codes_delta")
+      .map(d => d.filter(col("batch_id") === batchId).count()).getOrElse(0L)
+    if (nBatch > 0 && committed == nBatch)
+      return AppendStats(nBatch, 0.0, trainRes, retrainAdvised = false)
     val coarse: Array[Array[Double]] =
       spark.read.parquet(s"$path/coarse").orderBy(col("cid")).collect()
         .map(_.getSeq[Double](1).toArray)

@@ -166,7 +166,11 @@ object ScaleSlope {
     * runs the exact baseline on MinHash survivors and decontaminates
     * against FIXED-size bench sets. Capping them at 10× keeps the
     * larger tiers a linearity check for the queries designed to be
-    * linear, at tolerable wall-clock.
+    * linear, at tolerable wall-clock. The PRODUCTION shapes are
+    * measured uncapped to 100× by the round-11 variant rows below
+    * (q_decontam_fixedref / q_corpus_inc_fixedref /
+    * q_dedup_ngram_heaps) — slopes 4.4 / 10.0 / 5.4 over 100× data,
+    * SCALING.md round-11 section.
     */
   private val MaxMult10 =
     Set("q_dedup_ngram", "q_decontam", "q_dedup_contain", "q_dedup_prefix",

@@ -155,6 +155,20 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
     val after = PqIndex.search(spark, dir, probes, corpus, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(after == before, "replay must not change search results")
+    // the replay is a TRUE no-op (round 11, the IvfIndex contract):
+    // the committed batch is recognized and codes_delta files stay
+    // byte-identical, not merely content-equivalent
+    def deltaState() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/codes_delta"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString).sorted.toSeq
+      .map(p => (p, java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)).toMillis))
+    val filesBefore = deltaState()
+    val st = PqIndex.append(spark, dir, batch, batchId = 7L)
+    assert(st.appended == 200 && !st.retrainAdvised)
+    assert(deltaState() == filesBefore,
+      "a recognized replay must not rewrite codes_delta files")
   }
 
   test("an empty append batch is a no-op with sane drift stats") {

@@ -49,6 +49,53 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct k-CODEPOINT character shingles over the letter/digit
+    * stream (round 11): punctuation/whitespace codepoints are skipped,
+    * letters lowercased per codepoint, and the sliding window runs on
+    * CODE POINTS (surrogate-safe). This is the dedup unit for scripts
+    * WITHOUT word boundaries — token-3-gram shingles of a space-free
+    * CJK document degenerate to one giant "token" (zero shingles), so
+    * near-dup detection there silently finds nothing; character k-grams
+    * are the standard replacement (and remain valid on Latin text,
+    * where they approximate token shingles at k ≈ 8). First-occurrence
+    * order, matching [[shingles]] semantics.
+    */
+  def charShingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    // letter/digit codepoint stream, lowercased
+    val cps = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp))
+        cps.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    val stream = cps.toString
+    val n = stream.codePointCount(0, stream.length)
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // char-index of each codepoint start, so windows slice in O(1)
+    val starts = new Array[Int](n + 1)
+    var ci = 0; var cpi = 0
+    while (ci < stream.length) {
+      starts(cpi) = ci
+      ci += Character.charCount(stream.codePointAt(ci))
+      cpi += 1
+    }
+    starts(n) = stream.length
+    val seen = new java.util.LinkedHashSet[String]
+    var w = 0
+    while (w <= n - k) {
+      seen.add(stream.substring(starts(w), starts(w + k)))
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: per permutation p, min over shingles of
     * XXH64(shingle bytes, seed = p). Empty input → all-Long.MaxValue
     * signature (callers filter empty shingle sets first).
@@ -127,6 +174,18 @@ case class TokenShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)
 }
 
@@ -216,6 +275,8 @@ object GraftFunctions {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("token_shingles",
       arity1("token_shingles")(TokenShingles(_, 3)), "built-in")
+    r.createOrReplaceTempFunction("char_shingles",
+      arity1("char_shingles")(CharShingles(_, 8)), "built-in")
     r.createOrReplaceTempFunction("minhash_sig",
       arity1("minhash_sig")(MinHashSig(_, 32)), "built-in")
     r.createOrReplaceTempFunction("simhash64",
@@ -229,6 +290,8 @@ object GraftFunctions {
 object TextExprs {
   def tokenShingles(c: Column, n: Int = 3): Column =
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
+  def charShingles(c: Column, k: Int = 8): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(c), k))
   def minhashSig(c: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numPerms))
   def simhash64(c: Column): Column =

@@ -110,7 +110,14 @@ object Similarity {
     * its signature store between micro-batches).
     */
   def bandedSignaturesOf(docs: DataFrame): DataFrame =
-    minhashSignaturesOf(docs).select(col("doc_id"), col("sig"),
+    bandedFromSigs(minhashSignaturesOf(docs))
+
+  /** Band explosion of any (doc_id, sig) frame — shared by the token-
+    * shingle path above and the char-shingle path (q_dedup_cjk), so the
+    * band/bucket layout is identical whatever produced the signatures.
+    */
+  def bandedFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until NumPerms / BandSize).map { b =>
           xxhash64(Seq(lit(b)) ++ (0 until BandSize).map(i => col("sig")(b * BandSize + i)): _*)
         }: _*)))
@@ -147,6 +154,47 @@ object Similarity {
 
   def minhashPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
     minhashPairsOf(T.documents(s, d), threshold)
+
+  /** Character k-gram shingle length (codepoints) for the script-
+    * agnostic dedup path — ~2 short CJK words or ~1.5 Latin words, the
+    * common k for cross-script near-dup literature.
+    */
+  val CharShingleK = 8
+
+  /** MinHash signatures over CHARACTER k-gram shingles of the
+    * letter/digit codepoint stream (functions.CharShingles) — the
+    * script-agnostic twin of [[minhashSignaturesOf]]: a space-free CJK
+    * document yields zero token 3-grams (one giant "token"), so the
+    * token path silently finds nothing there; codepoint k-grams shingle
+    * every script identically. Precondition mirrors the token path's
+    * cheap pre-filter (the kernel itself re-checks the codepoint count,
+    * so an all-punctuation doc that slips the length test still yields
+    * an empty set and is dropped by the size filter at band time —
+    * empty sets must never band, or every such doc collides with every
+    * other on the all-MaxValue signature).
+    */
+  def charMinhashSignaturesOf(docs: DataFrame,
+      k: Int = CharShingleK): DataFrame =
+    docs
+      .filter(length(col("text")) >= k) // cheap necessary condition
+      .select(col("doc_id"),
+        graft.functions.TextExprs.charShingles(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(col("sh"), NumPerms).as("sig"))
+
+  /** Script-agnostic near-dup pairs: LSH banding over char-shingle
+    * MinHash — same band layout, bucket caps, and estimate arithmetic
+    * as [[minhashPairsOf]]; only the shingle unit differs.
+    */
+  def charMinhashPairsOf(docs: DataFrame, threshold: Double,
+      k: Int = CharShingleK): DataFrame = {
+    val bands = capBuckets(bandedFromSigs(charMinhashSignaturesOf(docs, k)),
+      Seq("band", "band_hash"))
+    estPairsFromBands(bands, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** 64-bit SimHash per document from per-occurrence bit votes — one
     * codegen'd kernel call per row (functions.SimHash64, XXH64 seed 42 =
@@ -753,6 +801,15 @@ object Similarity {
     // append ≡ rebuild recall bound, replay no-op, drift/retrain)
     QueryDef("q_ann_inc", (s, d) =>
       graft.sources.IvfIndex.topKIncremental(s, d, 5), None),
+    // Script-agnostic near-dup: MinHash-LSH over character-8-gram
+    // shingles of the letter/digit codepoint stream — the dedup unit
+    // for scripts WITHOUT word boundaries (the token-3-gram path sees a
+    // space-free CJK doc as one giant token and finds NOTHING there;
+    // SimilaritySpec proves the contrast on a crafted Han corpus and
+    // parity-of-purpose on Latin near-dups). Engine-hash-specific
+    // (XXH64 signatures) → scalatest, like its token twin q_dedup_near.
+    QueryDef("q_dedup_cjk",
+      (s, d) => charMinhashPairsOf(T.documents(s, d), 0.5), None),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

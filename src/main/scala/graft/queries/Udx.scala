@@ -92,8 +92,7 @@ object Udx {
         // a DIFFERENT scale dir gets its own path — without the dir tag
         // an earlier frame would silently repoint to the newer scale's
         // data when evaluated after a second write.
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_csv_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
+        val out = roundtripSinkPath("graft_csv_roundtrip", s, d)
         // the RAW double, deliberately un-rounded: shortest-repr
         // toString/parse is round-trip exact, and both engines then hash
         // the identical stored bits — round(double, 4) here would
@@ -148,8 +147,7 @@ object Udx {
     // to scalars for the driver's dump/sort.
     QueryDef("q_orc_roundtrip",
       (s, d) => {
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_orc_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
+        val out = roundtripSinkPath("graft_orc_roundtrip", s, d)
         val nested = T.documents(s, d)
           .select(col("doc_id"),
             struct(col("lang"), col("source")).as("meta"),
@@ -182,8 +180,7 @@ object Udx {
     // to scalars for the driver's dump/sort.
     QueryDef("q_avro_roundtrip",
       (s, d) => {
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_avro_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
+        val out = roundtripSinkPath("graft_avro_roundtrip", s, d)
         val nested = T.documents(s, d)
           .select(col("doc_id"),
             struct(col("lang"), col("source")).as("meta"),
@@ -302,10 +299,45 @@ object Udx {
     */
   private def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Age after which another app's roundtrip sink dir is reclaimable
+    * (the sweepAbandonedBucketDirs convention — live sibling JVMs stay
+    * safe, yesterday's crashed session's litter is collected).
+    */
+  private val RoundtripAbandonedMs = 6L * 3600 * 1000
+
+  /** Per-app roundtrip sink path + garbage collection (round 11): the
+    * stable per-(app, dataDir) path makes repeated runs IN one app
+    * overwrite instead of leak, but each app still left its dirs in
+    * java.io.tmpdir forever (61 accumulated across ten rounds of
+    * verify/bench/test JVMs when this was written). Before handing out
+    * this app's path, sweep SIBLING dirs of the same prefix that belong
+    * to DEAD sessions — never this app's own, never anything younger
+    * than [[RoundtripAbandonedMs]] (a concurrently-live driver harness
+    * and sbt test run share this tmpdir), best-effort.
+    */
+  private[queries] def roundtripSinkPath(prefix: String,
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val app = s.sparkContext.applicationId
+    try {
+      val cutoff = System.currentTimeMillis() - RoundtripAbandonedMs
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(prefix + "_") && !f.getName.contains(app) &&
+            f.lastModified() < cutoff) {
+          import scala.util.Try
+          val walk = java.nio.file.Files.walk(f.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Try(java.nio.file.Files.deleteIfExists(p)); () })
+          finally walk.close()
+        }
+      }
+    } catch { case _: Exception => () }
+    new java.io.File(tmp, s"${prefix}_${app}_${dirTag(d)}").toString
+  }
+
   def jsonRoundtripNested(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_json_roundtrip_${s.sparkContext.applicationId}_${dirTag(d)}").toString
+    val out = roundtripSinkPath("graft_json_roundtrip", s, d)
     val docsSlice = T.documents(s, d)
       .select(col("doc_id"),
         struct(col("lang"), col("source")).as("meta"),

@@ -31,6 +31,46 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 0)
   }
 
+  test("char-shingle dedup finds CJK near-dups the token path is structurally blind to (q_dedup_cjk)") {
+    // Space-free Han text: the token-3-gram path sees ONE giant token
+    // per doc → zero shingles → zero signatures → zero pairs. The
+    // char-8-gram path must find the planted near-dup pair and nothing
+    // else. Docs 0/1: same 40-codepoint passage, one with a short
+    // appended clause (high char-Jaccard). Doc 2: unrelated Han text.
+    val base = "北京欢迎你我们都是好朋友这座城市有着悠久的历史和灿烂的文化每天都有新的故事发生"
+    val cjk = docsDf(
+      0L -> base,
+      1L -> (base + "欢迎再来"),
+      2L -> "机器学习模型需要大量高质量的训练数据去重和过滤是数据管道的核心步骤质量决定结果")
+    assert(Similarity.minhashSignaturesOf(cjk).count() == 0,
+      "token shingles must be structurally empty on space-free text (the motivating blindness)")
+    val pairs = Similarity.charMinhashPairsOf(cjk, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"exactly the planted pair: ${pairs.toSeq}")
+    assert(pairs.head._3 >= 0.5)
+    // script-agnostic: Latin near-dups are found too, with punctuation
+    // and case differences ignored by the letter/digit codepoint stream
+    val latin = docsDf(
+      10L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      11L -> "The quick brown fox, jumps over the lazy dog again and again tonight!",
+      12L -> "completely unrelated words about shuffle partitions and broadcast joins here")
+    val lp = Similarity.charMinhashPairsOf(latin, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lp.toSeq == Seq((10L, 11L)), s"got ${lp.toSeq}")
+    // empty shingle sets never band: punctuation-only docs (zero
+    // letter/digit codepoints, length >= k) must not pair with each
+    // other on the all-MaxValue signature
+    val punct = docsDf(
+      20L -> "!!! ??? ... ,,, ;;; :::",
+      21L -> "### $$$ %%% ^^^ &&& ***")
+    assert(Similarity.charMinhashPairsOf(punct, 0.0).count() == 0)
+    // kernel shingle semantics: codepoint windows, case-folded, distinct
+    val sh = Similarity.charMinhashSignaturesOf(docsDf(30L -> "aAaAaAaAaA"))
+      .count()
+    assert(sh == 1, "10 identical-codepoint letters yield one (distinct) shingle, still signed")
+  }
+
   test("short documents (<3 tokens) produce no shingles and are excluded from signatures") {
     val docs = docsDf(0L -> "one two", 1L -> "a b c d")
     val arrs = Similarity.shingleArraysOf(docs)

@@ -228,6 +228,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!bad, s"unpartitioned window in:\n$plan")
   }
 
+  test("q_dedup_cjk joins on band buckets (hash/merge join), never a pair cross product") {
+    // the char-shingle path must inherit the token path's plan shape:
+    // candidates meet in a band-key equi-join; signatures are computed
+    // map-side by the codegen'd kernels inside the scan stage
+    val plan = formattedPlan(q("q_dedup_cjk"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"band equi-join expected:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must never plan as a cross product")
+    assert(plan.contains("char_shingles") && plan.contains("minhash_sig"),
+      "signatures must come from the codegen'd kernels, not lambdas")
+  }
+
   test("q_zorder has no window operator — global rank runs on the zipWithIndex primitive") {
     // the one-time single-partition ntile(64) window over the whole
     // fact table is gone: bucket assignment must come from range-

@@ -174,6 +174,13 @@ object AvroIO {
       try rows.foreach(r => writer.append(rowToRecord(r, sparkSchema, schema)))
       finally writer.close() // closes the stream
     }
+    // Commit marker, AFTER the action returns (i.e. after every
+    // partition's task succeeded): a failed/killed job leaves the dir
+    // WITHOUT _SUCCESS and [[read]] refuses it — the same visibility
+    // contract Spark's own file sinks give, without pretending the
+    // per-file writes are transactional (they are idempotent per
+    // partition instead; a retried task overwrites its own file).
+    fs.create(new Path(root, "_SUCCESS"), true).close()
   }
 
   /** Read a directory written by [[write]] — self-describing (schema
@@ -185,6 +192,9 @@ object AvroIO {
       expected: Option[StructType] = None): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — uncommitted or partial Avro output " +
+        "(the write failed or is still in flight); refusing to read it")
     val files = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".avro"))
       .map(_.toString).sorted

@@ -67,6 +67,14 @@ class AvroIOSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("read refuses a dir without the _SUCCESS commit marker (partial output)") {
+    val dir = Files.createTempDirectory("graft_avro_partial").toString
+    AvroIO.write(nestedDf, dir)
+    Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS")) // simulate a crashed job
+    val e = intercept[IllegalArgumentException](AvroIO.read(spark, dir))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("q_avro_roundtrip equals the same projection straight off parquet") {
     val direct = graft.Tables.documents(spark, sf)
       .select(col("doc_id"),

@@ -153,7 +153,10 @@ object ScaleSlope {
     // (output = corpus shingle rows, 1:1 — no pair space), so unlike
     // its q_decontam sibling it stays linear even on the saturated
     // fixture and runs the full tier
-    "q_ngram_novelty")
+    "q_ngram_novelty",
+    // round-11: the script-agnostic char-shingle near-dup — candidates
+    // bucket-capped like the token path, so it runs the full tier
+    "q_dedup_cjk")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the

@@ -33,17 +33,40 @@ object BpeTable {
 
 object BpeKernels {
 
-  /** Tokenize `text` like the trainer's histogram pass (locale-free
-    * lowercase, `\p{L}`-run split — Unicode-correct, round 11: CJK and
-    * accented words encode instead of vanishing) and BPE-encode each
-    * word with `table`. Returns the concatenated subword stream as
-    * array<string>. Base symbols are CODE POINTS (Bpe.charSymbols), so
-    * supplementary-plane characters never tear into surrogates.
+  /** THE tokenization of the BPE family — Locale.ROOT lowercase then
+    * `\p{L}`-run split. One shared kernel (round 12) so the trainer's
+    * histogram and the encode path can never diverge: Spark's lower()
+    * falls back to JVM-default-locale String.toLowerCase for non-ASCII,
+    * so a Turkish-default-locale JVM would train a vocabulary with 'ı'
+    * while encodeText (pinned to ROOT) produced 'i'. Both sides now
+    * call this.
+    */
+  def splitWords(text: UTF8String): Array[String] =
+    text.toString.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+")
+
+  /** [[splitWords]] as an array<string> value (empty boundary fragments
+    * dropped) — the trainer-side histogram tokenizer.
+    */
+  def histogramWords(text: UTF8String): ArrayData = {
+    val words = splitWords(text)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) out += UTF8String.fromString(words(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Tokenize `text` like the trainer's histogram pass ([[splitWords]]
+    * — Unicode-correct, round 11: CJK and accented words encode instead
+    * of vanishing) and BPE-encode each word with `table`. Returns the
+    * concatenated subword stream as array<string>. Base symbols are
+    * CODE POINTS (Bpe.charSymbols), so supplementary-plane characters
+    * never tear into surrogates.
     */
   def encodeText(text: UTF8String, table: BpeTable): ArrayData = {
-    val words = text.toString
-      .toLowerCase(java.util.Locale.ROOT) // match Spark's locale-free lower()
-      .split("[^\\p{L}]+")
+    val words = splitWords(text)
     val out = new scala.collection.mutable.ArrayBuffer[Any]
     var wi = 0
     while (wi < words.length) {
@@ -103,7 +126,25 @@ case class BpeTokens(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** `bpe_histogram_words(text)` — the trainer-side tokenizer as an
+  * expression, codegen'd like [[BpeTokens]]. Exists so
+  * [[graft.ml.Bpe.wordHistogram]] tokenizes through the SAME kernel as
+  * the encode path (not Spark's default-locale lower()).
+  */
+case class HistogramWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_histogram_words"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernels.histogramWords(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeKernels.histogramWords($c)")
+  override protected def withNewChildInternal(newChild: Expression): HistogramWords =
+    copy(child = newChild)
+}
+
 object BpeExprs {
   def bpeTokens(text: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), table))
+  def histogramWords(text: Column): Column =
+    ColumnBridge.column(HistogramWords(ColumnBridge.expression(text)))
 }

@@ -66,12 +66,15 @@ object Bpe {
     * driver merges `cap` rows), never a global sort of the word table.
     * `\p{L}` runs, not `[a-z]` (round 11): BPE's base symbols are
     * code points, so accented/CJK words train exactly like ASCII ones
-    * instead of being silently deleted from the histogram.
+    * instead of being silently deleted from the histogram. Tokenizes
+    * through [[graft.functions.BpeKernels.splitWords]] (round 12) —
+    * the SAME Locale.ROOT kernel the encode path uses, so the trained
+    * vocabulary and bpe_tokens() can never disagree on a JVM whose
+    * default locale case-maps differently (Turkish dotted/dotless I).
     */
   def wordHistogram(docs: DataFrame, cap: Int): Array[(String, Long)] = {
     val words = docs
-      .select(explode(split(lower(col("text")), "[^\\p{L}]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.functions.BpeExprs.histogramWords(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(cap)
     // bounded collect: ≤ cap rows by construction (the vocab histogram

@@ -479,8 +479,7 @@ object Curation {
       (s, d) => {
         val tk = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            explode(split(lower(col("text")), " ")).as("w"))
-          .filter(length(col("w")) > 0)
+            explode(TextOps.unicodeWords(col("text"))).as("w"))
         val raw = tk.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
         val tgt = tk.filter(col("lang") === "en")
           .groupBy(col("w").as("tw")).agg(count(lit(1)).as("c_t"))
@@ -500,9 +499,8 @@ object Curation {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(50)
       },
-      Some("""WITH tk0 AS (
-             |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-             |tk AS (SELECT * FROM tk0 WHERE w <> ''),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w FROM documents),
              |raw AS (SELECT w, count(*) AS c_r FROM tk GROUP BY 1),
              |tgt AS (SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
              |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
@@ -769,8 +767,7 @@ object Curation {
     QueryDef("q_source_overlap",
       (s, d) => {
         val sw = T.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("word"))
-          .filter(col("word") =!= "")
+          .select(col("source"), explode(TextOps.unicodeWords(col("text"))).as("word"))
           .distinct()
         val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("nw"))
         val inter = sw.as("a")
@@ -788,10 +785,9 @@ object Curation {
               .as("jaccard"))
           .orderBy(col("src_a"), col("src_b"))
       },
-      Some("""WITH sw0 AS (
-             |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+      Some("""WITH sw AS (
+             |  SELECT DISTINCT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS word
              |  FROM documents),
-             |sw AS (SELECT source, word FROM sw0 WHERE word <> ''),
              |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nw
              |          FROM sw GROUP BY source),
              |inter AS (
@@ -844,8 +840,7 @@ object Curation {
   def dsirHashedScores(s: SparkSession, d: String): DataFrame = {
     val tk = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+        explode(TextOps.unicodeWords(col("text"))).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
     val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
@@ -874,11 +869,11 @@ object Curation {
   // eagerly — a later-declared val would still be null at that point
   def DsirHashedCte: String =
     """tk0 AS (
-      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w
       |  FROM documents),
       |tk AS (SELECT doc_id, lang,
       |              ('0x' || substr(md5(w), 1, 4))::BIGINT AS b
-      |       FROM tk0 WHERE w <> ''),
+      |       FROM tk0),
       |raw AS (SELECT b, count(*) AS c_r FROM tk GROUP BY 1),
       |tgt AS (SELECT b, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY 1),
       |tot AS (SELECT (SELECT count(*) FROM tk) AS n_r,
@@ -895,8 +890,7 @@ object Curation {
     val docs = T.documents(s, d)
     val tk = docs
       .select(col("doc_id"), col("lang"),
-        explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+        explode(TextOps.unicodeWords(col("text"))).as("w"))
     val vocab = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(ClfVocab).select(col("w"))
     val y = when(col("lang") === "en", 1.0).otherwise(0.0)
@@ -920,8 +914,7 @@ object Curation {
     */
   private def qualityClfSql(iters: Int, lr: Double, vocabSize: Int): String = {
     val head =
-      s"""WITH tk0 AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-         |tk AS (SELECT * FROM tk0 WHERE w <> ''),
+      s"""WITH tk AS (SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS w FROM documents),
          |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY 1 ORDER BY c DESC, w LIMIT $vocabSize)),
          |feats AS (
          |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, w AS f, CAST(count(*) AS DOUBLE) AS x

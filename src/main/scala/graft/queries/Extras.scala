@@ -361,7 +361,7 @@ object Extras {
         import graft.functions.SpaceSaving
         val ss = udaf(SpaceSaving)
         val sk = T.documents(s, d)
-          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .select(explode(TextOps.unicodeWords(col("text"))).as("tok"))
           .agg(ss(col("tok")).as("sk"))
           .head().getAs[scala.collection.Map[String, Long]](0)
         val top = sk.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
@@ -379,7 +379,7 @@ object Extras {
       // distribution-free guarantees on saturated streams.
       Some(graft.ApproxOracle(
         """WITH toks AS (
-          |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS tok FROM documents),
           |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
           |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank,
           |       tok AS token

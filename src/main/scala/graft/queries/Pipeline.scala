@@ -29,9 +29,13 @@ object Pipeline {
     * Map-side flatMap (explode over a transform(sequence) — no shuffle,
     * no UDF); the guard keeps 0/1-token docs out of sequence()'s
     * descending-range edge case. Carries doc_id for per-doc stats.
+    * Tokenized by the canonical [[TextOps.unicodeWords]] (round 12) —
+    * identical to the whitespace split on the ASCII fixture, but a
+    * space-free CJK doc no longer collapses to a single giant "bigram
+    * source" token for the LM/perplexity/repetition family.
     */
   private def bigrams(df: org.apache.spark.sql.DataFrame) =
-    df.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    df.select(col("doc_id"), TextOps.unicodeWords(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         expr("explode(transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2)))").as("bg"))
@@ -743,7 +747,7 @@ object Pipeline {
             round(col("n") / sum(col("n")).over(Window.partitionBy(col("w1"))), 4))
           .orderBy(col("w1"), col("w2"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t FROM documents),
              |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
              |big  AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM pos),
              |cnt  AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2)
@@ -771,7 +775,7 @@ object Pipeline {
             round(exp(-avg(log(col("p")))), 4).as("ppl"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t FROM documents),
              |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
              |big  AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
              |cnt  AS (SELECT w1, w2, count(*) AS n_big FROM big GROUP BY w1, w2),
@@ -800,7 +804,7 @@ object Pipeline {
     QueryDef("q_curriculum",
       (s, d) => {
         val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+          .select(col("doc_id"), explode(TextOps.unicodeWords(col("text"))).as("w"))
         val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
         val tot = uni.agg(sum(col("n_w")).as("n_tot"))
         val lm = uni.crossJoin(broadcast(tot))
@@ -823,7 +827,7 @@ object Pipeline {
             round(avg(col("difficulty")), 4).as("avg_difficulty"))
           .orderBy(col("stage"))
       },
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w FROM documents),
              |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
              |lm AS (SELECT w, n_w * 1.0 / (SELECT sum(n_w) FROM uni) AS p FROM uni),
              |diff AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -850,7 +854,7 @@ object Pipeline {
         .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("max_rep"),
           round(max(col("n")) / sum(col("n")), 4).as("top_share"))
         .orderBy(col("doc_id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t FROM documents),
              |pos  AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
              |big  AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
              |cnt  AS (SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY doc_id, w1, w2)

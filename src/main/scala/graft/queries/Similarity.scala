@@ -173,6 +173,18 @@ object Similarity {
     * empty sets must never band, or every such doc collides with every
     * other on the all-MaxValue signature).
     */
+  /** Exploded (doc_id, shingle) CHAR-k-gram rows (distinct per doc by
+    * the kernel) — the char twin of [[shinglesOf]], shared with
+    * TextOps.charJaccardPairsOf so q_dedup_cjk's LSH estimate and
+    * q_dedup_cjk_exact's oracle-checked exact Jaccard run on the
+    * identical shingle definition (the q_dedup_near / q_dedup_ngram
+    * pairing, for the char family).
+    */
+  def charShinglesOf(docs: DataFrame, k: Int = CharShingleK): DataFrame =
+    docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.charShingles(col("text"), k)).as("shingle"))
+
   def charMinhashSignaturesOf(docs: DataFrame,
       k: Int = CharShingleK): DataFrame =
     docs
@@ -778,8 +790,31 @@ object Similarity {
       .withColumn("proj", graft.functions.VecExprs.dotProducts(col("emb"), planes))
   }
 
+  /** Tolerance bound for the LSH est_jaccard columns: 32 MinHash rows
+    * give the estimate a std of √(J(1−J)/32) ≈ 0.09 at J = 0.5; on the
+    * fixture's planted near-dups (J ≥ 0.5) the measured max relative
+    * error is 5.7% (round 12, sf0.01) — 0.15 is ~2.5 std of headroom
+    * while still catching a broken signature kernel (whose estimates
+    * decorrelate entirely).
+    */
+  private val EstJaccardTol = 0.15
+
+  /** The exact-Jaccard oracle rendered with the LSH output's column
+    * name, so the ApproxOracle compare aligns (doc_a, doc_b,
+    * est_jaccard) row-for-row against the exact answer. Sound as a
+    * fixture gate because the emitted pair SET equals the exact set
+    * there (measured, both families, sf0.01/sf0.001); the estimator's
+    * set-level behavior at the threshold boundary stays scalatest
+    * territory (SimilaritySpec).
+    */
+  private def asEstOracle(exactSql: String): String =
+    exactSql.replace("AS jaccard", "AS est_jaccard")
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_dedup_near", (s, d) => minhashPairs(s, d, 0.5), None),
+    QueryDef("q_dedup_near", (s, d) => minhashPairs(s, d, 0.5), None,
+      approxOracle = Some(graft.ApproxOracle(
+        asEstOracle(TextOps.NgramJaccardOracle),
+        Map("est_jaccard" -> EstJaccardTol)))),
     QueryDef("q_dedup_simhash", (s, d) => simhashPairs(s, d, 3), None),
     QueryDef("q_sim_topk", (s, d) => bruteForceTopK(s, d, Seq(0L, 1L, 2L), 5), None),
     QueryDef("q_sim_lsh", (s, d) => lshTopK(s, d, Seq(0L, 1L, 2L), 5), None),
@@ -809,7 +844,10 @@ object Similarity {
     // parity-of-purpose on Latin near-dups). Engine-hash-specific
     // (XXH64 signatures) → scalatest, like its token twin q_dedup_near.
     QueryDef("q_dedup_cjk",
-      (s, d) => charMinhashPairsOf(T.documents(s, d), 0.5), None),
+      (s, d) => charMinhashPairsOf(T.documents(s, d), 0.5), None,
+      approxOracle = Some(graft.ApproxOracle(
+        asEstOracle(TextOps.CharJaccardOracle),
+        Map("est_jaccard" -> EstJaccardTol)))),
     // 0 rows on the fixture — its embeddings are isotropic (max pairwise
     // cosine 0.51, measured), i.e. it truly has no embedding near-dups.
     // SimilaritySpec plants near-duplicates and asserts they are found.

@@ -67,8 +67,15 @@ object TextOps {
     * containment (directional) are projections of this frame.
     */
   def pairStatsOf(docs: org.apache.spark.sql.DataFrame,
-      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame = {
-    val all = Similarity.shinglesOf(docs) // one shared shingle definition
+      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame =
+    pairStatsOfShingles(Similarity.shinglesOf(docs), maxDf)
+
+  /** [[pairStatsOf]] over ANY exploded (doc_id, shingle) frame — the
+    * shingle unit is the only degree of freedom between the token
+    * (q_dedup_ngram) and char (q_dedup_cjk_exact) exact families.
+    */
+  def pairStatsOfShingles(all: org.apache.spark.sql.DataFrame,
+      maxDf: Int): org.apache.spark.sql.DataFrame = {
     // df via a count window: shuffles by shingle — the same key the
     // self-join below needs, so the exchange is reused, not added.
     val shingles = all
@@ -89,6 +96,27 @@ object TextOps {
   def jaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
       maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame =
     pairStatsOf(docs, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Exact char-8-gram Jaccard ≥ 0.5 pairs — the oracle-checked exact
+    * baseline of the script-agnostic LSH path (q_dedup_cjk), completing
+    * SURVEY's convention that every LSH family member has an exact twin
+    * (token: q_dedup_near↔q_dedup_ngram). Same capped-self-join plan as
+    * [[jaccardPairsOf]]; only the shingle unit differs
+    * (Similarity.charShinglesOf — the kernel q_dedup_cjk signs).
+    * UNLIKE the token oracle, the df cap is mirrored in the DuckDB SQL:
+    * char 8-grams are denser than token 3-grams (a boilerplate 8-gram
+    * crosses word boundaries), so hot shingles exceed [[MaxShingleDf]]
+    * already at sf0.01 — the cap is part of the declared semantics, not
+    * a fixture-invisible scale guard.
+    */
+  def charJaccardPairsOf(docs: org.apache.spark.sql.DataFrame,
+      maxDf: Int = MaxShingleDf): org.apache.spark.sql.DataFrame =
+    pairStatsOfShingles(Similarity.charShinglesOf(docs), maxDf)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
@@ -203,7 +231,7 @@ object TextOps {
     * the hash proves the prefix filter loses no pair (the q_skyline
     * algorithm ≠ oracle pattern).
     */
-  private val NgramJaccardOracle: String =
+  private[queries] val NgramJaccardOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
       |         unnest(range(len(string_split(text, ' ')))) AS pos
@@ -217,6 +245,39 @@ object TextOps {
       |common AS (
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
       |  FROM shingles x JOIN shingles y
+      |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of [[charJaccardPairsOf]]. The shingle CTE restates
+    * functions.TextKernels.charShingles: letter/digit codepoints kept,
+    * lowercased, 8-codepoint sliding windows, distinct per doc (DuckDB
+    * substring/len count characters, matching the kernel's codepoint
+    * walk). The QUALIFY mirrors the Spark side's df ≤ MaxShingleDf cap
+    * — REQUIRED here (see charJaccardPairsOf doc: char shingles go hot
+    * at fixture scale).
+    */
+  private[queries] val CharJaccardOracle: String =
+    """WITH st AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '[^\p{L}\p{N}]+', '', 'g')) AS stream
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           [substring(stream, i, 8) FOR i IN range(1, len(stream) - 6)])) AS shingle
+      |  FROM st WHERE len(stream) >= 8),
+      |kept AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 128),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |  FROM kept x JOIN kept y
       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       |  GROUP BY x.doc_id, y.doc_id)
       |SELECT doc_a, doc_b,
@@ -321,6 +382,14 @@ object TextOps {
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the exact
     // baseline for MinHash. O(pairs-sharing-a-shingle), not O(n²).
     QueryDef("q_dedup_ngram", jaccardPairs, Some(NgramJaccardOracle)),
+
+    // Exact CHAR-8-gram Jaccard pairs — q_dedup_cjk's oracle-checked
+    // exact twin (the q_dedup_ngram↔q_dedup_near pairing for the
+    // script-agnostic family). SimilaritySpec additionally pins
+    // LSH pairs ⊆ these exact pairs at the threshold.
+    QueryDef("q_dedup_cjk_exact",
+      (s, d) => charJaccardPairsOf(T.documents(s, d)),
+      Some(CharJaccardOracle)),
 
     // The SAME exact-Jaccard answer through PPJoin-style prefix
     // filtering — only each doc's rare-first prefix enters the
@@ -443,7 +512,7 @@ object TextOps {
     QueryDef("q_zipf",
       (s, d) => {
         val freq = T.documents(s, d)
-          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .select(explode(unicodeWords(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("n"))
         val ranked = freq.withColumn("rnk",
           row_number().over(Window.orderBy(col("n").desc, col("word"))))
@@ -456,7 +525,7 @@ object TextOps {
       },
       Some("""WITH freq AS (
              |  SELECT word, count(*) AS n FROM (
-             |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+             |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS word FROM documents)
              |  GROUP BY word),
              |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk FROM freq)
              |SELECT CAST(count(*) AS BIGINT) AS n_words,

@@ -6,7 +6,6 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -44,10 +43,12 @@ import org.apache.spark.sql.types._
   * (the reference emits none; extend the two `toAvro`/`fromAvro`
   * matches to add them).
   *
-  * Executor-side Hadoop conf is the default `new Configuration()`
-  * (the ReportSink boundary, ReportSink.scala:181): correct for
-  * file:// and default-configured HDFS; a cluster with custom FS conf
-  * would thread a serialized conf through the closure instead.
+  * Executor-side Hadoop conf is the DRIVER's conf, broadcast via
+  * [[org.apache.spark.util.SerializableConfiguration]] (round 12) —
+  * clusters with custom FS settings (s3a credentials providers,
+  * alternate default FS) resolve the same FileSystem on executors as
+  * the driver used to stage the directory, instead of a bare
+  * `new Configuration()` that only saw the classpath defaults.
   */
 object AvroIO {
 
@@ -151,6 +152,19 @@ object AvroIO {
   /** Write `df` as a directory of Avro container files, one per input
     * partition, deflate-compressed. Distributed: each partition's rows
     * never leave their executor.
+    *
+    * Attempt protocol (round 12 — the [[graft.sources.v2.ReportSink]]
+    * standard, not just retry-idempotence): each task attempt writes
+    * its OWN staging file `part-NNNNN-attempt-K.avro.tmp` and renames
+    * it into the final name only when fully written. Concurrent
+    * attempts of one partition (speculation; a zombie attempt finishing
+    * after job commit) therefore never share a file descriptor — the
+    * first rename wins, the loser observes the final file exists and
+    * deletes its staging copy (the input partition is deterministic, so
+    * either attempt's bytes are the committed bytes). A bare
+    * overwrite=true create on the FINAL name — the round-11 shape —
+    * could interleave two attempts' blocks or truncate a committed
+    * file.
     */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
@@ -158,29 +172,73 @@ object AvroIO {
     // clear prior contents (mode=overwrite semantics, matching the
     // roundtrip sinks' usage)
     val root = new Path(path)
-    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val driverConf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(driverConf)
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(driverConf))
     df.rdd.foreachPartition { rows =>
-      val pid = TaskContext.getPartitionId()
-      val schema = new Schema.Parser().parse(avroJson)
-      val out = new Path(path, f"part-$pid%05d.avro")
-      val efs = out.getFileSystem(new Configuration())
-      val stream = efs.create(out, true)
-      val writer = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](schema))
-      writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-      writer.create(schema, stream)
-      try rows.foreach(r => writer.append(rowToRecord(r, sparkSchema, schema)))
-      finally writer.close() // closes the stream
+      val tc = TaskContext.get()
+      val conf = confBc.value.value
+      val tmp = stagingPath(path, tc.partitionId(), tc.taskAttemptId())
+      // failed/killed attempts must not leave staging files behind —
+      // best-effort unlink (the job-commit sweep is the backstop)
+      tc.addTaskFailureListener { (_, _) =>
+        tmp.getFileSystem(conf).delete(tmp, false); ()
+      }
+      writePartitionAttempt(rows, sparkSchema, avroJson, path,
+        tc.partitionId(), tc.taskAttemptId(), conf)
     }
-    // Commit marker, AFTER the action returns (i.e. after every
-    // partition's task succeeded): a failed/killed job leaves the dir
-    // WITHOUT _SUCCESS and [[read]] refuses it — the same visibility
-    // contract Spark's own file sinks give, without pretending the
-    // per-file writes are transactional (they are idempotent per
-    // partition instead; a retried task overwrites its own file).
+    // Job commit, AFTER the action returns (i.e. after every
+    // partition's task succeeded): sweep any staging residue from
+    // attempts that died without their failure listener running, then
+    // write the marker. A failed/killed job leaves the dir WITHOUT
+    // _SUCCESS and [[read]] refuses it — the same visibility contract
+    // Spark's own file sinks give. A zombie attempt finishing after
+    // this point only renames-if-absent, so it can never displace a
+    // committed file; at worst it re-creates a .tmp, which readers
+    // never match.
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".avro.tmp"))
+      .foreach(fs.delete(_, false))
     fs.create(new Path(root, "_SUCCESS"), true).close()
+  }
+
+  private def stagingPath(path: String, pid: Int, attemptId: Long): Path =
+    new Path(path, f"part-$pid%05d-attempt-$attemptId.avro.tmp")
+
+  /** One task attempt's write + publish of partition `pid` — the unit
+    * of the attempt protocol (and what AvroIOSpec drives concurrently
+    * to prove attempt isolation): stream rows into THIS attempt's own
+    * staging file, then publish by rename. HDFS rename refuses an
+    * existing destination (the loser deletes its redundant, identical
+    * staging copy); POSIX rename atomically replaces it with the
+    * loser's COMPLETE copy — both end states are one whole committed
+    * file of the partition's deterministic bytes, never an
+    * interleaving, which is the property the round-11
+    * overwrite-in-place create could not give under speculation.
+    */
+  private[graft] def writePartitionAttempt(rows: Iterator[Row],
+      sparkSchema: StructType, avroJson: String, path: String,
+      pid: Int, attemptId: Long,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val schema = new Schema.Parser().parse(avroJson)
+    val fin = new Path(path, f"part-$pid%05d.avro")
+    val tmp = stagingPath(path, pid, attemptId)
+    val efs = fin.getFileSystem(conf)
+    val stream = efs.create(tmp, true)
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, stream)
+    try rows.foreach(r => writer.append(rowToRecord(r, sparkSchema, schema)))
+    finally writer.close() // closes the stream
+    if (!efs.rename(tmp, fin)) {
+      if (efs.exists(fin)) efs.delete(tmp, false)
+      else throw new java.io.IOException(
+        s"AvroIO: could not publish $tmp to $fin (rename failed, no committed file)")
+    }
   }
 
   /** Read a directory written by [[write]] — self-describing (schema
@@ -211,24 +269,51 @@ object AvroIO {
         st
       case None => headerSchema
     }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val rowsRdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { file =>
         val st = sparkSchema
-        val in = new FsInput(new Path(file), new Configuration())
+        val in = new FsInput(new Path(file), confBc.value.value)
         val reader = new DataFileReader[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
-        // DataFileReader is an iterator; drain eagerly-per-block via the
-        // iterator contract (flatMap streams it, closing on exhaustion)
+        ReadHooks.onOpen(file)
+        // Close on TASK COMPLETION, not only iterator exhaustion
+        // (round 12): a limit(n) or a mid-read task failure abandons
+        // the iterator early, which round 11 turned into a stranded
+        // FsInput handle until GC. The listener fires on every task
+        // exit path; closeReader is idempotent so the exhaustion-time
+        // close below (which frees the handle as soon as the file is
+        // drained, not at task end) composes with it.
+        var closed = false
+        def closeReader(): Unit = if (!closed) {
+          closed = true
+          reader.close()
+          ReadHooks.onClose(file)
+        }
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeReader()))
         new Iterator[Row] {
           override def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) reader.close()
+            val h = !closed && reader.hasNext
+            if (!h) closeReader()
             h
           }
           override def next(): Row = recordToRow(reader.next(), st)
         }
       }
     spark.createDataFrame(rowsRdd, sparkSchema)
+  }
+
+  /** Test seam (HttpIngestSpec convention): observe reader closes
+    * without reaching into Avro internals. Local-mode specs (executor
+    * == driver JVM) install a counter, read a slice (`limit(1)` off a
+    * multi-file dir), and assert every opened reader closed.
+    */
+  private[graft] object ReadHooks {
+    @volatile var onOpen: String => Unit = _ => ()
+    @volatile var onClose: String => Unit = _ => ()
   }
 }

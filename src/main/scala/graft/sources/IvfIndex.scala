@@ -104,10 +104,21 @@ object IvfIndex {
     // commit's routing residual is not persisted, so a skipped replay
     // reports residual 0 / no retrain advice — the FIRST commit already
     // carried the drift advisory for this data.
-    val nBatch = batch.count()
-    val committed = readOr(spark, s"$path/delta")
-      .map(d => d.filter(col("batch_id") === batchId).count()).getOrElse(0L)
-    if (nBatch > 0 && committed == nBatch)
+    // Recognition is (count, bit_xor of xxhash64 over vec_ids) — round 12:
+    // count alone let a REUSED batch_id carrying different same-size
+    // data be silently dropped with a success AppendStats; the
+    // order-insensitive, overflow-free id fingerprint rides the same single agg pass
+    // and turns that caller error into the normal overwrite path, where
+    // dynamic partition overwrite replaces the stale rows correctly.
+    val batchFp = batch.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head()
+    val nBatch = batchFp.getLong(0)
+    val committedFp = readOr(spark, s"$path/delta")
+      .map(_.filter(col("batch_id") === batchId)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head())
+    val replayed = committedFp.exists(c =>
+      nBatch > 0 && c.getLong(0) == nBatch && !c.isNullAt(1) &&
+        c.getLong(1) == batchFp.getLong(1))
+    if (replayed)
       return AppendStats(nBatch, 0.0, trainRes, retrainAdvised = false)
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()

@@ -164,10 +164,19 @@ object PqIndex {
     // encode + dynamic overwrite below would rewrite identical
     // partitions — skip entirely; the first commit already carried the
     // drift advisory for this data.
-    val nBatch = batch.count()
-    val committed = readOr(spark, s"$path/codes_delta")
-      .map(d => d.filter(col("batch_id") === batchId).count()).getOrElse(0L)
-    if (nBatch > 0 && committed == nBatch)
+    // (count, bit_xor of xxhash64 over vec_ids), not count alone — round 12,
+    // the IvfIndex.append rationale: a reused batch_id with different
+    // same-size content must fall through to the overwrite, not be
+    // silently dropped as a replay.
+    val batchFp = batch.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head()
+    val nBatch = batchFp.getLong(0)
+    val committedFp = readOr(spark, s"$path/codes_delta")
+      .map(_.filter(col("batch_id") === batchId)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head())
+    val replayed = committedFp.exists(c =>
+      nBatch > 0 && c.getLong(0) == nBatch && !c.isNullAt(1) &&
+        c.getLong(1) == batchFp.getLong(1))
+    if (replayed)
       return AppendStats(nBatch, 0.0, trainRes, retrainAdvised = false)
     val coarse: Array[Array[Double]] =
       spark.read.parquet(s"$path/coarse").orderBy(col("cid")).collect()

@@ -204,11 +204,39 @@ object PrismaConnector {
     * shape. ConnectorSpec pins the byte-level dialect.
     */
   def writeReportQuoteNonNumeric(df: DataFrame, path: String): Unit = {
-    val out = if (df.columns.contains("transaction_date")) df
-      else df.withColumn("transaction_date",
-        date_format(current_date(), "yyyy-MM-dd"))
-    import org.apache.spark.sql.types.{StringType => SStr}
+    val out = withReportDate(df)
     val part = "transaction_date"
+    renderQuoteNonNumeric(out, part)
+      .write.mode("overwrite")
+      .partitionBy(part)
+      .text(path)
+    // one header line per partition dir convention is NOT the pandas
+    // layout; the reference writes ONE file with one header. Emit the
+    // header once at the root (same commit-protocol-adjacent move as a
+    // _SUCCESS marker): readers that reassemble partitions prepend it.
+    // Resolve the filesystem FROM the path so the sidecar lands wherever
+    // the text sink wrote (local, HDFS, s3a) instead of assuming a local
+    // java.io path — the sink above supports any Hadoop filesystem and
+    // the header must follow it.
+    val headerPath = new org.apache.hadoop.fs.Path(path, "_header.csv")
+    val hfs = headerPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val os = hfs.create(headerPath, true)
+    try os.write((headerLine(out, part) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  private def withReportDate(df: DataFrame): DataFrame =
+    if (df.columns.contains("transaction_date")) df
+    else df.withColumn("transaction_date",
+      date_format(current_date(), "yyyy-MM-dd"))
+
+  /** The QUOTE_NONNUMERIC row renderer shared by the hive-layout and
+    * literal-layout writers: one map-only projection to (value, part).
+    */
+  private def renderQuoteNonNumeric(out: DataFrame, part: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType => SStr}
     val cells = out.schema.fields.filter(_.name != part).map { f =>
       if (f.dataType == SStr)
         concat(lit("\""),
@@ -222,25 +250,69 @@ object PrismaConnector {
         coalesce(col(f.name).cast("string"), lit("")).as(f.name)
     }
     out.select(concat_ws(",", cells.toIndexedSeq: _*).as("value"), col(part))
+  }
+
+  /** The QUOTE_NONNUMERIC header line (pandas quotes header cells). */
+  private def headerLine(out: DataFrame, part: String): String = {
+    import org.apache.spark.sql.types.{StringType => SStr}
+    out.schema.fieldNames.filter(_ != part).map { n =>
+      if (out.schema(n).dataType == SStr) "\"" + n.replace("\"", "\"\"") + "\""
+      else "\"" + n + "\""
+    }.mkString(",")
+  }
+
+  /** R23 byte-compat layout (round 12, OPTIONAL — hive `partitionBy`
+    * stays the default and the recommended form): the reference's
+    * literal `{yyyy}/{MonthName}/{d-MonthName-yyyy}/{file}.csv` object
+    * key (`prisma_report/lambda.py:26-30,381` date_folder), for
+    * drop-in replacement of its S3 consumer contract. Plan shape is
+    * UNCHANGED from [[writeReportQuoteNonNumeric]]: rows render
+    * map-side in the exact dialect; a per-date header row (pandas
+    * writes one file WITH header per date) rides the same shuffle with
+    * a sort flag so it lands first in its file without any extra sort
+    * (the repartition-by-date ordering already satisfies the dynamic
+    * sink's required ordering); `repartition(col(date))` pins ONE file
+    * per date, matching the reference's one-object-per-day contract.
+    * The literal tree is then produced by a BOUNDED driver-side rename
+    * pass — one same-FS metadata op per date, no data movement — and
+    * committed with a trailing _SUCCESS.
+    */
+  def writeReportLiteralLayout(df: DataFrame, path: String,
+      fileName: String = "report"): Unit = {
+    val out = withReportDate(df)
+    val part = "transaction_date"
+    val data = renderQuoteNonNumeric(out, part).withColumn("__hdr", lit(0))
+    val headers = out.select(col(part)).distinct()
+      .select(lit(headerLine(out, part)).as("value"), col(part),
+        lit(1).as("__hdr"))
+    val staging = new org.apache.hadoop.fs.Path(path, "_staging_literal")
+    data.unionByName(headers)
+      .repartition(col(part))
+      .sortWithinPartitions(col(part), col("__hdr").desc)
+      .select("value", part)
       .write.mode("overwrite")
       .partitionBy(part)
-      .text(path)
-    // one header line per partition dir convention is NOT the pandas
-    // layout; the reference writes ONE file with one header. Emit the
-    // header once at the root (same commit-protocol-adjacent move as a
-    // _SUCCESS marker): readers that reassemble partitions prepend it.
-    val header = out.schema.fieldNames.filter(_ != part).map { n =>
-      if (out.schema(n).dataType == SStr) "\"" + n.replace("\"", "\"\"") + "\"" else "\"" + n + "\""
-    }.mkString(",")
-    // Resolve the filesystem FROM the path so the sidecar lands wherever
-    // the text sink wrote (local, HDFS, s3a) instead of assuming a local
-    // java.io path — the sink above supports any Hadoop filesystem and
-    // the header must follow it.
-    val headerPath = new org.apache.hadoop.fs.Path(path, "_header.csv")
-    val hfs = headerPath.getFileSystem(
-      df.sparkSession.sessionState.newHadoopConf())
-    val os = hfs.create(headerPath, true)
-    try os.write((header + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+      .text(staging.toString)
+    val fs = staging.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val monthFmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMMM", java.util.Locale.ENGLISH)
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
+        val day = java.time.LocalDate.parse(dir.getName.stripPrefix(s"$part="))
+        val month = day.format(monthFmt)
+        val dest = new org.apache.hadoop.fs.Path(root,
+          s"${day.getYear}/$month/${day.getDayOfMonth}-$month-${day.getYear}")
+        fs.mkdirs(dest)
+        val parts = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"literal layout expects ONE file per date (repartition pinned it); got ${parts.length} in $dir")
+        require(fs.rename(parts.head,
+          new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
+          s"literal-layout publish rename failed for $dir")
+      }
+    fs.delete(staging, true)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 }

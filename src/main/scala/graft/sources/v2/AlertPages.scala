@@ -83,10 +83,16 @@ class AlertPages extends TableProvider {
     // SQL OPTIONS must not silently fall back to defaults), so re-wrap
     // the raw properties map before lookup.
     val opts = new CaseInsensitiveStringMap(properties)
+    // maxRetries counts ATTEMPTS (sendWithBackoff's loop bound): 0 would
+    // mean "send nothing" and return null, NPE'ing the reader — refuse
+    // the misconfiguration here, where the user can see which option.
+    val maxRetries = opts.getInt("httpMaxRetries", 4)
+    require(maxRetries >= 1,
+      s"httpMaxRetries must be >= 1 (attempts, not retries-after-first); got $maxRetries")
     val http = Option(opts.get("httpBase")).map(base => LiveHttp(
       base,
       Option(opts.get("httpToken")).getOrElse(""),
-      opts.getInt("httpMaxRetries", 4),
+      maxRetries,
       opts.getLong("httpBackoffBaseMs", 100L),
       opts.getLong("httpMinGapMs", 0L)))
     new AlertPagesTable(

@@ -107,15 +107,23 @@ case class ReportTaskCommit(stagedFile: String, rows: Long)
 class ReportBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
     extends BatchWrite {
 
+  // The driver's session Hadoop conf, captured ONCE driver-side (DSv2
+  // gives the provider no session handle; BatchWrite objects are built
+  // on the driver where SparkSession.active is the writing session) and
+  // shipped to task writers inside the serializable factory — custom-FS
+  // clusters (s3a credential providers etc.) resolve the same
+  // FileSystem everywhere instead of executor-local classpath defaults.
+  private val serConf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
   private def fs(conf: org.apache.hadoop.conf.Configuration): FileSystem =
     new Path(path).getFileSystem(conf)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ReportWriterFactory(schema.toDDL, path)
+    ReportWriterFactory(schema.toDDL, path, serConf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val f = fs(conf)
+    val f = fs(serConf.value)
     val dir = new Path(path)
     val staging = new Path(dir, "_staging")
     f.mkdirs(dir)
@@ -156,29 +164,30 @@ class ReportBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val f = fs(conf)
+    val f = fs(serConf.value)
     val staging = new Path(new Path(path), "_staging")
     if (f.exists(staging)) f.delete(staging, true)
   }
 }
 
-case class ReportWriterFactory(ddl: String, path: String) extends DataWriterFactory {
+case class ReportWriterFactory(ddl: String, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ReportDataWriter(StructType.fromDDL(ddl), path, partitionId, taskId)
+    new ReportDataWriter(StructType.fromDDL(ddl), path, partitionId, taskId, conf)
 }
 
 /** Executor-side task writer: streams rows to its own staging file.
   * TSV encoding; nulls as \N (matched by the reader's nullValue).
   */
 class ReportDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    conf: org.apache.spark.util.SerializableConfiguration) extends DataWriter[InternalRow] {
 
   private val file =
     new Path(new Path(path, "_staging"), f"part-$partitionId%05d-$taskId")
   private var opened = false
   private lazy val out = {
-    val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val f = file.getFileSystem(conf.value)
     opened = true
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       f.create(file, true), "UTF-8"))
@@ -207,7 +216,7 @@ class ReportDataWriter(schema: StructType, path: String,
   override def abort(): Unit = {
     if (opened) {
       out.close()
-      val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val f = file.getFileSystem(conf.value)
       if (f.exists(file)) f.delete(file, false)
     }
   }

@@ -172,6 +172,18 @@ class AlertPagesSourceSpec extends AnyFunSuite with SharedSpark {
     assert(got == raw)
   }
 
+  test("httpMaxRetries < 1 is refused at option-parse time with a clear error (round 12)") {
+    // maxRetries bounds sendWithBackoff's ATTEMPT loop: 0 would send
+    // nothing, return null, and NPE deep in the reader — surface the
+    // misconfiguration where the user can see which option instead
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.v2.AlertPages")
+        .option("pages", "1").option("pageSize", "5")
+        .option("httpMaxRetries", "0").load().collect()
+    }
+    assert(e.getMessage.contains("httpMaxRetries"), e.getMessage)
+  }
+
   test("a global count (no grouping) ships one partial row per page") {
     val df = read(8, 25)
     assert(df.count() == 200)

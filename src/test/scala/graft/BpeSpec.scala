@@ -67,6 +67,35 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("trainer histogram and encode path tokenize through ONE kernel (locale pinning, round 12)") {
+    // The histogram used Spark's lower() (JVM-default locale for
+    // non-ASCII) while encodeText pinned Locale.ROOT — on a
+    // Turkish-locale JVM the vocabulary ('ı') and encode path ('i')
+    // diverged for dotted/dotless I. Both now call
+    // BpeKernels.splitWords; pin the wiring:
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "Diyarbakır'da BÜYÜK İstanbul; straße über 北京大学!"
+    // histogramWords (what wordHistogram explodes) == the word stream
+    // encodeText walks — same kernel, so equal BY CONSTRUCTION; the
+    // assertion guards against the call sites drifting apart again
+    val hist = graft.functions.BpeKernels
+      .histogramWords(UTF8String.fromString(text))
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+    val enc = graft.functions.BpeKernels.splitWords(UTF8String.fromString(text))
+      .filter(_.nonEmpty).toSeq
+    assert(hist == enc && hist.nonEmpty, s"hist=$hist enc=$enc")
+    // and wordHistogram (the DataFrame pass) tokenizes identically
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val fromDf = Bpe.wordHistogram(docs, cap = 100).map(_._1).toSet
+    assert(fromDf == hist.toSet, s"df=$fromDf kernel=${hist.toSet}")
+    // the Locale.ROOT property itself: dotted capital İ must NOT
+    // case-map through the default locale (ROOT maps İ -> "i̇",
+    // i + combining dot, regardless of JVM locale)
+    assert(hist.exists(_.startsWith("i")), s"İstanbul lost: $hist")
+  }
+
   test("unicode BPE: accented and Han words train and encode losslessly (round 11)") {
     import spark.implicits._
     // crafted non-ASCII corpus — the driver fixture is 100% ASCII, so

@@ -180,6 +180,34 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       Set(("svc one", 3L), ("svc,two", 0L)))
   }
 
+  test("literal date-folder layout: {yyyy}/{MonthName}/{d-MonthName-yyyy}/{file}.csv, one header'd file per date (R23 byte-compat option)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_lit").toString
+    // two dates; one date's rows split across TWO input partitions —
+    // the layout contract is still ONE csv object per date
+    val report = Seq(
+      ("svc one", 3L, "2024-03-05"),
+      ("svc two", 1L, "2024-03-05"),
+      ("svc three", 0L, "2024-12-31"))
+      .toDF("name", "n_failed", "transaction_date")
+      .repartition(2)
+    PrismaConnector.writeReportLiteralLayout(report, dir, fileName = "alert_report")
+    val march = new java.io.File(s"$dir/2024/March/5-March-2024/alert_report.csv")
+    val dec = new java.io.File(s"$dir/2024/December/31-December-2024/alert_report.csv")
+    assert(march.isFile && dec.isFile,
+      s"literal tree missing: ${new java.io.File(dir).listFiles().map(_.getName).toSeq}")
+    // each file is a complete CSV: header FIRST, then that date's rows
+    // in the exact QUOTE_NONNUMERIC dialect
+    val mLines = scala.io.Source.fromFile(march).getLines().toList
+    assert(mLines.head == "\"name\",\"n_failed\"", s"header must lead: $mLines")
+    assert(mLines.tail.sorted == List("\"svc one\",3", "\"svc two\",1"), mLines.toString)
+    val dLines = scala.io.Source.fromFile(dec).getLines().toList
+    assert(dLines == List("\"name\",\"n_failed\"", "\"svc three\",0"), dLines.toString)
+    // staging cleaned, commit marker present
+    assert(!new java.io.File(s"$dir/_staging_literal").exists())
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+  }
+
   test("QUOTE_NONNUMERIC sink: null numeric cells render as empty fields, never drop (column counts fixed)") {
     // concat_ws silently skips null arguments — an uncoalesced null
     // BIGINT/DOUBLE cell would delete its field and shift every later

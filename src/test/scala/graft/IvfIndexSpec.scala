@@ -187,6 +187,27 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       "a recognized replay must not rewrite delta files")
   }
 
+  test("a REUSED batch_id carrying different content is not mistaken for a replay (round 12)") {
+    val dir = Files.createTempDirectory("graft_ivf_reuse").toString
+    val base = clustered(1000)
+    IvfIndex.build(base, dir, Similarity.adaptiveCentroids(1000))
+    val batchA = clustered(1200).filter(col("vec_id") >= 1000)
+    IvfIndex.append(spark, dir, batchA, batchId = 7L)
+    // caller error: same batch_id, same ROW COUNT, different rows (the
+    // embeddings match so routing — and therefore the touched delta
+    // partitions — are identical; only the ids differ). A count-only
+    // replay check silently dropped this; the id fingerprint must see
+    // through it and run the normal dynamic overwrite.
+    val batchB = batchA.withColumn("vec_id", col("vec_id") + 10000L)
+    val st = IvfIndex.append(spark, dir, batchB, batchId = 7L)
+    assert(st.appended == 200)
+    val deltaIds = spark.read.parquet(s"$dir/delta")
+      .filter(col("batch_id") === 7L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds == (11000L until 11200L).toSet,
+      s"reused batch_id must overwrite, not no-op: ${deltaIds.toSeq.sorted.take(5)}...")
+  }
+
   test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {
     // the real micro-batch wiring, not a hand-rolled loop: base index
     // trained once, then a file stream of new vectors drains through

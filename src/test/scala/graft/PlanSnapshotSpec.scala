@@ -44,7 +44,10 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     // be touched once — one user-keyed agg, no per-day rescan), the
     // bounded-bin KS CDF windows, and the wedge-join link predictor
     // (degrees must come back as broadcasts)
-    "q_active_users", "q_ks_test", "q_link_pred")
+    "q_active_users", "q_ks_test", "q_link_pred",
+    // round-12 addition: the char-shingle exact-Jaccard twin (same
+    // capped self-join shape as q_dedup_ngram — lock it independently)
+    "q_dedup_cjk_exact")
 
   private val goldenDir = Paths.get("src/test/resources/golden-plans")
 

@@ -171,6 +171,25 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
       "a recognized replay must not rewrite codes_delta files")
   }
 
+  test("a REUSED batch_id carrying different content is not mistaken for a replay (round 12)") {
+    val dir = Files.createTempDirectory("graft_pq_reuse").toString
+    val base = clustered(1000)
+    PqIndex.build(base, dir)
+    val batchA = clustered(1200).filter(col("vec_id") >= 1000)
+    PqIndex.append(spark, dir, batchA, batchId = 7L)
+    // same batch_id + same row count, different ids (same embeddings ⇒
+    // identical routing, so the touched partitions fully overwrite) —
+    // must take the encode+overwrite path, not the replay fast-path
+    val batchB = batchA.withColumn("vec_id", col("vec_id") + 10000L)
+    val st = PqIndex.append(spark, dir, batchB, batchId = 7L)
+    assert(st.appended == 200)
+    val deltaIds = spark.read.parquet(s"$dir/codes_delta")
+      .filter(col("batch_id") === 7L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds == (11000L until 11200L).toSet,
+      s"reused batch_id must overwrite, not no-op: ${deltaIds.toSeq.sorted.take(5)}...")
+  }
+
   test("an empty append batch is a no-op with sane drift stats") {
     val dir = Files.createTempDirectory("graft_pq_empty").toString
     val base = clustered(500)

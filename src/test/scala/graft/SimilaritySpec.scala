@@ -107,6 +107,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     sh.unpersist()
   }
 
+  test("LSH pairs ⊆ exact-Jaccard pairs at the threshold, both shingle families (round 12)") {
+    // The fixture's planted near-dups sit well above the 0.5 threshold,
+    // so every LSH-emitted pair must also pass the exact filter (the
+    // estimator has ~0.09 std there; a pair it can flip IN would need
+    // exact J within a band the fixture doesn't populate). This is the
+    // set-level complement of the ApproxOracle value bound the driver
+    // now checks (q_dedup_near / q_dedup_cjk vs their exact twins).
+    val docs = Tables.documents(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshTok = pairs(Similarity.minhashPairsOf(docs, 0.5))
+    val exactTok = pairs(graft.queries.TextOps.jaccardPairsOf(docs))
+    assert(lshTok.nonEmpty, "fixture should contain token near-dups")
+    assert(lshTok.subsetOf(exactTok),
+      s"token LSH emitted non-pairs: ${(lshTok -- exactTok).take(5)}")
+    val lshChar = pairs(Similarity.charMinhashPairsOf(docs, 0.5))
+    val exactChar = pairs(graft.queries.TextOps.charJaccardPairsOf(docs))
+    assert(lshChar.nonEmpty, "fixture should contain char near-dups")
+    assert(lshChar.subsetOf(exactChar),
+      s"char LSH emitted non-pairs: ${(lshChar -- exactChar).take(5)}")
+  }
+
   test("simhash band blocking finds duplicate and near-duplicate pairs, not distinct ones") {
     val docs = docsDf(
       0L -> "spark shuffles data between stages when a wide dependency appears in the plan",

@@ -148,6 +148,64 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == full, "GroupedTopK head must equal the sorted-prefix ground truth")
   }
 
+  test("bigram-LM / DSIR / sketch / zipf families tokenize zh & de non-degenerately (round 12)") {
+    // The round-12 unification: these families now tokenize through
+    // unicodeWords. Under the old whitespace split a space-free zh doc
+    // was ONE giant token (zero bigrams, one vocab entry) and German
+    // tokens kept punctuation glued on ("straße," ≠ "straße"). A
+    // crafted multilingual corpus pins the new behavior end-to-end
+    // through the REAL QueryDefs (a temp documents.parquet dir).
+    import org.apache.spark.sql.functions._
+    val zh = "北京大学，中国科学。北京大学，中国科学。北京大学，中国科学。" // 6 toks: (a b) ×3
+    val de = "straße, größer; straße, größer. straße, größer"             // 6 toks
+    val en = "the data pipeline joins the data pipeline scans the data pipeline" // 11 toks
+    val rows = (0L until 4L).map(i => (i, zh, "zh", "alpha")) ++
+      (4L until 8L).map(i => (i, de, "de", "beta")) ++
+      Seq((8L, en, "en", "alpha"), (9L, en, "en", "alpha"),
+        (10L, en, "en", "beta"), (11L, en, "en", "beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zhde").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def run(q: String) = SparkEntry.queries(q)(spark, dir)
+
+    // q_ngram_lm: the Han bigram exists with its exact corpus count
+    val lm = run("q_ngram_lm").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(lm(("北京大学", "中国科学")) == 12L, s"han bigram: $lm")
+    assert(lm(("straße", "größer")) == 12L, "umlaut token must stay whole, no punctuation glued")
+    assert(!lm.keys.exists { case (a, b) => (a + b).exists(",;.。，".contains(_)) })
+
+    // q_doc_ppl + q_repetition: per-doc bigram counts = tokens − 1
+    val ppl = run("q_doc_ppl").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppl(0L) == 5L && ppl(4L) == 5L && ppl(8L) == 10L, s"ppl bigram counts: $ppl")
+    val rep = run("q_repetition").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(0L) == ((5L, 3L)), s"zh repetition: ${rep(0L)}") // (a,b)×3 of 5
+
+    // q_dsir: every doc scored over its REAL token count
+    val dsir = run("q_dsir").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dsir(0L) == 6L && dsir(4L) == 6L && dsir(8L) == 11L, s"dsir n_toks: $dsir")
+
+    // q_zipf: vocabulary = 9 whole words (2 zh + 2 de + 5 en)
+    assert(run("q_zipf").collect().head.getLong(0) == 9L)
+
+    // q_sketch_topk: the head contains the whole multi-script tokens
+    val top = run("q_sketch_topk").collect().map(_.getString(1)).toSet
+    assert(top.contains("北京大学") && top.contains("straße"), s"topk: $top")
+
+    // q_curriculum: token mass conserved across stages (whitespace
+    // tokenization would count each zh doc as ONE token: 56 ≠ 92)
+    val cur = run("q_curriculum").collect()
+    assert(cur.map(_.getLong(1)).sum == 12L && cur.map(_.getLong(2)).sum == 92L,
+      s"curriculum stages: ${cur.mkString(";")}")
+
+    // q_source_overlap: the two sources share exactly the 5 en words
+    val ov = run("q_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ov(("alpha", "beta")) == 5L, s"overlap: $ov")
+  }
+
   test("containment is directional: short-inside-long scores 1.0 one way, low Jaccard") {
     import spark.implicits._
     val short8 = "w1 w2 w3 w4 w5 w6 w7 w8"

@@ -156,7 +156,12 @@ object ScaleSlope {
     "q_ngram_novelty",
     // round-11: the script-agnostic char-shingle near-dup — candidates
     // bucket-capped like the token path, so it runs the full tier
-    "q_dedup_cjk")
+    "q_dedup_cjk",
+    // round-12: its exact char-shingle twin. The df ≤ 128 cap drops the
+    // fixture's saturated-hot shingles BEFORE the self-join, so beyond-
+    // 10× cost should be the linear df window, not a pair-space
+    // quadratic — measured on the full tier (SCALING.md round 12)
+    "q_dedup_cjk_exact")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
     * FIXTURE, not in the operator: the 30-word vocabulary saturates the

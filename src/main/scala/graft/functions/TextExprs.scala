@@ -60,6 +60,46 @@ object TextKernels {
     * where they approximate token shingles at k ≈ 8). First-occurrence
     * order, matching [[shingles]] semantics.
     */
+  /** `[\p{L}\p{N}]` membership — the canonical tokenizer's regex
+    * classes as a direct category check. NOT isLetterOrDigit: isDigit
+    * covers only Nd, while `\p{N}` also admits Nl (Ⅻ) and No (², ½);
+    * the kernel and the regex/DuckDB mirrors must agree on those.
+    */
+  def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** The canonical Unicode word tokenizer (queries.TextOps.unicodeWords)
+    * as a tight codepoint walk — semantically IDENTICAL to
+    * `filter(split(lower(text), "[^\p{L}\p{N}]+"), t -> t <> '')`
+    * (lowercase via UTF8String.toLowerCase = Spark's lower(), word
+    * classes via [[isWordCp]] = the regex classes), but without the
+    * per-row java.util.regex engine the split form pays. Round 12:
+    * unifying 8 query families onto the regex tokenizer cost ~3.5 s on
+    * the sf0.1 bench; this kernel claws it back while keeping one
+    * definition (TextOpsSpec pins kernel ≡ regex on multilingual text).
+    */
+  def unicodeWords(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isWordCp(cp)) sb.appendCodePoint(cp)
+      else if (sb.length > 0) {
+        out += UTF8String.fromString(sb.toString); sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+
   def charShingles(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
     // letter/digit codepoint stream, lowercased
@@ -67,7 +107,10 @@ object TextKernels {
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      if (Character.isLetterOrDigit(cp))
+      // isWordCp, not isLetterOrDigit (round 12): the DuckDB mirror of
+      // the exact twin uses the \p{L}\p{N} classes, which include the
+      // Nl/No numbers isDigit misses — both sides must keep them.
+      if (isWordCp(cp))
         cps.appendCodePoint(Character.toLowerCase(cp))
       i += Character.charCount(cp)
     }
@@ -163,6 +206,17 @@ object TextKernels {
     while (b < 64) { if (votes(b) > 0) r |= 1L << b; b += 1 }
     r
   }
+}
+
+case class UnicodeWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unicode_words"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.unicodeWords(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.unicodeWords($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeWords =
+    copy(child = newChild)
 }
 
 case class TokenShingles(child: Expression, n: Int)
@@ -273,6 +327,8 @@ object GraftFunctions {
   }
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("unicode_words",
+      arity1("unicode_words")(UnicodeWords(_)), "built-in")
     r.createOrReplaceTempFunction("token_shingles",
       arity1("token_shingles")(TokenShingles(_, 3)), "built-in")
     r.createOrReplaceTempFunction("char_shingles",
@@ -288,6 +344,8 @@ object GraftFunctions {
 
 /** Column-API surface for the custom expressions. */
 object TextExprs {
+  def unicodeWords(c: Column): Column =
+    ColumnBridge.column(UnicodeWords(ColumnBridge.expression(c)))
   def tokenShingles(c: Column, n: Int = 3): Column =
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(c), n))
   def charShingles(c: Column, k: Int = 8): Column =

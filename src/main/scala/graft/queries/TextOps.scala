@@ -53,9 +53,16 @@ object TextOps {
     * DuckDB oracle mirror (RE2 shares the classes):
     * `list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
     * t -> t <> '')`.
+    * Implementation (round 12): the codegen'd
+    * functions.TextKernels.unicodeWords kernel — semantically identical
+    * to `filter(split(lower(text), "[^\p{L}\p{N}]+"), t -> t <> '')`
+    * (TextOpsSpec pins kernel ≡ regex on multilingual text) but a tight
+    * codepoint walk instead of a per-row java.util.regex pass; the
+    * round-12 tokenizer unification put this on 8 more query families'
+    * hot paths, where the regex form cost ~3.5 s on the sf0.1 bench.
     */
   def unicodeWords(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    graft.functions.TextExprs.unicodeWords(text)
 
   /** The oracle-side rendering of [[unicodeWords]] (DuckDB SQL). */
   val UnicodeWordsSql: String =

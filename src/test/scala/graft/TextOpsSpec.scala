@@ -148,6 +148,38 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == full, "GroupedTopK head must equal the sorted-prefix ground truth")
   }
 
+  test("unicodeWords kernel ≡ the regex form it replaced, on multilingual + numeric-class text (round 12)") {
+    // The kernel (codepoint walk) must be indistinguishable from
+    // filter(split(lower(text), "[^\p{L}\p{N}]+"), t -> t <> '') — the
+    // declared tokenizer definition the DuckDB mirrors restate. Drive
+    // BOTH as Spark expressions over one frame so lower() semantics are
+    // Spark's own on each side.
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "the fast key order sort",
+      "  leading and trailing  ",
+      "",
+      "汉字text混在一起no spaces",
+      "Ünïcôde STRAẞE straße größer",
+      "Diyarbakır İstanbul",
+      "digits 123 mixed a1b2, Ⅻ roman ² super ½ frac", // Nl and No classes
+      "punct-only !!! ,,, 。。。",
+      "a",
+      "北京，大学。")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        graft.queries.TextOps.unicodeWords(col("text")).as("kernel"),
+        filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"), t => t =!= "").as("regex"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: kernel=${r.getSeq[String](1)} regex=${r.getSeq[String](2)}")
+    }
+    // spot-pin the Nl/No class membership the old isLetterOrDigit missed
+    val toks = both(6).getSeq[String](1)
+    assert(toks.contains("ⅻ") || toks.contains("Ⅻ".toLowerCase), s"Nl lost: $toks")
+  }
+
   test("bigram-LM / DSIR / sketch / zipf families tokenize zh & de non-degenerately (round 12)") {
     // The round-12 unification: these families now tokenize through
     // unicodeWords. Under the old whitespace split a space-free zh doc

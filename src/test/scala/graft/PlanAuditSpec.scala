@@ -241,6 +241,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       "signatures must come from the codegen'd kernels, not lambdas")
   }
 
+  test("q_dedup_cjk_exact: shingle equi-join (never cross product), kernel shingles, df-capped") {
+    // the exact char twin must keep q_dedup_ngram's plan shape: one
+    // shared kernel projection in the scan stage, candidates meet in a
+    // shingle-keyed equi-join, and the df window runs on the SAME
+    // shingle key (the exchange is reused, not added)
+    val plan = formattedPlan(q("q_dedup_cjk_exact"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"shingle equi-join expected:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact pairs must never plan as a cross product")
+    assert(plan.contains("char_shingles"),
+      "shingles must come from the codegen'd kernel, not lambdas")
+  }
+
   test("q_zorder has no window operator — global rank runs on the zipWithIndex primitive") {
     // the one-time single-partition ntile(64) window over the whole
     // fact table is gone: bucket assignment must come from range-

@@ -37,6 +37,34 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("property: unicodeWords kernel ≡ its declared regex definition on random unicode text") {
+    // The kernel (TextKernels.unicodeWords, round 12) is DECLARED
+    // semantically identical to
+    // filter(split(lower(text), "[^\p{L}\p{N}]+"), t -> t <> '') with
+    // lower = UTF8String.toLowerCase. Pure-JVM check (no Spark job per
+    // case): the reference below IS that definition, so hundreds of
+    // random multilingual strings run in milliseconds.
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),          // ASCII incl. punctuation
+      2 -> Gen.choose(0x4e00, 0x9fff),      // Han
+      1 -> Gen.choose(0xc0, 0x17f),         // Latin-1/Extended-A (ß, ı, İ…)
+      1 -> Gen.oneOf(0x2160, 0x216b, 0xb2, 0xbd, 0x0660, 0x1d7d8, // Nl/No/Nd + SMP digit
+        0x1f600, 0x10400),                  // emoji + Deseret (surrogate pairs)
+      1 -> Gen.oneOf(' '.toInt, '\t'.toInt, '\n'.toInt, 0x3002, 0xff0c)) // separators
+    val textGen2: Gen[String] = Gen.listOf(cpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    forAllSampled(textGen2, n = 300) { s =>
+      val kernel = graft.functions.TextKernels
+        .unicodeWords(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val reference = UTF8String.fromString(s).toLowerCase.toString
+        .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+      assert(kernel == reference, s"text=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("property: exact dedup is idempotent and keeps one row per distinct text") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf(
       "alpha beta gamma", "alpha beta gamma", "delta epsilon zeta", "eta theta iota"))

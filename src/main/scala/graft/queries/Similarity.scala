@@ -790,12 +790,18 @@ object Similarity {
       .withColumn("proj", graft.functions.VecExprs.dotProducts(col("emb"), planes))
   }
 
-  /** Tolerance bound for the LSH est_jaccard columns: 32 MinHash rows
-    * give the estimate a std of √(J(1−J)/32) ≈ 0.09 at J = 0.5; on the
-    * fixture's planted near-dups (J ≥ 0.5) the measured max relative
-    * error is 5.7% (round 12, sf0.01) — 0.15 is ~2.5 std of headroom
-    * while still catching a broken signature kernel (whose estimates
-    * decorrelate entirely).
+  /** RELATIVE tolerance for the LSH est_jaccard columns (the compare
+    * enforces rtol, not an absolute band). This is a FIXTURE GATE, not
+    * a statistical bound: the pipeline is fully deterministic (frozen
+    * fixture, fixed permutations, xxhash64), so the compare admits no
+    * run-to-run variance — the measured max relative error on the
+    * emitted pairs is 5.7% (round 12, sf0.01, both families) and 0.15
+    * is 2.6× that. It is NOT generous in σ terms (at J ≈ 0.5, rtol
+    * 0.15 ≈ 0.8 σ of the 32-row estimator), so a fixture REGENERATION
+    * that plants boundary-J pairs could trip it — that is a prompt to
+    * re-measure and re-derive the bound, while a broken signature
+    * kernel (decorrelated estimates, relative errors ≫ 1) still fails
+    * it unambiguously.
     */
   private val EstJaccardTol = 0.15
 
@@ -805,7 +811,16 @@ object Similarity {
     * fixture gate because the emitted pair SET equals the exact set
     * there (measured, both families, sf0.01/sf0.001); the estimator's
     * set-level behavior at the threshold boundary stays scalatest
-    * territory (SimilaritySpec).
+    * territory (SimilaritySpec). One documented asymmetry: the exact
+    * side computes Jaccard over the df ≤ MaxShingleDf shingle universe
+    * (the declared semantics of both exact twins) while MinHash signs
+    * ALL shingles — a systematic bias on docs dominated by hot
+    * boilerplate shingles, absorbed today by the tolerance because the
+    * fixture's planted near-dups share mostly sub-cap shingles. The
+    * same asymmetry has always existed between q_dedup_near and
+    * q_dedup_ngram; at production scale the LSH stage generates
+    * CANDIDATES and the capped exact stage is the verdict, so the bias
+    * costs recall on boilerplate-heavy pairs, never precision.
     */
   private def asEstOracle(exactSql: String): String =
     exactSql.replace("AS jaccard", "AS est_jaccard")

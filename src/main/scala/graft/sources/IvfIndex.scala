@@ -104,21 +104,15 @@ object IvfIndex {
     // commit's routing residual is not persisted, so a skipped replay
     // reports residual 0 / no retrain advice — the FIRST commit already
     // carried the drift advisory for this data.
-    // Recognition is (count, bit_xor of xxhash64 over vec_ids) — round 12:
-    // count alone let a REUSED batch_id carrying different same-size
-    // data be silently dropped with a success AppendStats; the
-    // order-insensitive, overflow-free id fingerprint rides the same single agg pass
-    // and turns that caller error into the normal overwrite path, where
-    // dynamic partition overwrite replaces the stale rows correctly.
-    val batchFp = batch.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head()
-    val nBatch = batchFp.getLong(0)
-    val committedFp = readOr(spark, s"$path/delta")
-      .map(_.filter(col("batch_id") === batchId)
-        .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head())
-    val replayed = committedFp.exists(c =>
-      nBatch > 0 && c.getLong(0) == nBatch && !c.isNullAt(1) &&
-        c.getLong(1) == batchFp.getLong(1))
-    if (replayed)
+    // Recognition via the shared PAYLOAD-INCLUSIVE content fingerprint
+    // ([[BatchFingerprint]], round 12): count alone let a reused
+    // batch_id carrying different same-size data be silently dropped
+    // with a success AppendStats, and an id-only hash still missed
+    // same-ids-changed-vectors — both now fall through to the normal
+    // overwrite path, where dynamic partition overwrite replaces the
+    // stale rows correctly.
+    val (nBatch, batchFp) = BatchFingerprint.of(batch)
+    if (BatchFingerprint.isReplay(spark, path, batchId, nBatch, batchFp))
       return AppendStats(nBatch, 0.0, trainRes, retrainAdvised = false)
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
@@ -135,6 +129,7 @@ object IvfIndex {
       .select(col("vec_id"), col("emb"), lit(batchId).as("batch_id"), col("cid"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cid").parquet(s"$path/delta")
+    batchFp.foreach(BatchFingerprint.record(spark, path, batchId, nBatch, _))
     AppendStats(n, meanRes, trainRes, meanRes > driftBound * trainRes)
   }
 
@@ -151,7 +146,9 @@ object IvfIndex {
     val delta = new org.apache.hadoop.fs.Path(s"$path/delta")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(delta, true)
-    ()
+    // absorbed batches are now base rows; their replay records must go
+    // with them or a post-retrain redelivery would wrongly no-op
+    BatchFingerprint.clear(spark, path)
   }
 
   /** Base + delta list rows as one (vec_id, emb, cid) frame. */

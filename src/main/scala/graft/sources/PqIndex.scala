@@ -164,19 +164,13 @@ object PqIndex {
     // encode + dynamic overwrite below would rewrite identical
     // partitions — skip entirely; the first commit already carried the
     // drift advisory for this data.
-    // (count, bit_xor of xxhash64 over vec_ids), not count alone — round 12,
-    // the IvfIndex.append rationale: a reused batch_id with different
-    // same-size content must fall through to the overwrite, not be
-    // silently dropped as a replay.
-    val batchFp = batch.agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head()
-    val nBatch = batchFp.getLong(0)
-    val committedFp = readOr(spark, s"$path/codes_delta")
-      .map(_.filter(col("batch_id") === batchId)
-        .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id))")).head())
-    val replayed = committedFp.exists(c =>
-      nBatch > 0 && c.getLong(0) == nBatch && !c.isNullAt(1) &&
-        c.getLong(1) == batchFp.getLong(1))
-    if (replayed)
+    // Shared payload-inclusive content fingerprint ([[BatchFingerprint]],
+    // round 12): reused batch_ids with different content — including
+    // same-ids-changed-vectors, which the codes_delta store (lossy
+    // codes, no floats) could never reveal — fall through to the
+    // overwrite, never silently no-op.
+    val (nBatch, batchFp) = BatchFingerprint.of(batch)
+    if (BatchFingerprint.isReplay(spark, path, batchId, nBatch, batchFp))
       return AppendStats(nBatch, 0.0, trainRes, retrainAdvised = false)
     val coarse: Array[Array[Double]] =
       spark.read.parquet(s"$path/coarse").orderBy(col("cid")).collect()
@@ -200,6 +194,7 @@ object PqIndex {
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cid").parquet(s"$path/codes_delta")
+    batchFp.foreach(BatchFingerprint.record(spark, path, batchId, nBatch, _))
     AppendStats(n, meanRes, trainRes, meanRes > driftBound * trainRes)
   }
 
@@ -231,7 +226,8 @@ object PqIndex {
     val delta = new org.apache.hadoop.fs.Path(s"$path/codes_delta")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(delta, true)
-    ()
+    // absorbed batches are base state now — their replay records go too
+    BatchFingerprint.clear(spark, path)
   }
 
   def cachePathFor(sfDir: String): String =

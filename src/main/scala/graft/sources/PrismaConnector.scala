@@ -281,10 +281,27 @@ object PrismaConnector {
       fileName: String = "report"): Unit = {
     val out = withReportDate(df)
     val part = "transaction_date"
+    // Fail BEFORE any IO on dates the folder key can't express: a null
+    // (hive would write __HIVE_DEFAULT_PARTITION__) or non-ISO value
+    // has no {yyyy}/{MonthName}/{d} rendering. Bounded check — one
+    // map-side agg, no driver-side date parsing of data rows.
+    val bad = out.agg(count(when(col(part).isNull ||
+        to_date(col(part), "yyyy-MM-dd").isNull, 1)).as("n")).head().getLong(0)
+    require(bad == 0,
+      s"literal layout requires non-null yyyy-MM-dd $part values; $bad rows violate " +
+        "(the hive-layout writeReportQuoteNonNumeric accepts them — use that, or fix the dates)")
     val data = renderQuoteNonNumeric(out, part).withColumn("__hdr", lit(0))
     val headers = out.select(col(part)).distinct()
       .select(lit(headerLine(out, part)).as("value"), col(part),
         lit(1).as("__hdr"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    // mode=overwrite semantics, matching the sibling writers (round-12
+    // review): a rerun must neither fail the publish rename on an
+    // existing {file}.csv (HDFS refuses rename-onto-existing) nor leave
+    // stale dates from a previous run under a fresh _SUCCESS.
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.delete(root, true)
     val staging = new org.apache.hadoop.fs.Path(path, "_staging_literal")
     data.unionByName(headers)
       .repartition(col(part))
@@ -293,26 +310,25 @@ object PrismaConnector {
       .write.mode("overwrite")
       .partitionBy(part)
       .text(staging.toString)
-    val fs = staging.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val root = new org.apache.hadoop.fs.Path(path)
     val monthFmt = java.time.format.DateTimeFormatter
       .ofPattern("MMMM", java.util.Locale.ENGLISH)
-    fs.listStatus(staging).map(_.getPath)
-      .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
-        val day = java.time.LocalDate.parse(dir.getName.stripPrefix(s"$part="))
-        val month = day.format(monthFmt)
-        val dest = new org.apache.hadoop.fs.Path(root,
-          s"${day.getYear}/$month/${day.getDayOfMonth}-$month-${day.getYear}")
-        fs.mkdirs(dest)
-        val parts = fs.listStatus(dir).map(_.getPath)
-          .filter(_.getName.startsWith("part-"))
-        require(parts.length == 1,
-          s"literal layout expects ONE file per date (repartition pinned it); got ${parts.length} in $dir")
-        require(fs.rename(parts.head,
-          new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
-          s"literal-layout publish rename failed for $dir")
-      }
-    fs.delete(staging, true)
+    try {
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
+          val day = java.time.LocalDate.parse(dir.getName.stripPrefix(s"$part="))
+          val month = day.format(monthFmt)
+          val dest = new org.apache.hadoop.fs.Path(root,
+            s"${day.getYear}/$month/${day.getDayOfMonth}-$month-${day.getYear}")
+          fs.mkdirs(dest)
+          val parts = fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          require(parts.length == 1,
+            s"literal layout expects ONE file per date (repartition pinned it); got ${parts.length} in $dir")
+          require(fs.rename(parts.head,
+            new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
+            s"literal-layout publish rename failed for $dir")
+        }
+    } finally fs.delete(staging, true) // staging never survives, even a failed publish
     fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
   }
 }

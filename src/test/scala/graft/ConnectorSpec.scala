@@ -206,6 +206,29 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     // staging cleaned, commit marker present
     assert(!new java.io.File(s"$dir/_staging_literal").exists())
     assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+    // rerun = overwrite (round-12 review): a second publish with only
+    // ONE of the dates must not fail renaming onto the existing csv
+    // and must not leave the stale December date under fresh _SUCCESS
+    val rerun = Seq(("svc four", 9L, "2024-03-05"))
+      .toDF("name", "n_failed", "transaction_date")
+    PrismaConnector.writeReportLiteralLayout(rerun, dir, fileName = "alert_report")
+    val m2 = scala.io.Source.fromFile(
+      s"$dir/2024/March/5-March-2024/alert_report.csv").getLines().toList
+    assert(m2 == List("\"name\",\"n_failed\"", "\"svc four\",9"), m2.toString)
+    assert(!new java.io.File(s"$dir/2024/December").exists(),
+      "stale dates from the previous run must not survive an overwrite rerun")
+  }
+
+  test("literal layout refuses null / non-ISO transaction_date values with a clear error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_lit_bad").toString
+    val report = Seq(("a", Some("2024-03-05")), ("b", None))
+      .toDF("name", "transaction_date")
+    val e = intercept[IllegalArgumentException](
+      PrismaConnector.writeReportLiteralLayout(report, dir))
+    assert(e.getMessage.contains("yyyy-MM-dd"), e.getMessage)
+    // nothing half-published
+    assert(!new java.io.File(s"$dir/_SUCCESS").exists())
   }
 
   test("QUOTE_NONNUMERIC sink: null numeric cells render as empty fields, never drop (column counts fixed)") {

@@ -206,6 +206,20 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(deltaIds == (11000L until 11200L).toSet,
       s"reused batch_id must overwrite, not no-op: ${deltaIds.toSeq.sorted.take(5)}...")
+    // ...and the payload-blind case an id-only fingerprint misses
+    // (round-12 review): SAME ids, CHANGED vectors must also take the
+    // overwrite path — the content hash covers the embedding values
+    def embOf(id: Long): Seq[Double] = spark.read.parquet(s"$dir/delta")
+      .filter(col("batch_id") === 7L && col("vec_id") === id)
+      .select("emb").head().getSeq[Double](0)
+    val before = embOf(11000L)
+    val batchC = batchB.withColumn("embedding",
+      transform(col("embedding"), x => x * 2.0))
+    val st2 = IvfIndex.append(spark, dir, batchC, batchId = 7L)
+    assert(st2.appended == 200 && st2.meanResidual > 0.0,
+      "same ids + changed vectors must not be recognized as a replay")
+    assert(embOf(11000L) == before.map(_ * 2.0),
+      "the overwrite must land the corrected vectors")
   }
 
   test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {

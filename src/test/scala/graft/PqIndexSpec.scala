@@ -188,6 +188,14 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(deltaIds == (11000L until 11200L).toSet,
       s"reused batch_id must overwrite, not no-op: ${deltaIds.toSeq.sorted.take(5)}...")
+    // payload-blind case (round-12 review): same ids, changed vectors —
+    // the codes store is lossy so only the batch-side content hash can
+    // see the difference; a recognized replay reports residual 0.0
+    val batchC = batchB.withColumn("embedding",
+      transform(col("embedding"), x => x * 2.0))
+    val st2 = PqIndex.append(spark, dir, batchC, batchId = 7L)
+    assert(st2.appended == 200 && st2.meanResidual > 0.0,
+      "same ids + changed vectors must not be recognized as a replay")
   }
 
   test("an empty append batch is a no-op with sane drift stats") {

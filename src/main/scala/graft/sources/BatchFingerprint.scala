@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   * batch_id whose ids matched but whose VECTORS changed was silently
   * dropped as a replay with a success AppendStats).
   *
-  * The fingerprint is (row count, bit_xor of xxhash64(vec_id, emb))
-  * over the batch's canonical (vec_id, emb: array<double>) frame —
-  * order-insensitive (xor), overflow-free (xor, not sum — Spark 4 ANSI
-  * sum throws on Long overflow), and PAYLOAD-INCLUSIVE (the hash covers
-  * every vector component, so changed embeddings under a reused id set
-  * fall through to the normal dynamic-overwrite path). It is computed
-  * on the BATCH both at commit and at replay-check time and compared
-  * against the persisted record — never re-derived from the store,
-  * which for PqIndex holds only lossy codes.
+  * The fingerprint is (row count, bit_xor of xxhash64(vec_id, emb,
+  * multiplicity)) over the batch's canonical (vec_id, emb:
+  * array<double>) frame GROUPED by (vec_id, emb) — order-insensitive
+  * (xor), overflow-free (xor over hashes; the row count is a sum of
+  * per-group counts, which cannot overflow for any real batch),
+  * PAYLOAD-INCLUSIVE (the hash covers every vector component, so
+  * changed embeddings under a reused id set fall through to the normal
+  * dynamic-overwrite path), and MULTIPLICITY-SENSITIVE (round 13: a
+  * plain xor over rows cancels duplicates pairwise, so {A,A,B} and
+  * {B,B,B} — same count, same xor — collided; hashing each distinct
+  * (vec_id, emb) together with its duplicate count makes duplicate rows
+  * unable to cancel). It is computed on the BATCH both at commit and at
+  * replay-check time and compared against the persisted record — never
+  * re-derived from the store, which for PqIndex holds only lossy codes.
+  * Changing the definition (as round 13 did) is safe for old stores:
+  * a persisted old-format fingerprint simply never matches, so the
+  * delivery takes the idempotent dynamic-overwrite path and re-records.
   *
   * Durability protocol: the fingerprint is written AFTER the data
   * commit, into `<path>/batch_fp/batch_id=<b>/` via the same
@@ -35,9 +43,13 @@ private[graft] object BatchFingerprint {
     */
   def of(batch: DataFrame): (Long, Option[Long]) = {
     val canon = graft.queries.Similarity.corpusOf(batch)
-    val r = canon.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(vec_id, emb))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    // one extra compact shuffle (distinct (vec_id, emb) pairs, counted)
+    // buys multiplicity sensitivity — see the class doc
+    val r = canon.groupBy(col("vec_id"), col("emb"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt"), expr("bit_xor(xxhash64(vec_id, emb, cnt))")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))
   }
 
   private def dir(path: String) = s"$path/batch_fp"

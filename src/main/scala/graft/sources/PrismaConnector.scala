@@ -235,27 +235,35 @@ object PrismaConnector {
   /** The QUOTE_NONNUMERIC row renderer shared by the hive-layout and
     * literal-layout writers: one map-only projection to (value, part).
     */
-  private def renderQuoteNonNumeric(out: DataFrame, part: String): DataFrame = {
+  private def renderQuoteNonNumeric(out: DataFrame, part: String,
+      includePart: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StringType => SStr}
-    val cells = out.schema.fields.filter(_.name != part).map { f =>
-      if (f.dataType == SStr)
-        concat(lit("\""),
-          regexp_replace(coalesce(col(f.name), lit("")), "\"", "\"\""),
-          lit("\"")).as(f.name)
-      else
-        // coalesce AFTER the cast: concat_ws silently DROPS null
-        // arguments, so a bare null numeric cell would delete its field
-        // and shift every later cell left. pandas QUOTE_NONNUMERIC
-        // renders NaN/None as an empty bare field — match that.
-        coalesce(col(f.name).cast("string"), lit("")).as(f.name)
-    }
+    val cells = out.schema.fields
+      .filter(f => includePart || f.name != part).map { f =>
+        // includePart: the literal layout keeps the partition column as
+        // a rendered cell (the reference assigns transaction_date as a
+        // strftime STRING and to_csv quotes it) — the hive layout drops
+        // it because partitionBy already encodes it in the path.
+        if (f.dataType == SStr || f.name == part)
+          concat(lit("\""),
+            regexp_replace(coalesce(col(f.name).cast("string"), lit("")),
+              "\"", "\"\""),
+            lit("\"")).as(f.name)
+        else
+          // coalesce AFTER the cast: concat_ws silently DROPS null
+          // arguments, so a bare null numeric cell would delete its field
+          // and shift every later cell left. pandas QUOTE_NONNUMERIC
+          // renders NaN/None as an empty bare field — match that.
+          coalesce(col(f.name).cast("string"), lit("")).as(f.name)
+      }
     out.select(concat_ws(",", cells.toIndexedSeq: _*).as("value"), col(part))
   }
 
   /** The QUOTE_NONNUMERIC header line (pandas quotes header cells). */
-  private def headerLine(out: DataFrame, part: String): String = {
+  private def headerLine(out: DataFrame, part: String,
+      includePart: Boolean = false): String = {
     import org.apache.spark.sql.types.{StringType => SStr}
-    out.schema.fieldNames.filter(_ != part).map { n =>
+    out.schema.fieldNames.filter(n => includePart || n != part).map { n =>
       if (out.schema(n).dataType == SStr) "\"" + n.replace("\"", "\"\"") + "\""
       else "\"" + n + "\""
     }.mkString(",")
@@ -285,24 +293,37 @@ object PrismaConnector {
     // (hive would write __HIVE_DEFAULT_PARTITION__) or non-ISO value
     // has no {yyyy}/{MonthName}/{d} rendering. Bounded check — one
     // map-side agg, no driver-side date parsing of data rows.
+    // try_to_date, not to_date: under Spark 4's default ANSI mode
+    // to_date THROWS CANNOT_PARSE on a malformed string mid-aggregate;
+    // try_to_date yields null so malformed rows are COUNTED and
+    // reported through the same clear require message as nulls.
     val bad = out.agg(count(when(col(part).isNull ||
-        to_date(col(part), "yyyy-MM-dd").isNull, 1)).as("n")).head().getLong(0)
+        try_to_date(col(part), "yyyy-MM-dd").isNull, 1)).as("n"))
+      .head().getLong(0)
     require(bad == 0,
       s"literal layout requires non-null yyyy-MM-dd $part values; $bad rows violate " +
         "(the hive-layout writeReportQuoteNonNumeric accepts them — use that, or fix the dates)")
-    val data = renderQuoteNonNumeric(out, part).withColumn("__hdr", lit(0))
+    // The reference renders transaction_date as a quoted CSV column
+    // (lambda.py:358,377 assigns the strftime string, to_csv keeps it)
+    // AND uses it as the folder key — so unlike the hive layout, the
+    // partition column stays in both header and rows (includePart).
+    val data = renderQuoteNonNumeric(out, part, includePart = true)
+      .withColumn("__hdr", lit(0))
     val headers = out.select(col(part)).distinct()
-      .select(lit(headerLine(out, part)).as("value"), col(part),
-        lit(1).as("__hdr"))
+      .select(lit(headerLine(out, part, includePart = true)).as("value"),
+        col(part), lit(1).as("__hdr"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    // mode=overwrite semantics, matching the sibling writers (round-12
-    // review): a rerun must neither fail the publish rename on an
-    // existing {file}.csv (HDFS refuses rename-onto-existing) nor leave
-    // stale dates from a previous run under a fresh _SUCCESS.
     val root = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(root)) fs.delete(root, true)
-    val staging = new org.apache.hadoop.fs.Path(path, "_staging_literal")
+    // Stage-then-swap (round-13 review): the Spark job writes a SIBLING
+    // staging tree while the previously committed tree stays intact —
+    // a mid-job failure leaves external consumers the prior data, not
+    // an empty root. Only the bounded driver-side publish pass below
+    // touches the committed tree.
+    val qualRoot = fs.makeQualified(root)
+    val staging = new org.apache.hadoop.fs.Path(qualRoot.getParent,
+      qualRoot.getName + "__staging_literal")
+    if (fs.exists(staging)) fs.delete(staging, true)
     data.unionByName(headers)
       .repartition(col(part))
       .sortWithinPartitions(col(part), col("__hdr").desc)
@@ -312,6 +333,18 @@ object PrismaConnector {
       .text(staging.toString)
     val monthFmt = java.time.format.DateTimeFormatter
       .ofPattern("MMMM", java.util.Locale.ENGLISH)
+    // Publish: rename the old committed tree aside (one metadata op —
+    // overwrite semantics: stale dates from the previous run must not
+    // survive, and HDFS refuses rename-onto-existing {file}.csv), build
+    // the new tree from staging, commit with _SUCCESS, then drop the
+    // old tree. A crash mid-publish leaves the old tree recoverable at
+    // <root>__prev_literal and no fresh _SUCCESS over a partial root.
+    val prev = new org.apache.hadoop.fs.Path(qualRoot.getParent,
+      qualRoot.getName + "__prev_literal")
+    if (fs.exists(prev)) fs.delete(prev, true) // leftover from a crashed publish
+    val hadPrev = fs.exists(root)
+    if (hadPrev) require(fs.rename(root, prev),
+      s"literal-layout publish could not move the previous tree aside: $root")
     try {
       fs.listStatus(staging).map(_.getPath)
         .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
@@ -328,7 +361,8 @@ object PrismaConnector {
             new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
             s"literal-layout publish rename failed for $dir")
         }
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
     } finally fs.delete(staging, true) // staging never survives, even a failed publish
-    fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    if (hadPrev) fs.delete(prev, true)
   }
 }

@@ -197,13 +197,22 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     assert(march.isFile && dec.isFile,
       s"literal tree missing: ${new java.io.File(dir).listFiles().map(_.getName).toSeq}")
     // each file is a complete CSV: header FIRST, then that date's rows
-    // in the exact QUOTE_NONNUMERIC dialect
+    // in the exact QUOTE_NONNUMERIC dialect — INCLUDING transaction_date
+    // as a quoted column (the reference assigns it as a strftime string
+    // and to_csv writes it; round-13 review: consumers of the reference
+    // files expect the column in both header and rows)
     val mLines = scala.io.Source.fromFile(march).getLines().toList
-    assert(mLines.head == "\"name\",\"n_failed\"", s"header must lead: $mLines")
-    assert(mLines.tail.sorted == List("\"svc one\",3", "\"svc two\",1"), mLines.toString)
+    assert(mLines.head == "\"name\",\"n_failed\",\"transaction_date\"",
+      s"header must lead: $mLines")
+    assert(mLines.tail.sorted == List(
+      "\"svc one\",3,\"2024-03-05\"",
+      "\"svc two\",1,\"2024-03-05\""), mLines.toString)
     val dLines = scala.io.Source.fromFile(dec).getLines().toList
-    assert(dLines == List("\"name\",\"n_failed\"", "\"svc three\",0"), dLines.toString)
-    // staging cleaned, commit marker present
+    assert(dLines == List("\"name\",\"n_failed\",\"transaction_date\"",
+      "\"svc three\",0,\"2024-12-31\""), dLines.toString)
+    // staging (sibling of root, round-13 stage-then-swap) cleaned,
+    // commit marker present
+    assert(!new java.io.File(s"${dir}__staging_literal").exists())
     assert(!new java.io.File(s"$dir/_staging_literal").exists())
     assert(new java.io.File(s"$dir/_SUCCESS").isFile)
     // rerun = overwrite (round-12 review): a second publish with only
@@ -214,9 +223,39 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
     PrismaConnector.writeReportLiteralLayout(rerun, dir, fileName = "alert_report")
     val m2 = scala.io.Source.fromFile(
       s"$dir/2024/March/5-March-2024/alert_report.csv").getLines().toList
-    assert(m2 == List("\"name\",\"n_failed\"", "\"svc four\",9"), m2.toString)
+    assert(m2 == List("\"name\",\"n_failed\",\"transaction_date\"",
+      "\"svc four\",9,\"2024-03-05\""), m2.toString)
     assert(!new java.io.File(s"$dir/2024/December").exists(),
       "stale dates from the previous run must not survive an overwrite rerun")
+    // the swap's prev-tree is dropped after a successful publish
+    assert(!new java.io.File(s"${dir}__prev_literal").exists())
+  }
+
+  test("literal layout keeps the previously committed tree intact when the write job fails mid-run (stage-then-swap)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_lit_swap").toString
+    val first = Seq(("svc one", 3L, "2024-03-05"))
+      .toDF("name", "n_failed", "transaction_date")
+    PrismaConnector.writeReportLiteralLayout(first, dir, fileName = "alert_report")
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+    // second publish passes the date guard but fails DURING the Spark
+    // staging write (raise_error fires row-side). Round-13 review: the
+    // old delete-root-then-stage order left external consumers an EMPTY
+    // root for the whole failed job; stage-then-swap must leave the
+    // previous committed tree byte-identical.
+    val boom = Seq(("ok", 1L, "2024-03-06"), ("boom", 2L, "2024-03-06"))
+      .toDF("name", "n_failed", "transaction_date")
+      .withColumn("name", when(col("name") === "boom",
+        raise_error(lit("mid-job failure"))).otherwise(col("name")))
+    intercept[Exception](
+      PrismaConnector.writeReportLiteralLayout(boom, dir, fileName = "alert_report"))
+    val m = scala.io.Source.fromFile(
+      s"$dir/2024/March/5-March-2024/alert_report.csv").getLines().toList
+    assert(m == List("\"name\",\"n_failed\",\"transaction_date\"",
+      "\"svc one\",3,\"2024-03-05\""),
+      s"previous tree must survive a failed rerun: $m")
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile,
+      "previous commit marker must survive a failed rerun")
   }
 
   test("literal layout refuses null / non-ISO transaction_date values with a clear error") {
@@ -228,6 +267,15 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       PrismaConnector.writeReportLiteralLayout(report, dir))
     assert(e.getMessage.contains("yyyy-MM-dd"), e.getMessage)
     // nothing half-published
+    assert(!new java.io.File(s"$dir/_SUCCESS").exists())
+    // a NON-ISO string must hit the SAME clear require, not an ANSI
+    // CANNOT_PARSE from inside the guard aggregate (round-13 review:
+    // Spark 4 runs ANSI-on, so the guard uses try_to_date)
+    val nonIso = Seq(("a", "05/03/2024"), ("b", "2024-03-05"))
+      .toDF("name", "transaction_date")
+    val e2 = intercept[IllegalArgumentException](
+      PrismaConnector.writeReportLiteralLayout(nonIso, dir))
+    assert(e2.getMessage.contains("yyyy-MM-dd"), e2.getMessage)
     assert(!new java.io.File(s"$dir/_SUCCESS").exists())
   }
 

@@ -222,6 +222,28 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       "the overwrite must land the corrected vectors")
   }
 
+  test("batch fingerprint is multiplicity-sensitive: duplicate rows cannot cancel under xor (round 13)") {
+    import spark.implicits._
+    // {A,A,B} vs {B,B,B}: same row count, and a plain xor over rows
+    // cancels the duplicate pair — xxhash64(A)^xxhash64(A)^xxhash64(B)
+    // == xxhash64(B)^xxhash64(B)^xxhash64(B). The grouped
+    // (vec_id, emb, multiplicity) hash must tell them apart, else a
+    // redelivery with genuinely different content is silently dropped
+    // as a replay with a success AppendStats.
+    def df(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val a = (1L, Seq(1.0f, 0.0f)); val b = (2L, Seq(0.0f, 1.0f))
+    val (nAAB, fpAAB) = graft.sources.BatchFingerprint.of(df(a, a, b))
+    val (nBBB, fpBBB) = graft.sources.BatchFingerprint.of(df(b, b, b))
+    assert(nAAB == 3 && nBBB == 3)
+    assert(fpAAB.isDefined && fpBBB.isDefined && fpAAB != fpBBB,
+      s"pairwise-cancelling batches must not collide: $fpAAB vs $fpBBB")
+    // and a true replay (same multiset, different row order) still matches
+    val (n2, fp2) = graft.sources.BatchFingerprint.of(df(b, a, a))
+    assert(n2 == nAAB && fp2 == fpAAB,
+      "order-insensitivity must survive the multiplicity fix")
+  }
+
   test("append composes with Structured Streaming foreachBatch (the q_corpus_inc shape)") {
     // the real micro-batch wiring, not a hand-rolled loop: base index
     // trained once, then a file stream of new vectors drains through

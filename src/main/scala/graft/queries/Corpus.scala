@@ -108,6 +108,9 @@ object Corpus {
     */
   def chunksOf(docs: org.apache.spark.sql.DataFrame,
       size_ : Int = ChunkTokens, stride: Int = ChunkStride): org.apache.spark.sql.DataFrame =
+    // whitespace split is the DECLARED unit here (ws-token window
+    // accounting, TESTDATA.md fixture contract), not a tokenizer choice
+    // — the Unicode-token operators are the round-13-unified families
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int")))
@@ -131,6 +134,8 @@ object Corpus {
   def packOf(docs: org.apache.spark.sql.DataFrame,
       binSize: Int = PackBinSize): org.apache.spark.sql.DataFrame = {
     val toks = docs
+      // ws split: declared unit (stream-packing budget is ws-token
+      // accounting by contract), not a tokenizer choice
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"),
         (col("doc_id") / PackBucket).cast(LongType).as("bucket"))
     // explicit ROWS frame: the default RANGE frame treats duplicate
@@ -335,6 +340,7 @@ object Corpus {
     // — the language-balancing step of a corpus build. One explode-free
     // aggregation (token counts are array sizes, map-side).
     QueryDef("q_token_budget",
+      // ws split: declared unit (budget accounting), not a tokenizer choice
       (s, d) => T.documents(s, d)
         .select(col("lang"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
         .groupBy(col("lang"))
@@ -371,6 +377,8 @@ object Corpus {
         val all = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         T.documents(s, d)
+          // ws split: declared unit (mixing weights over ws-token
+          // budgets), not a tokenizer choice
           .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))

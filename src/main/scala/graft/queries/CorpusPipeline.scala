@@ -33,6 +33,9 @@ object CorpusPipeline {
     */
   def qualityFilter(docs: DataFrame, minTokens: Int = 5,
       maxMeanWordLen: Double = 14.0): DataFrame = {
+    // ws split: declared unit — the Gopher-style mean-WORD-length gate
+    // is definitionally over whitespace words (a CJK doc is screened by
+    // the Unicode-token operators downstream, not this cheap scan gate)
     val toks = split(col("text"), " ")
     docs.filter(col("text").isNotNull)
       .withColumn("n_words", size(toks))

@@ -41,8 +41,11 @@ object Curation {
     * shuffles, both on compact keys, no window over the corpus.
     */
   def paraDedupOf(docs: DataFrame): DataFrame = {
+    // round 13: paragraphs chunk over the canonical Unicode tokenizer
+    // (not a whitespace split) so space-free CJK text still forms
+    // paragraphs instead of one giant pseudo-token
     val paras = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), TextOps.unicodeWords(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), floor((size(col("toks")) - 1) / ParaTokens).cast("int")),
           i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens))))))
@@ -85,7 +88,11 @@ object Curation {
     * join is tiny regardless of corpus size.
     */
   def bm25Of(docs: DataFrame, terms: Seq[String] = Bm25Terms, k: Int = 10): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // canonical Unicode tokenizer (round 13): BM25 is a retrieval
+    // signal, not a whitespace-accounting one — "straße," must match
+    // the query term "straße", and CJK text must not collapse to one token
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.unicodeWords(col("text"))).as("word"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("word").isin(terms: _*))
@@ -291,10 +298,15 @@ object Curation {
 
     QueryDef("q_dedup_para",
       (s, d) => paraDedupOf(T.documents(s, d)),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-             |         unnest(range(len(string_split(text, ' ')))) AS pos
+      Some("""WITH tl AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                     t -> t <> '') AS toks
              |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, unnest(toks) AS word,
+             |         unnest(range(len(toks))) AS pos
+             |  FROM tl),
              |paras AS (
              |  SELECT doc_id, pos // 8 AS para_idx,
              |         string_agg(word, ' ' ORDER BY pos) AS para
@@ -317,7 +329,7 @@ object Curation {
     QueryDef("q_bm25",
       (s, d) => bm25Of(T.documents(s, d)),
       Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS word FROM documents),
              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
              |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
@@ -382,8 +394,11 @@ object Curation {
     // k rows regardless of corpus size.
     QueryDef("q_tok_vocab",
       (s, d) => {
+        // canonical Unicode tokenizer (round 13): vocab coverage is a
+        // tokenizer-quality signal — whitespace splitting would count a
+        // space-free CJK doc as one always-OOV token
         val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), explode(TextOps.unicodeWords(col("text"))).as("word"))
         // top-k via sort+limit, NOT a global row_number window: this
         // plans as TakeOrderedAndProject (per-partition heap + driver
         // merge of k rows) where the window would single-partition the
@@ -400,7 +415,7 @@ object Curation {
           .orderBy(col("doc_id"))
       },
       Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS word FROM documents),
              |vocab AS (
              |  SELECT word FROM (
              |    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
@@ -686,7 +701,8 @@ object Curation {
       (s, d) => rrfFusedOf(T.documents(s, d)),
       Some("""WITH base AS (
              |  SELECT doc_id, lang, n_chars,
-             |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+             |         len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             |                         t -> t <> '')) AS n_toks
              |  FROM documents),
              |ranked AS (
              |  SELECT doc_id, lang,
@@ -808,8 +824,10 @@ object Curation {
     */
   def rrfFusedOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // canonical Unicode tokenizer (round 13): the token-count ranking
+    // signal must see CJK words, not one giant whitespace pseudo-token
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      size(filter(split(col("text"), " "), t => t =!= "")).as("n_toks"))
+      size(TextOps.unicodeWords(col("text"))).as("n_toks"))
     val rTok = row_number().over(Window.partitionBy(col("lang"))
       .orderBy(col("n_toks").desc, col("doc_id")))
     val rLen = row_number().over(Window.partitionBy(col("lang"))

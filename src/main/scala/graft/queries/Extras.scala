@@ -313,9 +313,12 @@ object Extras {
       (s, d) => {
         import graft.functions.Kmv
         val kmv = udaf(Kmv)
+        // canonical Unicode tokenizer (round 13): the overlap being
+        // estimated is between VOCABULARIES, which whitespace splitting
+        // degenerates for space-free scripts
         val sk = T.documents(s, d)
           .select((regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2).as("grp"),
-            explode(split(col("text"), " ")).as("tok"))
+            explode(TextOps.unicodeWords(col("text"))).as("tok"))
           .select(col("grp"), xxhash64(col("tok")).as("h"))
           .groupBy(col("grp")).agg(kmv(col("h")).as("sk"))
           .orderBy(col("grp")).collect() // 2 rows of 256 longs
@@ -335,7 +338,7 @@ object Extras {
       Some(graft.ApproxOracle(
         """WITH toks AS (
           |  SELECT (CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2) AS grp,
-          |         unnest(string_split(text, ' ')) AS tok
+          |         unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS tok
           |  FROM documents),
           |e AS (SELECT DISTINCT tok FROM toks WHERE grp = 0),
           |o AS (SELECT DISTINCT tok FROM toks WHERE grp = 1)

@@ -452,9 +452,11 @@ object TextOps {
     // float expression over the (doc, token, count) aggregation.
     QueryDef("q_text_entropy",
       (s, d) => {
+        // canonical Unicode tokenizer (round 13): entropy is a quality
+        // signal over the token DISTRIBUTION — a space-free CJK doc
+        // under whitespace splitting is one token (entropy 0, spam-like)
         val counts = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
+          .select(col("doc_id"), explode(unicodeWords(col("text"))).as("word"))
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
         counts.groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_toks"),
@@ -464,9 +466,9 @@ object TextOps {
       },
       Some("""WITH counts AS (
              |  SELECT doc_id, word, count(*) AS c FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS word
              |    FROM documents)
-             |  WHERE word <> '' GROUP BY doc_id, word)
+             |  GROUP BY doc_id, word)
              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
              |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
              |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -573,8 +575,12 @@ object TextOps {
     // per-term df → broadcast 1-row corpus size.
     QueryDef("q_freq_terms",
       (s, d) => {
+        // canonical Unicode tokenizer (round 13): the boilerplate
+        // phrases worth stoplisting are WORDS in any script, and
+        // "header." vs "header" must count as one term
         val docTerms = T.documents(s, d)
-          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+          .select(col("doc_id"),
+            explode(array_distinct(unicodeWords(col("text")))).as("word"))
         val dfreq = docTerms.groupBy(col("word")).agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         dfreq.join(broadcast(n))
@@ -584,7 +590,7 @@ object TextOps {
           .orderBy(col("df").desc, col("word"))
       },
       Some("""WITH doc_terms AS (
-             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+             |  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS word
              |  FROM documents),
              |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
              |          FROM doc_terms GROUP BY word),
@@ -738,8 +744,11 @@ object TextOps {
     // until df_ab·N ≈ 9e14 — rescale the ratio past that.
     QueryDef("q_pmi",
       (s, d) => {
+        // canonical Unicode tokenizer (round 13): collocations are a
+        // WORD-association statistic; punctuation-glued or giant-CJK
+        // pseudo-tokens would silently zero the pair counts
         val toks = T.documents(s, d).select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
+          explode(array_distinct(unicodeWords(col("text")))).as("tok"))
         val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val vocab = dfreq.orderBy(col("df").desc, col("tok")).limit(100)
         val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -763,7 +772,7 @@ object TextOps {
           .limit(50)
       },
       Some("""WITH toks AS (
-             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS tok
              |  FROM documents),
              |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
              |vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100),
@@ -890,6 +899,11 @@ object TextOps {
     */
   def gramsOf(docs: org.apache.spark.sql.DataFrame,
               k: Int): org.apache.spark.sql.DataFrame = {
+    // ws split kept DELIBERATELY (round 13): this k-gram unit must stay
+    // byte-stable for the incremental digest stores, and span POSITIONS
+    // are reported in the same ws-token coordinates callers slice with;
+    // the script-agnostic remedy for space-free text is the char-shingle
+    // family (q_dedup_cjk/cjk_exact, SURVEY §2b)
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)

@@ -79,6 +79,8 @@ object Vocab {
         T.documents(s, d)
           .select(col("lang"),
             size(BpeExprs.bpeTokens(col("text"), table)).cast("long").as("n_sub"),
+            // ws split: declared unit — fertility is DEFINED as
+            // subword tokens per whitespace word
             size(split(col("text"), " ")).cast("long").as("n_words"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),

@@ -238,6 +238,76 @@ class TextOpsSpec extends AnyFunSuite with SharedSpark {
     assert(ov(("alpha", "beta")) == 5L, s"overlap: $ov")
   }
 
+  test("retrieval/quality families (bm25, entropy, pmi, freq_terms, tok_vocab, kmv, para) tokenize zh & de non-degenerately (round 13)") {
+    // Round-13 unification: the last 8 non-definitional whitespace-split
+    // analytics queries moved onto unicodeWords. Under the old split a
+    // space-free zh doc was ONE pseudo-token: entropy 0, BM25/PMI/
+    // freq-term counts silently zero, vocab coverage always-OOV. This
+    // fixture pins the new behavior end-to-end through the REAL
+    // QueryDefs (a temp documents.parquet dir).
+    import org.apache.spark.sql.functions._
+    val zh = "北京大学，中国科学。"            // 2 toks per repeat
+    val de = "straße, größer; straße, größer. straße, größer" // 6 toks
+    val rows = (0L until 5L).map(i => (i, zh * 3, "zh", "s0")) ++ Seq(
+      (5L, zh * 8, "zh", "s0"),                        // 16 toks → 2 paragraphs
+      (6L, de, "de", "s1"),
+      (7L, "spark, window; merge. spark window merge spark", "en", "s1"),
+      (8L, "spark pipeline data", "en", "s1"),
+      (9L, "data pipeline scans logs", "en", "s1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zhde13").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def run(q: String) = SparkEntry.queries(q)(spark, dir)
+
+    // q_text_entropy: doc 0 = (a b)×3 → 6 tokens, H = ln6 − ln3 = ln2;
+    // whitespace tokenization would report n_toks=1, entropy 0
+    val ent = run("q_text_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ent(0L) == ((6L, 0.6931)), s"zh entropy: ${ent(0L)}")
+    assert(ent(5L) == ((16L, 0.6931)), s"zh long-doc entropy: ${ent(5L)}")
+
+    // q_bm25: the query terms live in the punctuated en doc — "spark,"
+    // must match the term "spark"; exactly docs 7 and 8 score, 7 first
+    val bm = run("q_bm25").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(bm.map(_._1).toSet == Set(7L, 8L), s"bm25 docs: ${bm.toSeq}")
+    assert(bm.head._1 == 7L && bm.head._2 > bm.last._2, s"bm25 rank: ${bm.toSeq}")
+
+    // q_freq_terms: the Han words appear in 6/10 docs ≥ 40%
+    val ft = run("q_freq_terms").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ft.get("北京大学").contains(6L) && ft.get("中国科学").contains(6L),
+      s"freq terms must see Han words: $ft")
+
+    // q_pmi: the Han pair co-occurs in 6 docs (≥ the df_ab floor of 5)
+    val pmi = run("q_pmi").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pmi.get(("中国科学", "北京大学")).contains(6L), s"pmi pairs: $pmi")
+
+    // q_tok_vocab: the zh doc is 6 in-vocab tokens, not 1 OOV blob
+    val tv = run("q_tok_vocab").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(tv(0L) == ((6L, 0L, 1.0)), s"zh vocab coverage: ${tv(0L)}")
+
+    // q_sketch_kmv: group 0 (zh) has a 2-word vocabulary, group 1 has
+    // 2 de + 7 en = 9; disjoint → union 11, intersection 0 (KMV is
+    // exact below k)
+    val kmv = run("q_sketch_kmv").head()
+    assert((kmv.getLong(0), kmv.getLong(1), kmv.getLong(2), kmv.getLong(3))
+      == ((2L, 9L, 11L, 0L)), s"kmv: $kmv")
+
+    // q_dedup_para: the 16-token zh doc splits into two IDENTICAL
+    // 8-token paragraphs (one kept); docs 0-4 share one 6-token
+    // paragraph (doc 0 wins). Whitespace chunking would make each zh
+    // doc a single giant-token paragraph with punctuation intact.
+    val para = run("q_dedup_para").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val zh8 = Seq.fill(4)("北京大学 中国科学").mkString(" ")
+    assert(para(5L) == ((1L, zh8)), s"zh para dedup: ${para(5L)}")
+    assert(para(0L)._1 == 1L && para(1L) == ((0L, "")),
+      s"cross-doc zh paragraph dedup: ${para(0L)} ${para(1L)}")
+  }
+
   test("containment is directional: short-inside-long scores 1.0 one way, low Jaccard") {
     import spark.implicits._
     val short8 = "w1 w2 w3 w4 w5 w6 w7 w8"

@@ -142,11 +142,82 @@ object Similarity {
           .cast("double") / NumPerms, 4).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
 
+  /** The hot-shingle set (df > maxDf) of a (doc_id, shingles) ARRAY
+    * frame, collapsed to ONE array row for the map-side array_except in
+    * [[cappedSigsOf]]. Heavy hitters above the df cap are few relative
+    * to the vocabulary by construction (each costs > maxDf corpus
+    * rows), but unbounded in principle: at a scale where the collected
+    * array outgrows a broadcast, swap it for a Bloom filter of the hot
+    * set (bloom_filter_agg / might_contain) — the binding semantics
+    * (sign only kept shingles) stay identical, with false positives
+    * dropping a few extra cold shingles symmetrically on both docs.
+    */
+  private def hotSetOf(arrays: DataFrame, maxDf: Int): DataFrame =
+    arrays.select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_set(col("shingle")).as("hot"))
+
+  /** MinHash signatures over the df ≤ maxDf shingle universe — the SAME
+    * universe the exact twins score (round 13; previously MinHash signed
+    * ALL shingles while q_dedup_ngram/q_dedup_cjk_exact dropped hot ones,
+    * a systematic over-estimate on boilerplate-heavy docs that the
+    * ApproxOracle tolerance had to absorb). One extra compact-keyed
+    * aggregation (exploded shingle → df) per batch query; signing stays
+    * map-side against the broadcast hot set. Docs whose every shingle is
+    * hot leave the estimator exactly as they leave the exact twins
+    * (n_sh = 0 → no pairs). The STREAMING accumulator keeps the uncapped
+    * map-only [[minhashSignaturesOf]]: its store is append-only (a
+    * corpus-df prepass would re-sign history), and its role is candidate
+    * generation — the capped exact stage stays the verdict.
+    */
+  def cappedSigsOf(arrays: DataFrame,
+      maxDf: Int = TextOps.MaxShingleDf): DataFrame =
+    arrays.crossJoin(broadcast(hotSetOf(arrays, maxDf)))
+      .select(col("doc_id"), array_except(col("shingles"), col("hot")).as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(col("kept"), NumPerms).as("sig"))
+
   /** Candidate pairs via LSH banding + estimated Jaccard from signature
     * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.
+    * Signatures cover the df-capped universe ([[cappedSigsOf]]) so the
+    * estimate targets exactly what the exact twin computes.
     */
-  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Token-shingle signatures over the df-capped universe — the signing
+    * stage of [[minhashPairsOf]], exposed so PlanAuditSpec can pin the
+    * kernel plan (the pair query checkpoints this frame, which hides
+    * its lineage behind an ExistingRDD scan in the outer plan).
+    */
+  def cappedSignaturesOf(docs: DataFrame): DataFrame =
+    cappedSigsOf(shingleArraysOf(docs.filter(size(split(col("text"), " ")) >= 3))
+      .filter(size(col("shingles")) > 0))
+
+  /** The ALL-shingle (uncapped) pair generator — the batch equivalent of
+    * the STREAMING accumulator, which signs every shingle map-only
+    * (its store is append-only; a corpus-df prepass would re-sign
+    * history — see [[cappedSigsOf]]). StreamingParitySpec pins
+    * streaming ≡ THIS form unconditionally; the declared batch queries
+    * use the df-capped [[minhashPairsOf]], which additionally drops
+    * hot-boilerplate-only candidates (the two coincide exactly on any
+    * corpus whose every shingle has df ≤ MaxShingleDf, e.g. the fixture).
+    */
+  def uncappedMinhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = capBuckets(bandedSignaturesOf(docs), Seq("band", "band_hash"))
+    estPairsFromBands(bands, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+    // lazy localCheckpoint: BOTH sides of the band self-join read one
+    // materialization of the compact (doc_id, 32-long sig) frame
+    // instead of re-running the scan → kernel → df-agg → sign lineage
+    // per side (the df-capped signing made that lineage 2 scans deep;
+    // uncheckpointed, the self-join would pay it 4×). ~260 bytes/doc —
+    // the same bounded-state trade the graph loops make.
+    val sigs = cappedSignaturesOf(docs).localCheckpoint(false)
+    val bands = capBuckets(bandedFromSigs(sigs), Seq("band", "band_hash"))
     estPairsFromBands(bands, bands)
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -185,6 +256,20 @@ object Similarity {
       .select(col("doc_id"),
         explode(graft.functions.TextExprs.charShingles(col("text"), k)).as("shingle"))
 
+  /** Char-shingle signatures over the df-capped universe — the signing
+    * stage of [[charMinhashPairsOf]], exposed for the plan audit (see
+    * [[cappedSignaturesOf]]). Char shingles DO go hot at fixture scale
+    * (cross-word 8-grams), so the df-capped signing matters most here:
+    * the estimator targets the same kept universe CharJaccardOracle's
+    * QUALIFY keeps.
+    */
+  def cappedCharSignaturesOf(docs: DataFrame,
+      k: Int = CharShingleK): DataFrame =
+    cappedSigsOf(docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.charShingles(col("text"), k).as("shingles"))
+      .filter(size(col("shingles")) > 0))
+
   def charMinhashSignaturesOf(docs: DataFrame,
       k: Int = CharShingleK): DataFrame =
     docs
@@ -201,8 +286,9 @@ object Similarity {
     */
   def charMinhashPairsOf(docs: DataFrame, threshold: Double,
       k: Int = CharShingleK): DataFrame = {
-    val bands = capBuckets(bandedFromSigs(charMinhashSignaturesOf(docs, k)),
-      Seq("band", "band_hash"))
+    // one materialization for both join sides — see minhashPairsOf
+    val sigs = cappedCharSignaturesOf(docs, k).localCheckpoint(false)
+    val bands = capBuckets(bandedFromSigs(sigs), Seq("band", "band_hash"))
     estPairsFromBands(bands, bands)
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -794,16 +880,21 @@ object Similarity {
     * enforces rtol, not an absolute band). This is a FIXTURE GATE, not
     * a statistical bound: the pipeline is fully deterministic (frozen
     * fixture, fixed permutations, xxhash64), so the compare admits no
-    * run-to-run variance — the measured max relative error on the
-    * emitted pairs is 5.7% (round 12, sf0.01, both families) and 0.15
-    * is 2.6× that. It is NOT generous in σ terms (at J ≈ 0.5, rtol
-    * 0.15 ≈ 0.8 σ of the 32-row estimator), so a fixture REGENERATION
-    * that plants boundary-J pairs could trip it — that is a prompt to
-    * re-measure and re-derive the bound, while a broken signature
+    * run-to-run variance. Round-13 re-derivation, after [[cappedSigsOf]]
+    * aligned the signed universe with the exact twins' df cap: measured
+    * max relative error on the emitted pairs (pair sets EXACTLY equal,
+    * both families) is 5.74%/5.38% (token/char, sf0.01 — the compare's
+    * scale) and 8.59%/9.68% at sf0.001; 0.12 is 2.1× the sf0.01 max and
+    * still covers the small-fixture worst case. Tightened from 0.15:
+    * the cap asymmetry the old bound absorbed is gone, leaving pure
+    * 32-permutation sampling noise. It is NOT generous in σ terms (at
+    * J ≈ 0.5, rtol 0.12 ≈ 0.7 σ of the 32-row estimator), so a fixture
+    * REGENERATION that plants boundary-J pairs could trip it — that is
+    * a prompt to re-measure and re-derive, while a broken signature
     * kernel (decorrelated estimates, relative errors ≫ 1) still fails
     * it unambiguously.
     */
-  private val EstJaccardTol = 0.15
+  private val EstJaccardTol = 0.12
 
   /** The exact-Jaccard oracle rendered with the LSH output's column
     * name, so the ApproxOracle compare aligns (doc_a, doc_b,
@@ -811,16 +902,13 @@ object Similarity {
     * fixture gate because the emitted pair SET equals the exact set
     * there (measured, both families, sf0.01/sf0.001); the estimator's
     * set-level behavior at the threshold boundary stays scalatest
-    * territory (SimilaritySpec). One documented asymmetry: the exact
-    * side computes Jaccard over the df ≤ MaxShingleDf shingle universe
-    * (the declared semantics of both exact twins) while MinHash signs
-    * ALL shingles — a systematic bias on docs dominated by hot
-    * boilerplate shingles, absorbed today by the tolerance because the
-    * fixture's planted near-dups share mostly sub-cap shingles. The
-    * same asymmetry has always existed between q_dedup_near and
-    * q_dedup_ngram; at production scale the LSH stage generates
-    * CANDIDATES and the capped exact stage is the verdict, so the bias
-    * costs recall on boilerplate-heavy pairs, never precision.
+    * territory (SimilaritySpec). Round 13 removed the one documented
+    * asymmetry: MinHash now signs only the df ≤ MaxShingleDf shingles
+    * ([[cappedSigsOf]]) — the same universe the exact twins score — so
+    * the estimate is unbiased for its target instead of systematically
+    * high on boilerplate-heavy docs (SimilaritySpec plants a hot-
+    * boilerplate pair and asserts the capped estimate tracks the capped
+    * exact value where the uncapped one would not).
     */
   private def asEstOracle(exactSql: String): String =
     exactSql.replace("AS jaccard", "AS est_jaccard")

@@ -25,12 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * (a, b) forms in exactly the micro-batch where the LATER of the two
   * arrives (same batch if together) — no cross-batch duplicates.
   * Signatures are deterministic, so the emitted (doc_a, doc_b,
-  * est_jaccard) rows equal batch `minhashPairsOf` over the union of all
-  * batches whenever the hot-bucket cap doesn't bind mid-stream
-  * (StreamingParitySpec asserts set equality on the fixture, any batch
-  * split). When the cap does bind, batch and stream may keep different
-  * bucket representatives — the same recall-for-boundedness trade, made
-  * at different times.
+  * est_jaccard) rows equal batch `uncappedMinhashPairsOf` over the
+  * union of all batches whenever the hot-bucket cap doesn't bind
+  * mid-stream (StreamingParitySpec asserts set equality on the fixture,
+  * any batch split). When the cap does bind, batch and stream may keep
+  * different bucket representatives — the same recall-for-boundedness
+  * trade, made at different times. The stream signs ALL shingles
+  * (round 13: the declared batch q_dedup_near signs only the
+  * df ≤ MaxShingleDf universe — a corpus-df prepass the append-only
+  * signature store cannot replay; the streaming role is CANDIDATE
+  * generation, with the capped exact stage as the verdict, so the
+  * streaming path may additionally surface hot-boilerplate-only pairs
+  * the batch query drops).
   *
   * Delivery: foreachBatch is at-least-once, so both sinks are made
   * IDEMPOTENT under replay: pairs and band rows land in a `batch_id=N`

@@ -18,12 +18,29 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
     (0L until N.toLong).map(i => (i, "the same boilerplate sentence repeated in every single document"))
       .toDF("doc_id", "text")
 
-  test("minhash LSH pairs on N identical docs are bounded by the band-bucket cap") {
+  test("minhash LSH on N identical docs: df cap drops the hot cluster entirely; band cap bounds sub-df-cap clusters") {
+    // Round 13 (df-capped signing): every shingle of a 300-doc identical
+    // cluster has df = 300 > MaxShingleDf, so the kept sets are EMPTY
+    // and the cluster never bands — zero pairs, mirroring the exact
+    // twin's "zero join work" behavior below (identical docs are
+    // q_dedup_exact's job, not the near-dup path's).
+    assert(N > TextOps.MaxShingleDf)
+    val hot = Similarity.minhashPairsOf(identicalDocs, 0.5).count()
+    assert(hot == 0L, s"df-hot cluster must not band: $hot pairs")
+    // The band-bucket cap is the SECOND bound, still load-bearing for
+    // clusters under the df cap: 100 identical docs (df = 100 ≤ 128)
+    // sign identically, collide in every band, and the bucket cap
+    // bounds the pair blow-up at cap², constant in cluster size.
     val c = Similarity.MaxBandBucket
-    val pairs = Similarity.minhashPairsOf(identicalDocs, 0.5).count()
+    val sub = (0L until 100L)
+      .map(i => (i, "the same boilerplate sentence repeated in every single document"))
+      .toDF("doc_id", "text")
+    val pairs = Similarity.minhashPairsOf(sub, 0.5).count()
+    // == cap(cap−1)/2, CONSTANT in cluster size — the anti-quadratic
+    // property (no N-margin assert here: the df cap itself limits an
+    // identical cluster to ≤ 128 docs, too close to cap=64 for one)
     assert(pairs == c.toLong * (c - 1) / 2,
       s"expected cap-bounded ${c * (c - 1) / 2} pairs, got $pairs")
-    assert(pairs < N.toLong * (N - 1) / 2 / 10, "candidate pairs grew quadratically")
   }
 
   test("simhash band pairs on N identical docs are bounded by the band-bucket cap") {

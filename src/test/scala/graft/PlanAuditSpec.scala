@@ -235,10 +235,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val plan = formattedPlan(q("q_dedup_cjk"))
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"band equi-join expected:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       "near-dup candidates must never plan as a cross product")
-    assert(plan.contains("char_shingles") && plan.contains("minhash_sig"),
+    // the OUTER plan (candidate join over the checkpointed signatures)
+    // must contain NO nested loop at all — a lost equi-key degrading
+    // the band join to BNLJ is exactly the 100-TB incident this pins
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degraded to a nested loop:\n$plan")
+    // The signing stage is checkpointed (one materialization feeds both
+    // self-join sides — round 13), so its lineage is behind an
+    // ExistingRDD scan in the outer plan; audit it directly. Exactly
+    // ONE BroadcastNestedLoopJoin is allowed there: the 1-row hot-set
+    // attach of the df-capped signing — the same broadcast-scalar
+    // pattern as q_tok_vocab's corpus-size join.
+    val sigPlan = formattedPlan(graft.queries.Similarity
+      .cappedCharSignaturesOf(Tables.documents(spark, sf)))
+    assert(sigPlan.contains("char_shingles") && sigPlan.contains("minhash_sig"),
       "signatures must come from the codegen'd kernels, not lambdas")
+    // count tree nodes, not the per-node detail section (formatted
+    // explain prints each operator twice)
+    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(sigPlan).size
+    assert(bnlj == 1 && sigPlan.contains("array_except"),
+      s"the signing stage attaches the hot set as ONE 1-row broadcast (found $bnlj):\n$sigPlan")
+    assert(!sigPlan.contains("CartesianProduct"))
   }
 
   test("q_dedup_cjk_exact: shingle equi-join (never cross product), kernel shingles, df-capped") {

@@ -130,6 +130,48 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"char LSH emitted non-pairs: ${(lshChar -- exactChar).take(5)}")
   }
 
+  test("df-capped signing: hot-boilerplate-only pairs are not emitted; genuine near-dups track capped exact (round 13)") {
+    // Round 13 aligned the MinHash universe with the exact twins' df
+    // cap: signatures sign only shingles with df <= MaxShingleDf. Plant
+    // a boilerplate sentence in 202 docs (every internal shingle df=202,
+    // hot). Docs 0/1 share ONLY that boilerplate — uncapped signing
+    // scored them J ≈ 11/19 = 0.58 and emitted the pair; the capped
+    // exact twin scores their kept sets at 1/9 = 0.11 and the capped
+    // estimator must agree there is no pair. Docs 202/203 share genuine
+    // sub-cap content and must still be found, tracking the capped exact
+    // value, in BOTH shingle families.
+    val boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    val content = "the quick brown fox jumps over that lazy dog near the river bank every morning"
+    val rows = Seq(
+      0L -> (boiler + " unique zero tail alpha beta"),
+      1L -> (boiler + " unique one tail gamma delta"),
+      202L -> (content + " ending two"),
+      203L -> (content + " ending three")) ++
+      (2 until 202).map(i =>
+        i.toLong -> (boiler + " " + (0 until 12).map(j => s"f${i}w$j").mkString(" ")))
+    val docs = docsDf(rows: _*)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val estTok = pairs(Similarity.minhashPairsOf(docs, 0.5))
+    assert(!estTok.contains((0L, 1L)),
+      s"boilerplate-only pair must not survive the df cap: $estTok")
+    val exactTok = pairs(graft.queries.TextOps.jaccardPairsOf(docs))
+    assert(exactTok.contains((202L, 203L)) && exactTok((202L, 203L)) == 0.875,
+      s"planted pair's capped exact jaccard: $exactTok")
+    assert(estTok.contains((202L, 203L)), s"genuine near-dup missed: $estTok")
+    assert(math.abs(estTok((202L, 203L)) - 0.875) <= 0.2,
+      s"capped est must track capped exact: ${estTok((202L, 203L))}")
+    // char family: same universe discipline (boilerplate 8-grams hot)
+    val estChar = pairs(Similarity.charMinhashPairsOf(docs, 0.5))
+    assert(!estChar.contains((0L, 1L)),
+      s"char boilerplate-only pair must not survive the df cap: $estChar")
+    val exactChar = pairs(graft.queries.TextOps.charJaccardPairsOf(docs))
+    assert(estChar.contains((202L, 203L)) && exactChar.contains((202L, 203L)),
+      s"char genuine near-dup missed: est=$estChar exact=$exactChar")
+    assert(math.abs(estChar((202L, 203L)) - exactChar((202L, 203L))) <= 0.2,
+      s"char capped est must track capped exact: ${estChar((202L, 203L))} vs ${exactChar((202L, 203L))}")
+  }
+
   test("simhash band blocking finds duplicate and near-duplicate pairs, not distinct ones") {
     val docs = docsDf(
       0L -> "spark shuffles data between stages when a wide dependency appears in the plan",

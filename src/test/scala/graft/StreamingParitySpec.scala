@@ -82,13 +82,16 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     } finally q.stop()
   }
 
-  test("streaming MinHash near-dedup emits exactly the batch q_dedup_near pairs") {
+  test("streaming MinHash near-dedup emits exactly the uncapped batch pair set") {
     // 4 input files, 1 per micro-batch → signatures accumulate across 4
     // genuinely-incremental batches; the emitted pair set (incl. the
     // estimates) must equal the one-shot batch path on the same rows
     val got = StreamingDedup.nearDedupFixtureRun(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = graft.queries.Similarity.minhashPairs(spark, sf, 0.5)
+    // uncapped form: the stream's declared batch-equivalent (round 13 —
+    // the declared q_dedup_near additionally df-caps; see StreamingDedup doc)
+    val want = graft.queries.Similarity
+      .uncappedMinhashPairsOf(graft.Tables.documents(spark, sf), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty, "fixture must contain near-dup pairs")
     assert(got == want,
@@ -116,7 +119,7 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
       s"$tmp/store2", s"$tmp/pairs", s"$tmp/ck").stop()
     val got = StreamingDedup.readPairs(spark, s"$tmp/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = graft.queries.Similarity.minhashPairsOf(docs, 0.5)
+    val want = graft.queries.Similarity.uncappedMinhashPairsOf(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty && got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
@@ -150,7 +153,7 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     assert(pairRows.sorted == before, "replayed batch must not change the pair rows")
     assert(storeCount == storeBefore, "replayed batch must not grow the store")
     // and the accumulated set still equals the one-shot batch path
-    val want = graft.queries.Similarity.minhashPairsOf(docs, 0.5)
+    val want = graft.queries.Similarity.uncappedMinhashPairsOf(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairRows.toSet == want)
   }

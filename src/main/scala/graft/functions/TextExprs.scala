@@ -50,9 +50,11 @@ object TextKernels {
   }
 
   /** Distinct k-CODEPOINT character shingles over the letter/digit
-    * stream (round 11): punctuation/whitespace codepoints are skipped,
-    * letters lowercased per codepoint, and the sliding window runs on
-    * CODE POINTS (surrogate-safe). This is the dedup unit for scripts
+    * stream (round 11): the string is lowercased as a whole via
+    * UTF8String.toLowerCase (round 13 — the SAME definition
+    * unicodeWords and Spark's lower() use), punctuation/whitespace
+    * codepoints are skipped, and the sliding window runs on CODE POINTS
+    * (surrogate-safe). This is the dedup unit for scripts
     * WITHOUT word boundaries — token-3-gram shingles of a space-free
     * CJK document degenerate to one giant "token" (zero shingles), so
     * near-dup detection there silently finds nothing; character k-grams
@@ -101,8 +103,15 @@ object TextKernels {
   }
 
   def charShingles(text: UTF8String, k: Int): ArrayData = {
-    val s = text.toString
-    // letter/digit codepoint stream, lowercased
+    // ONE lowercase definition across the text kernels (round 13): the
+    // string-level UTF8String.toLowerCase prepass — the same mapping
+    // [[unicodeWords]] and Spark's lower() use, which the DuckDB
+    // mirrors approximate. The per-codepoint Character.toLowerCase this
+    // replaced diverged on one-to-many mappings (U+0130 İ → "i̇" vs
+    // 'i') and conditional mappings (Σ → ς finally, σ medially), giving
+    // the engine two subtly different "lowercase"s.
+    val s = text.toLowerCase.toString
+    // letter/digit codepoint stream (already lowercased)
     val cps = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -111,7 +120,7 @@ object TextKernels {
       // the exact twin uses the \p{L}\p{N} classes, which include the
       // Nl/No numbers isDigit misses — both sides must keep them.
       if (isWordCp(cp))
-        cps.appendCodePoint(Character.toLowerCase(cp))
+        cps.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
     val stream = cps.toString

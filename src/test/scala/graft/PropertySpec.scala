@@ -51,6 +51,11 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       1 -> Gen.choose(0xc0, 0x17f),         // Latin-1/Extended-A (ß, ı, İ…)
       1 -> Gen.oneOf(0x2160, 0x216b, 0xb2, 0xbd, 0x0660, 0x1d7d8, // Nl/No/Nd + SMP digit
         0x1f600, 0x10400),                  // emoji + Deseret (surrogate pairs)
+      // case-mapping edges (round 13): İ lowers one-to-many to i +
+      // combining dot (U+0307, Mn — a SEPARATOR for the word classes),
+      // ß is already-lowercase with an UPPER-case expansion, Σ/ς is the
+      // conditional final-sigma mapping
+      1 -> Gen.oneOf(0x130, 0xdf, 0x3a3, 0x3c2, 0x3c3, 0x131),
       1 -> Gen.oneOf(' '.toInt, '\t'.toInt, '\n'.toInt, 0x3002, 0xff0c)) // separators
     val textGen2: Gen[String] = Gen.listOf(cpGen)
       .map(_.flatMap(Character.toChars(_).toSeq).mkString)
@@ -62,6 +67,41 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       val reference = UTF8String.fromString(s).toLowerCase.toString
         .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
       assert(kernel == reference, s"text=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("property: charShingles kernel ≡ its declarative definition, sharing ONE lowercase with unicodeWords (round 13)") {
+    // Declarative reference: UTF8String.toLowerCase the WHOLE string
+    // (the same mapping unicodeWords and Spark's lower() use — round 13
+    // removed the per-codepoint Character.toLowerCase divergence), keep
+    // the \p{L}\p{N} codepoints as a stream, emit all length-k codepoint
+    // windows deduplicated in first-occurrence order; n<k → empty.
+    // Generator reuses the multilingual + case-edge + surrogate-pair
+    // alphabet above, so windows straddle surrogate pairs and the İ/ß/Σ
+    // expansions flow through the shared lowercase prepass.
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen: Gen[Int] = Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7e),
+      3 -> Gen.choose(0x4e00, 0x4e10),      // narrow Han band → repeats → dedup paths
+      1 -> Gen.choose(0xc0, 0x17f),
+      1 -> Gen.oneOf(0x130, 0xdf, 0x3a3, 0x3c2, 0x10400, 0x1d7d8),
+      1 -> Gen.oneOf(' '.toInt, 0x3002, 0xff0c))
+    val textGen: Gen[String] = Gen.listOf(cpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    for (k <- Seq(2, 8)) forAllSampled(textGen, n = 300) { s =>
+      val kernel = graft.functions.TextKernels
+        .charShingles(UTF8String.fromString(s), k)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val cps = UTF8String.fromString(s).toLowerCase.toString
+        .codePoints().toArray
+        .filter(graft.functions.TextKernels.isWordCp)
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      val reference =
+        if (cps.length < k) Seq.empty[String]
+        else cps.sliding(k).map(_.mkString).toSeq.distinct
+      assert(kernel == reference,
+        s"k=$k text=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
   }
 

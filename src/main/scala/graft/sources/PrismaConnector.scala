@@ -286,83 +286,173 @@ object PrismaConnector {
     * committed with a trailing _SUCCESS.
     */
   def writeReportLiteralLayout(df: DataFrame, path: String,
-      fileName: String = "report"): Unit = {
-    val out = withReportDate(df)
+      fileName: String = "report"): Unit =
+    writeReportsLiteralLayout(Seq(df -> fileName), path)
+
+  /** Multi-report form of [[writeReportLiteralLayout]] — the shape the
+    * reference's handler() actually publishes: SEVERAL report files into
+    * ONE literal date-folder tree ({yyyy}/{MonthName}/{d-MonthName-yyyy}/
+    * {Inventory_Report,Inventory_Resource_Type_Report,Alert_Report}.csv,
+    * lambda.py:406-418), with all-or-nothing semantics (its rollback()
+    * deletes the already-uploaded keys on any failure). Here the
+    * rollback is structural instead of compensating: every report stages
+    * into its own sibling tree first, and only after ALL Spark jobs
+    * succeed does the bounded driver-side swap touch the committed tree
+    * — a failure in any report's job leaves the prior committed tree
+    * byte-identical (stronger than the reference, which deletes and can
+    * crash mid-rollback).
+    */
+  def writeReportsLiteralLayout(reports: Seq[(DataFrame, String)],
+      path: String): Unit = {
+    require(reports.nonEmpty, "no reports to publish")
+    require(reports.map(_._2).distinct.size == reports.size,
+      s"duplicate literal-layout file names: ${reports.map(_._2)}")
     val part = "transaction_date"
+    val outs = reports.map { case (df, name) => (withReportDate(df), name) }
     // Fail BEFORE any IO on dates the folder key can't express: a null
     // (hive would write __HIVE_DEFAULT_PARTITION__) or non-ISO value
     // has no {yyyy}/{MonthName}/{d} rendering. Bounded check — one
-    // map-side agg, no driver-side date parsing of data rows.
+    // map-side agg per report, no driver-side date parsing of data rows.
     // try_to_date, not to_date: under Spark 4's default ANSI mode
     // to_date THROWS CANNOT_PARSE on a malformed string mid-aggregate;
     // try_to_date yields null so malformed rows are COUNTED and
     // reported through the same clear require message as nulls.
-    val bad = out.agg(count(when(col(part).isNull ||
-        try_to_date(col(part), "yyyy-MM-dd").isNull, 1)).as("n"))
-      .head().getLong(0)
-    require(bad == 0,
-      s"literal layout requires non-null yyyy-MM-dd $part values; $bad rows violate " +
-        "(the hive-layout writeReportQuoteNonNumeric accepts them — use that, or fix the dates)")
-    // The reference renders transaction_date as a quoted CSV column
-    // (lambda.py:358,377 assigns the strftime string, to_csv keeps it)
-    // AND uses it as the folder key — so unlike the hive layout, the
-    // partition column stays in both header and rows (includePart).
-    val data = renderQuoteNonNumeric(out, part, includePart = true)
-      .withColumn("__hdr", lit(0))
-    val headers = out.select(col(part)).distinct()
-      .select(lit(headerLine(out, part, includePart = true)).as("value"),
-        col(part), lit(1).as("__hdr"))
+    outs.foreach { case (out, name) =>
+      val bad = out.agg(count(when(col(part).isNull ||
+          try_to_date(col(part), "yyyy-MM-dd").isNull, 1)).as("n"))
+        .head().getLong(0)
+      require(bad == 0,
+        s"literal layout requires non-null yyyy-MM-dd $part values; $bad rows of " +
+          s"'$name' violate (the hive-layout writeReportQuoteNonNumeric accepts " +
+          "them — use that, or fix the dates)")
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .getFileSystem(outs.head._1.sparkSession.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(path)
-    // Stage-then-swap (round-13 review): the Spark job writes a SIBLING
-    // staging tree while the previously committed tree stays intact —
-    // a mid-job failure leaves external consumers the prior data, not
-    // an empty root. Only the bounded driver-side publish pass below
-    // touches the committed tree.
     val qualRoot = fs.makeQualified(root)
-    val staging = new org.apache.hadoop.fs.Path(qualRoot.getParent,
-      qualRoot.getName + "__staging_literal")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    data.unionByName(headers)
-      .repartition(col(part))
-      .sortWithinPartitions(col(part), col("__hdr").desc)
-      .select("value", part)
-      .write.mode("overwrite")
-      .partitionBy(part)
-      .text(staging.toString)
-    val monthFmt = java.time.format.DateTimeFormatter
-      .ofPattern("MMMM", java.util.Locale.ENGLISH)
-    // Publish: rename the old committed tree aside (one metadata op —
-    // overwrite semantics: stale dates from the previous run must not
-    // survive, and HDFS refuses rename-onto-existing {file}.csv), build
-    // the new tree from staging, commit with _SUCCESS, then drop the
-    // old tree. A crash mid-publish leaves the old tree recoverable at
-    // <root>__prev_literal and no fresh _SUCCESS over a partial root.
     val prev = new org.apache.hadoop.fs.Path(qualRoot.getParent,
       qualRoot.getName + "__prev_literal")
-    if (fs.exists(prev)) fs.delete(prev, true) // leftover from a crashed publish
-    val hadPrev = fs.exists(root)
-    if (hadPrev) require(fs.rename(root, prev),
-      s"literal-layout publish could not move the previous tree aside: $root")
+    // Crash recovery BEFORE anything else (round-13 review): if a
+    // previous publish crashed mid-swap, prev holds the LAST GOOD tree
+    // and root a partial no-_SUCCESS one — restore it rather than
+    // deleting the only surviving copy. Only when root carries its own
+    // _SUCCESS is a surviving prev mere garbage (crash after commit).
+    if (fs.exists(prev)) {
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+      if (committed) fs.delete(prev, true)
+      else {
+        if (fs.exists(root)) fs.delete(root, true)
+        require(fs.rename(prev, root),
+          s"literal-layout crash recovery could not restore $prev to $root")
+      }
+    }
+    def stagingPath(i: Int) = new org.apache.hadoop.fs.Path(qualRoot.getParent,
+      qualRoot.getName + s"__staging_literal_$i")
+    // drop stale staging siblings from ANY earlier failed run, including
+    // indices beyond this run's report count
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(qualRoot.getParent,
+      qualRoot.getName + "__staging_literal_*")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, true)))
+    // Stage-then-swap (round-13 review): each report's Spark job writes
+    // a SIBLING staging tree while the previously committed tree stays
+    // intact — a mid-job failure leaves external consumers the prior
+    // data, not an empty root. Only the bounded driver-side publish
+    // pass below touches the committed tree. The try/finally spans the
+    // STAGING writes too, so a failure in report k's job cleans the
+    // k−1 complete staging trees it leaves behind.
+    val monthFmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMMM", java.util.Locale.ENGLISH)
+    var hadPrev = false
     try {
-      fs.listStatus(staging).map(_.getPath)
-        .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
-          val day = java.time.LocalDate.parse(dir.getName.stripPrefix(s"$part="))
-          val month = day.format(monthFmt)
-          val dest = new org.apache.hadoop.fs.Path(root,
-            s"${day.getYear}/$month/${day.getDayOfMonth}-$month-${day.getYear}")
-          fs.mkdirs(dest)
-          val parts = fs.listStatus(dir).map(_.getPath)
-            .filter(_.getName.startsWith("part-"))
-          require(parts.length == 1,
-            s"literal layout expects ONE file per date (repartition pinned it); got ${parts.length} in $dir")
-          require(fs.rename(parts.head,
-            new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
-            s"literal-layout publish rename failed for $dir")
-        }
+      val stagings = outs.zipWithIndex.map { case ((out, name), i) =>
+        val staging = stagingPath(i)
+        // The reference renders transaction_date as a quoted CSV column
+        // (lambda.py:358,377 assigns the strftime string, to_csv keeps
+        // it) AND uses it as the folder key — so unlike the hive
+        // layout, the partition column stays in header and rows
+        // (includePart).
+        val data = renderQuoteNonNumeric(out, part, includePart = true)
+          .withColumn("__hdr", lit(0))
+        val headers = out.select(col(part)).distinct()
+          .select(lit(headerLine(out, part, includePart = true)).as("value"),
+            col(part), lit(1).as("__hdr"))
+        data.unionByName(headers)
+          .repartition(col(part))
+          .sortWithinPartitions(col(part), col("__hdr").desc)
+          .select("value", part)
+          .write.mode("overwrite")
+          .partitionBy(part)
+          .text(staging.toString)
+        (staging, name)
+      }
+      // Publish: rename the old committed tree aside (one metadata op —
+      // overwrite semantics: stale dates from the previous run must not
+      // survive, and HDFS refuses rename-onto-existing {file}.csv),
+      // build the new tree from every staging, commit with _SUCCESS,
+      // then drop the old tree. A crash mid-publish leaves the old tree
+      // at <root>__prev_literal — which the recovery block above
+      // RESTORES on the next run — and no fresh _SUCCESS over a partial
+      // root.
+      hadPrev = fs.exists(root)
+      if (hadPrev) require(fs.rename(root, prev),
+        s"literal-layout publish could not move the previous tree aside: $root")
+      stagings.foreach { case (staging, fileName) =>
+        fs.listStatus(staging).map(_.getPath)
+          .filter(_.getName.startsWith(s"$part=")).foreach { dir =>
+            val day = java.time.LocalDate.parse(dir.getName.stripPrefix(s"$part="))
+            val month = day.format(monthFmt)
+            val dest = new org.apache.hadoop.fs.Path(root,
+              s"${day.getYear}/$month/${day.getDayOfMonth}-$month-${day.getYear}")
+            fs.mkdirs(dest)
+            val parts = fs.listStatus(dir).map(_.getPath)
+              .filter(_.getName.startsWith("part-"))
+            require(parts.length == 1,
+              s"literal layout expects ONE file per date (repartition pinned it); got ${parts.length} in $dir")
+            require(fs.rename(parts.head,
+              new org.apache.hadoop.fs.Path(dest, s"$fileName.csv")),
+              s"literal-layout publish rename failed for $dir")
+          }
+      }
       fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
-    } finally fs.delete(staging, true) // staging never survives, even a failed publish
+    } finally outs.indices.foreach { i =>
+      fs.delete(stagingPath(i), true) // staging never survives, even a failed run
+    }
     if (hadPrev) fs.delete(prev, true)
+  }
+
+  /** The reference handler()'s full composed flow (R25 orchestration,
+    * lambda.py:386-431): inventory report → per-service resource-type
+    * fan-out (concat ≡ one payload set with lineage, R11/R12) → alert
+    * report enriched with the inventory timestamps → all three published
+    * atomically into ONE literal date-folder tree in the exact byte
+    * dialect and file names the reference uploads. The reference's
+    * rollback-on-failure contract holds structurally: any failure before
+    * the final bounded swap leaves the previously committed tree intact
+    * (see [[writeReportsLiteralLayout]]).
+    */
+  def runReportPipelineLiteral(spark: SparkSession,
+      inventoryPayload: DataFrame, resourceTypePayloads: DataFrame,
+      policyPayload: DataFrame, alertPages: DataFrame, path: String): Unit = {
+    // The reference stamps wall-clock "today" on all three reports
+    // (module-level current_date), which is what makes them share one
+    // date folder. Here the date is PAYLOAD-derived like every other
+    // timestamp (the B2-fix style), and the INVENTORY feed is the ONE
+    // anchor for all three reports — the resource-type fan-out payloads
+    // are fetched moments after the inventory and could carry a
+    // different calendar date at a midnight boundary, which would split
+    // the three-files-per-folder contract across two folders. A 1-row
+    // broadcast attach pins them; reruns of old payloads republish the
+    // same tree instead of today's.
+    val inv = inventoryReport(spark, inventoryPayload)
+    val anchor = inv.agg(min(col("transaction_date")).as("__anchor"))
+    def pinned(df: DataFrame): DataFrame =
+      df.join(broadcast(anchor))
+        .withColumn("transaction_date", col("__anchor")).drop("__anchor")
+    writeReportsLiteralLayout(Seq(
+      inv -> "Inventory_Report",
+      pinned(resourceTypeReport(spark, resourceTypePayloads)) ->
+        "Inventory_Resource_Type_Report",
+      pinned(alertReport(spark, policyPayload, alertPages,
+        Some(inventoryPayload))) -> "Alert_Report"), path)
   }
 }

@@ -212,8 +212,7 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       "\"svc three\",0,\"2024-12-31\""), dLines.toString)
     // staging (sibling of root, round-13 stage-then-swap) cleaned,
     // commit marker present
-    assert(!new java.io.File(s"${dir}__staging_literal").exists())
-    assert(!new java.io.File(s"$dir/_staging_literal").exists())
+    assert(!new java.io.File(s"${dir}__staging_literal_0").exists())
     assert(new java.io.File(s"$dir/_SUCCESS").isFile)
     // rerun = overwrite (round-12 review): a second publish with only
     // ONE of the dates must not fail renaming onto the existing csv
@@ -229,6 +228,69 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       "stale dates from the previous run must not survive an overwrite rerun")
     // the swap's prev-tree is dropped after a successful publish
     assert(!new java.io.File(s"${dir}__prev_literal").exists())
+  }
+
+  test("composed R25 flow: inventory → fan-out → alert, three CSVs in ONE literal date folder, rollback-equivalent rerun (round 13)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_pipeline").toString
+    val rtPayload =
+      """{"timestamp": 1712500000000, "requestedTimestamp": 1712500000000,
+        | "groupedAggregates": [
+        |  {"resourceTypeName": "EC2 Instance", "failedResources": 1,
+        |   "passedResources": 2, "totalResources": 3}]}"""
+        .stripMargin.replace("\n", " ")
+    val policies =
+      """{"policies": [
+        | {"policyId": "p1", "policyName": "Public bucket", "policyType": "config",
+        |  "severity": "high", "alertCount": 3}]}""".stripMargin.replace("\n", " ")
+    val pages = Seq(
+      """{"policyId": "p1", "items": [{"id": "a1", "resource": {"account": "prod",
+        | "accountId": "111", "cloudType": "aws",
+        | "cloudAccountGroups": ["g1"]}}]}""".stripMargin.replace("\n", " "))
+      .toDF("json")
+    PrismaConnector.runReportPipelineLiteral(spark,
+      Seq(invPayload).toDF("json"),
+      Seq(("Amazon EC2", rtPayload)).toDF("service", "json"),
+      Seq(policies).toDF("json"), pages, dir)
+    // all three reports share the payload-derived 2024-04-07 folder,
+    // with the reference's exact file names
+    val folder = new java.io.File(s"$dir/2024/April/7-April-2024")
+    // ignore ChecksumFileSystem's local-only .crc sidecars
+    def visible() = folder.listFiles().filterNot(_.getName.startsWith("."))
+    assert(visible().map(_.getName).sorted.toSeq == Seq(
+      "Alert_Report.csv", "Inventory_Report.csv",
+      "Inventory_Resource_Type_Report.csv"),
+      s"composed tree: ${visible().map(_.getName).toSeq}")
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+    // each file is a complete header'd QUOTE_NONNUMERIC csv
+    val alertLines = scala.io.Source.fromFile(
+      s"$dir/2024/April/7-April-2024/Alert_Report.csv").getLines().toList
+    assert(alertLines.head.startsWith("\"Policy Name\",\"Policy Type\""),
+      s"alert header: ${alertLines.head}")
+    assert(alertLines.length == 2 && alertLines(1).contains("\"Public bucket\""))
+    val invLines = scala.io.Source.fromFile(
+      s"$dir/2024/April/7-April-2024/Inventory_Report.csv").getLines().toList
+    assert(invLines.length == 3, s"inventory rows: $invLines") // header + EC2 + S3
+    // rollback-equivalent rerun: a second composed run that FAILS (an
+    // inventory payload with no timestamp → null transaction_date on
+    // every derived report → the pre-IO date guard fires) must leave
+    // the first tree byte-identical, _SUCCESS intact — the structural
+    // form of the reference's rollback() contract
+    val before = visible().map(f =>
+      f.getName -> scala.io.Source.fromFile(f).getLines().toList).toMap
+    val badInv =
+      """{"summary": {"x": 1}, "groupedAggregates": [
+        |  {"serviceName": "Amazon EC2", "failedResources": 3,
+        |   "passedResources": 10, "totalResources": 13}]}"""
+        .stripMargin.replace("\n", " ")
+    intercept[Exception](PrismaConnector.runReportPipelineLiteral(spark,
+      Seq(badInv).toDF("json"),
+      Seq(("Amazon EC2", rtPayload)).toDF("service", "json"),
+      Seq(policies).toDF("json"), pages, dir))
+    val after = visible().map(f =>
+      f.getName -> scala.io.Source.fromFile(f).getLines().toList).toMap
+    assert(after == before, "failed composed rerun must not touch the committed tree")
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
   }
 
   test("literal layout keeps the previously committed tree intact when the write job fails mid-run (stage-then-swap)") {

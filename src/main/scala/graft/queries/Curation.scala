@@ -46,6 +46,13 @@ object Curation {
     // paragraphs instead of one giant pseudo-token
     val paras = docs
       .select(col("doc_id"), TextOps.unicodeWords(col("text")).as("toks"))
+      // a tokenless doc (punctuation-only/empty text — REACHABLE since
+      // the round-13 Unicode tokenizer, where the whitespace split
+      // always returned ≥1 element) must contribute ZERO paragraphs:
+      // unguarded, sequence(0, floor((0-1)/8)) = sequence(0, -1) is the
+      // DESCENDING [0, -1] and would emit two phantom empty paragraphs.
+      // The left join back below still reports the doc with n_kept = 0.
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), floor((size(col("toks")) - 1) / ParaTokens).cast("int")),
           i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens))))))

@@ -50,6 +50,20 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(0L) == 2L && out(1L) == 0L)
   }
 
+  test("paragraph dedup: a tokenless doc contributes zero paragraphs, no phantom empties (round 13)") {
+    // Reachable since the Unicode tokenizer: "!!!" tokenizes to [].
+    // Unguarded, sequence(0, floor((0-1)/8)) = the DESCENDING [0, -1]
+    // would emit two phantom "" paragraphs, and the min doc_id would
+    // WIN the "" digest, reporting n_kept = 1 where the oracle says 0.
+    val docs = Seq((0L, "!!! … 。"), (1L, s"$para1"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.paraDedupOf(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) == ((0L, "")), s"phantom paragraphs: ${out(0L)}")
+    assert(out(2L) == ((0L, "")), s"phantom paragraphs: ${out(2L)}")
+    assert(out(1L) == ((1L, para1)))
+  }
+
   test("bm25: rarer terms score higher; repetition raises, length lowers") {
     val docs = Seq(
       (0L, "spark x x x x x x x"),             // 1× spark, dl 8

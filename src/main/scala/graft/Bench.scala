@@ -5,6 +5,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Bench hygiene (round 13): capture the 1-minute load average AT
+    // ENTRY — before Spark's own threads dominate it — and record it in
+    // the sidecar, so a drifted row in a later comparison can be
+    // attributed to co-tenant machine state instead of a triage cycle
+    // (the round-12 ±6% end-of-session drift finding). Protocol in
+    // SCALING.md §bench hygiene: one untimed warm pass, runs=3 timed
+    // passes, medians; sidecars refresh on a quiet machine (loadavg≈0)
+    // from the FINAL tree.
+    val loadAtEntry =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0)
+      catch { case _: Throwable => "-1" }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,7 +112,7 @@ object Bench {
     // dev-filtered runs must not clobber the full-surface sidecar
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"queries":$fullJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"loadavg":$loadAtEntry,"queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val budget = 1550 // chars available for the queries object on stdout

@@ -164,24 +164,28 @@ object ScaleSlope {
     "q_dedup_cjk_exact")
 
   /** Queries whose beyond-10× point is knowingly quadratic ON THIS
-    * FIXTURE, not in the operator: the 30-word vocabulary saturates the
-    * ~27k-shingle space, so per-shingle df grows ~10× per tier and the
-    * shared-shingle join output grows ~df² (q_dedup_ngram), and the %10
-    * "benchmark" grows WITH the corpus so q_decontam's join output is
-    * (corpus df × bench df) summed over a saturated shingle space —
-    * ~1.5B joined rows at 100×. Both superlinearities are measured and
-    * documented as FINDINGS at the 10× point (SCALING.md); production
-    * runs the exact baseline on MinHash survivors and decontaminates
-    * against FIXED-size bench sets. Capping them at 10× keeps the
-    * larger tiers a linearity check for the queries designed to be
-    * linear, at tolerable wall-clock. The PRODUCTION shapes are
-    * measured uncapped to 100× by the round-11 variant rows below
-    * (q_decontam_fixedref / q_corpus_inc_fixedref /
-    * q_dedup_ngram_heaps) — slopes 4.4 / 10.0 / 5.4 over 100× data,
-    * SCALING.md round-11 section.
+    * FIXTURE, not in the operator: the %10 "benchmark" grows WITH the
+    * corpus so q_decontam's join output is (corpus df × bench df)
+    * summed over a saturated shingle space — ~1.5B joined rows at 100×.
+    * The superlinearity is measured and documented as a FINDING at the
+    * 10× point (SCALING.md); production decontaminates against
+    * FIXED-size bench sets. The PRODUCTION shapes are measured uncapped
+    * to 100× by the round-11 variant rows below (q_decontam_fixedref /
+    * q_corpus_inc_fixedref / q_dedup_ngram_heaps) — slopes 4.4 / 10.0 /
+    * 5.4 over 100× data, SCALING.md round-11 section.
+    *
+    * Round 13: q_dedup_ngram / q_dedup_prefix / q_dedup_contain moved
+    * OFF this list — their harness rows predated the shared
+    * df ≤ MaxShingleDf cap (pairStatsOf), which drops the saturated-hot
+    * shingles BEFORE the self-join exactly as q_dedup_cjk_exact's does,
+    * so the full tier now prices the capped operator (the regime note:
+    * at 10× the fixture's dfs sit ~67 < 128 so the cap doesn't bind and
+    * the join IS fixture-quadratic; at 100× dfs ~670 mostly exceed the
+    * cap and are dropped — the measured 1×/10×/100× curve shows both
+    * regimes, SCALING.md round 13).
     */
   private val MaxMult10 =
-    Set("q_dedup_ngram", "q_decontam", "q_dedup_contain", "q_dedup_prefix",
+    Set("q_decontam",
       // composes q_decontam's %10 bench set (grows WITH the corpus —
       // the same saturated-shingle-space quadratic); production
       // decontaminates against FIXED bench sets

@@ -309,6 +309,27 @@ object PrismaConnector {
       s"duplicate literal-layout file names: ${reports.map(_._2)}")
     val part = "transaction_date"
     val outs = reports.map { case (df, name) => (withReportDate(df), name) }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(outs.head._1.sparkSession.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val qualRoot = fs.makeQualified(root)
+    val prev = new org.apache.hadoop.fs.Path(qualRoot.getParent,
+      qualRoot.getName + "__prev_literal")
+    // Crash recovery FIRST — even before this run's own input guard
+    // (round-13 review), so ANY visit repairs the tree: if a
+    // previous publish crashed mid-swap, prev holds the LAST GOOD tree
+    // and root a partial no-_SUCCESS one — restore it rather than
+    // deleting the only surviving copy. Only when root carries its own
+    // _SUCCESS is a surviving prev mere garbage (crash after commit).
+    if (fs.exists(prev)) {
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+      if (committed) fs.delete(prev, true)
+      else {
+        if (fs.exists(root)) fs.delete(root, true)
+        require(fs.rename(prev, root),
+          s"literal-layout crash recovery could not restore $prev to $root")
+      }
+    }
     // Fail BEFORE any IO on dates the folder key can't express: a null
     // (hive would write __HIVE_DEFAULT_PARTITION__) or non-ISO value
     // has no {yyyy}/{MonthName}/{d} rendering. Bounded check — one
@@ -325,26 +346,6 @@ object PrismaConnector {
         s"literal layout requires non-null yyyy-MM-dd $part values; $bad rows of " +
           s"'$name' violate (the hive-layout writeReportQuoteNonNumeric accepts " +
           "them — use that, or fix the dates)")
-    }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(outs.head._1.sparkSession.sessionState.newHadoopConf())
-    val root = new org.apache.hadoop.fs.Path(path)
-    val qualRoot = fs.makeQualified(root)
-    val prev = new org.apache.hadoop.fs.Path(qualRoot.getParent,
-      qualRoot.getName + "__prev_literal")
-    // Crash recovery BEFORE anything else (round-13 review): if a
-    // previous publish crashed mid-swap, prev holds the LAST GOOD tree
-    // and root a partial no-_SUCCESS one — restore it rather than
-    // deleting the only surviving copy. Only when root carries its own
-    // _SUCCESS is a surviving prev mere garbage (crash after commit).
-    if (fs.exists(prev)) {
-      val committed = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
-      if (committed) fs.delete(prev, true)
-      else {
-        if (fs.exists(root)) fs.delete(root, true)
-        require(fs.rename(prev, root),
-          s"literal-layout crash recovery could not restore $prev to $root")
-      }
     }
     def stagingPath(i: Int) = new org.apache.hadoop.fs.Path(qualRoot.getParent,
       qualRoot.getName + s"__staging_literal_$i")

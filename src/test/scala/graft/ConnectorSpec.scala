@@ -320,6 +320,46 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       "previous commit marker must survive a failed rerun")
   }
 
+  test("literal layout crash recovery: a prev tree with no committed root is restored, not deleted (round 13)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_lit_rec").toString
+    val good = Seq(("svc one", 3L, "2024-03-05"))
+      .toDF("name", "n_failed", "transaction_date")
+    PrismaConnector.writeReportLiteralLayout(good, dir, fileName = "alert_report")
+    // simulate a crash mid-swap: the publisher had renamed the
+    // committed tree aside and died before rebuilding root + _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"${dir}__prev_literal")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/2024")) // partial, no _SUCCESS
+    // next run must RESTORE prev (the only good copy) before publishing
+    // — the old code deleted it as a leftover; a failure after that
+    // delete lost the last committed data permanently
+    val next = Seq(("svc two", 5L, "2024-03-06"))
+      .toDF("name", "n_failed", "transaction_date")
+    PrismaConnector.writeReportLiteralLayout(next, dir, fileName = "alert_report")
+    val m = scala.io.Source.fromFile(
+      s"$dir/2024/March/6-March-2024/alert_report.csv").getLines().toList
+    assert(m == List("\"name\",\"n_failed\",\"transaction_date\"",
+      "\"svc two\",5,\"2024-03-06\""), m.toString)
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+    assert(!new java.io.File(s"${dir}__prev_literal").exists())
+    // and the recovery path ALONE (a failing rerun after the crash)
+    // leaves the restored tree committed: crash again, then run a
+    // GUARD-failing publish — the restored tree must be back at root
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"${dir}__prev_literal")))
+    val bad = Seq(("x", Option.empty[String])).toDF("name", "transaction_date")
+    intercept[IllegalArgumentException](
+      PrismaConnector.writeReportLiteralLayout(bad, dir))
+    val restored = scala.io.Source.fromFile(
+      s"$dir/2024/March/6-March-2024/alert_report.csv").getLines().toList
+    assert(restored.last == "\"svc two\",5,\"2024-03-06\"",
+      s"restored tree must survive a failing rerun: $restored")
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+  }
+
   test("literal layout refuses null / non-ISO transaction_date values with a clear error") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_report_lit_bad").toString

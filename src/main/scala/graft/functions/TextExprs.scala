@@ -148,6 +148,24 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** [[graft.functions.KeepCold]]'s kernel: array minus a fixed shared
+    * set, first-occurrence order preserved. An empty set is identity
+    * without allocating.
+    */
+  def keepCold(shingles: ArrayData,
+      hot: java.util.HashSet[UTF8String]): ArrayData = {
+    if (hot.isEmpty) return shingles
+    val n = shingles.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (!hot.contains(s)) out += s
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature: per permutation p, min over shingles of
     * XXH64(shingle bytes, seed = p). Empty input → all-Long.MaxValue
     * signature (callers filter empty shingle sets first).
@@ -249,6 +267,32 @@ case class CharShingles(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charShingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** Drop the members of a FIXED string set from a string array — the
+  * hot-shingle filter of the df-capped MinHash signing (round 13). The
+  * set is built ONCE on the driver (from the bounded heavy-hitter
+  * collect) and rides into codegen as a reference object, so each row
+  * pays O(|shingles|) lookups against a shared hash set. The
+  * array_except + 1-row-broadcast formulation this replaced rebuilt a
+  * hash set of the hot array PER ROW — O(|hot|)/row, which ScaleSlope
+  * measured as a slope-169 blow-up at the 100× saturated tier where
+  * |hot| ≈ the whole shingle space.
+  */
+case class KeepCold(child: Expression,
+    hot: java.util.HashSet[UTF8String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keep_cold"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.keepCold(input.asInstanceOf[ArrayData], hot)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("hotSet", hot,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.keepCold($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): KeepCold =
     copy(child = newChild)
 }
 
@@ -361,6 +405,9 @@ object TextExprs {
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), k))
   def minhashSig(c: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numPerms))
+  def keepCold(c: Column,
+      hot: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Column =
+    ColumnBridge.column(KeepCold(ColumnBridge.expression(c), hot))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def sortedOverlap(a: Column, b: Column): Column =

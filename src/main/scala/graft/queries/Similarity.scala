@@ -142,42 +142,68 @@ object Similarity {
           .cast("double") / NumPerms, 4).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
 
-  /** The hot-shingle set (df > maxDf) of a (doc_id, shingles) ARRAY
-    * frame, collapsed to ONE array row for the map-side array_except in
-    * [[cappedSigsOf]]. Heavy hitters above the df cap are few relative
-    * to the vocabulary by construction (each costs > maxDf corpus
-    * rows), but unbounded in principle: at a scale where the collected
-    * array outgrows a broadcast, swap it for a Bloom filter of the hot
-    * set (bloom_filter_agg / might_contain) — the binding semantics
-    * (sign only kept shingles) stay identical, with false positives
-    * dropping a few extra cold shingles symmetrically on both docs.
+  /** Ceiling on the driver-collected hot-shingle set. Heavy hitters
+    * above the df cap are few relative to the vocabulary by
+    * construction (each costs > maxDf corpus rows), but unbounded in
+    * principle — past this bound, swap the exact set for a Bloom filter
+    * (bloom_filter_agg / might_contain): the binding semantics (sign
+    * only kept shingles) stay identical, with false positives dropping
+    * a few extra cold shingles symmetrically on both docs.
     */
-  private def hotSetOf(arrays: DataFrame, maxDf: Int): DataFrame =
-    arrays.select(explode(col("shingles")).as("shingle"))
+  val HotSetMaxEntries: Int = 8 << 20
+
+  /** The hot-shingle set (df > maxDf) of a (doc_id, shingles) ARRAY
+    * frame, collected to a driver-side hash set (a bounded
+    * heavy-hitter collect — one string per shingle that appears in
+    * > maxDf documents).
+    */
+  private def hotSetOf(arrays: DataFrame,
+      maxDf: Int): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val hot = arrays.select(explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .agg(collect_set(col("shingle")).as("hot"))
+      .select(col("shingle")).limit(HotSetMaxEntries + 1)
+      .collect()
+    require(hot.length <= HotSetMaxEntries,
+      s"hot-shingle set exceeds $HotSetMaxEntries entries — swap the exact " +
+        "driver set for a Bloom filter (see hotSetOf doc)")
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, hot.length * 2))
+    hot.foreach(r => set.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+    set
+  }
 
   /** MinHash signatures over the df ≤ maxDf shingle universe — the SAME
     * universe the exact twins score (round 13; previously MinHash signed
     * ALL shingles while q_dedup_ngram/q_dedup_cjk_exact dropped hot ones,
     * a systematic over-estimate on boilerplate-heavy docs that the
     * ApproxOracle tolerance had to absorb). One extra compact-keyed
-    * aggregation (exploded shingle → df) per batch query; signing stays
-    * map-side against the broadcast hot set. Docs whose every shingle is
-    * hot leave the estimator exactly as they leave the exact twins
-    * (n_sh = 0 → no pairs). The STREAMING accumulator keeps the uncapped
-    * map-only [[minhashSignaturesOf]]: its store is append-only (a
-    * corpus-df prepass would re-sign history), and its role is candidate
+    * aggregation (exploded shingle → df, map-side partials) per batch
+    * query; its heavy-hitter result collects to a driver set that rides
+    * into the signing kernel as a codegen reference object
+    * ([[graft.functions.KeepCold]]), so the filter is O(|shingles|) per
+    * row. (The first formulation attached the hot set as a 1-row
+    * broadcast + array_except, which rebuilds the hot hash set PER ROW
+    * — ScaleSlope measured slope 169/185 at the 100× saturated tier
+    * where the hot set is the whole shingle space; the reference-object
+    * kernel removes that term.) Docs whose every shingle is hot leave
+    * the estimator exactly as they leave the exact twins (n_sh = 0 → no
+    * pairs). The STREAMING accumulator keeps the uncapped map-only
+    * [[minhashSignaturesOf]]: its store is append-only (a corpus-df
+    * prepass would re-sign history), and its role is candidate
     * generation — the capped exact stage stays the verdict.
     */
   def cappedSigsOf(arrays: DataFrame,
-      maxDf: Int = TextOps.MaxShingleDf): DataFrame =
-    arrays.crossJoin(broadcast(hotSetOf(arrays, maxDf)))
-      .select(col("doc_id"), array_except(col("shingles"), col("hot")).as("kept"))
+      maxDf: Int = TextOps.MaxShingleDf): DataFrame = {
+    val hot = hotSetOf(arrays, maxDf)
+    arrays
+      .select(col("doc_id"), graft.functions.TextExprs
+        .keepCold(col("shingles"), hot).as("kept"))
       .filter(size(col("kept")) > 0)
       .select(col("doc_id"),
         graft.functions.TextExprs.minhashSig(col("kept"), NumPerms).as("sig"))
+  }
 
   /** Candidate pairs via LSH banding + estimated Jaccard from signature
     * agreement. Pairs sharing ≥1 band bucket are joined; nothing else.

@@ -244,20 +244,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"candidate join degraded to a nested loop:\n$plan")
     // The signing stage is checkpointed (one materialization feeds both
     // self-join sides — round 13), so its lineage is behind an
-    // ExistingRDD scan in the outer plan; audit it directly. Exactly
-    // ONE BroadcastNestedLoopJoin is allowed there: the 1-row hot-set
-    // attach of the df-capped signing — the same broadcast-scalar
-    // pattern as q_tok_vocab's corpus-size join.
+    // ExistingRDD scan in the outer plan; audit it directly. The hot-set
+    // filter must be the keep_cold reference-object kernel, NOT a
+    // per-row array_except against a joined-in hot array (which rebuilt
+    // the hot hash set per row — the slope-169 blow-up ScaleSlope
+    // caught at the 100× saturated tier), so the signing plan contains
+    // NO join of any kind: scan → kernels, map-only.
     val sigPlan = formattedPlan(graft.queries.Similarity
       .cappedCharSignaturesOf(Tables.documents(spark, sf)))
-    assert(sigPlan.contains("char_shingles") && sigPlan.contains("minhash_sig"),
-      "signatures must come from the codegen'd kernels, not lambdas")
-    // count tree nodes, not the per-node detail section (formatted
-    // explain prints each operator twice)
-    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(sigPlan).size
-    assert(bnlj == 1 && sigPlan.contains("array_except"),
-      s"the signing stage attaches the hot set as ONE 1-row broadcast (found $bnlj):\n$sigPlan")
-    assert(!sigPlan.contains("CartesianProduct"))
+    assert(sigPlan.contains("char_shingles") && sigPlan.contains("minhash_sig") &&
+      sigPlan.contains("keep_cold"),
+      s"signatures must come from the codegen'd kernels, not lambdas/joins:\n$sigPlan")
+    assert(!sigPlan.contains("Join") && !sigPlan.contains("CartesianProduct"),
+      s"the signing stage must be map-only:\n$sigPlan")
   }
 
   test("q_dedup_cjk_exact: shingle equi-join (never cross product), kernel shingles, df-capped") {

@@ -45,14 +45,21 @@ object Curation {
     // (not a whitespace split) so space-free CJK text still forms
     // paragraphs instead of one giant pseudo-token
     val paras = docs
-      .select(col("doc_id"), TextOps.unicodeWords(col("text")).as("toks"))
       // a tokenless doc (punctuation-only/empty text — REACHABLE since
       // the round-13 Unicode tokenizer, where the whitespace split
       // always returned ≥1 element) must contribute ZERO paragraphs:
       // unguarded, sequence(0, floor((0-1)/8)) = sequence(0, -1) is the
       // DESCENDING [0, -1] and would emit two phantom empty paragraphs.
       // The left join back below still reports the doc with n_kept = 0.
-      .filter(size(col("toks")) > 0)
+      // Guard on the cheap rlike PRECONDITION, below the kernel
+      // projection (round 14): filtering on size(toks) made Catalyst
+      // push the predicate under the select and evaluate the
+      // unicode_words kernel TWICE per row — the exact pushdown trap
+      // minhashSignaturesOf documents. One \p{L}\p{N} codepoint exists
+      // iff the tokenizer emits ≥1 token (lowercasing maps word
+      // codepoints to word codepoints — PropertySpec pins ≡).
+      .filter(col("text").rlike("[\\p{L}\\p{N}]"))
+      .select(col("doc_id"), TextOps.unicodeWords(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), floor((size(col("toks")) - 1) / ParaTokens).cast("int")),
           i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens))))))

@@ -347,6 +347,19 @@ object PrismaConnector {
           s"'$name' violate (the hive-layout writeReportQuoteNonNumeric accepts " +
           "them — use that, or fix the dates)")
     }
+    // The date-folder universe is the UNION of every report's dates
+    // (round-14 review): the reference's to_csv always uploads a
+    // header-only file for an empty report, so each date folder carries
+    // ALL the declared file names — a report with no rows on some date
+    // (or no rows at all) publishes a header-only CSV there instead of
+    // silently missing under a fresh _SUCCESS. Bounded collect: a
+    // publish covers a handful of calendar dates by construction.
+    val allDates: Seq[String] = outs.map(_._1.select(col(part)))
+      .reduce(_ unionByName _).distinct().collect().map(_.getString(0)).toSeq
+    require(allDates.nonEmpty,
+      s"every report is empty — no $part anywhere to anchor the literal " +
+        "date-folder layout (the reference would stamp wall clock; here dates " +
+        "are payload-derived, so an all-empty publish is refused)")
     def stagingPath(i: Int) = new org.apache.hadoop.fs.Path(qualRoot.getParent,
       qualRoot.getName + s"__staging_literal_$i")
     // drop stale staging siblings from ANY earlier failed run, including
@@ -374,7 +387,11 @@ object PrismaConnector {
         // (includePart).
         val data = renderQuoteNonNumeric(out, part, includePart = true)
           .withColumn("__hdr", lit(0))
-        val headers = out.select(col(part)).distinct()
+        // header rows for EVERY date in the publish (not just this
+        // report's own dates) — the all-files-per-folder contract above
+        val headers = out.sparkSession
+          .createDataset(allDates)(org.apache.spark.sql.Encoders.STRING)
+          .toDF(part)
           .select(lit(headerLine(out, part, includePart = true)).as("value"),
             col(part), lit(1).as("__hdr"))
         data.unionByName(headers)
@@ -449,8 +466,14 @@ object PrismaConnector {
     def pinned(df: DataFrame): DataFrame =
       df.join(broadcast(anchor))
         .withColumn("transaction_date", col("__anchor")).drop("__anchor")
+    // pinned() covers the INVENTORY report too (round-14 review): at a
+    // midnight boundary the inventory payload itself can carry rows on
+    // two calendar dates, which would split Inventory_Report.csv across
+    // two date folders while the two reports pinned to min(inv) land in
+    // one — breaking the three-files-per-folder contract the anchor
+    // exists to protect.
     writeReportsLiteralLayout(Seq(
-      inv -> "Inventory_Report",
+      pinned(inv) -> "Inventory_Report",
       pinned(resourceTypeReport(spark, resourceTypePayloads)) ->
         "Inventory_Resource_Type_Report",
       pinned(alertReport(spark, policyPayload, alertPages,

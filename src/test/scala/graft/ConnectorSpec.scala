@@ -417,4 +417,92 @@ class ConnectorSpec extends AnyFunSuite with SharedSpark {
       ("b", None, Some(0.5), "y"),
       ("c", Some(7L), None, "z")))
   }
+
+  test("literal layout: an empty report publishes a header-only CSV in every date folder (round 14)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_lit_empty").toString
+    val full = Seq(("svc one", 3L, "2024-03-05"))
+      .toDF("name", "n_failed", "transaction_date")
+    val empty = full.filter(col("name") === "nope")
+      .select(col("name").as("policy"), col("n_failed"), col("transaction_date"))
+    PrismaConnector.writeReportsLiteralLayout(
+      Seq(full -> "Inventory_Report", empty -> "Alert_Report"), dir)
+    // the reference's to_csv always uploads a header-only file — the
+    // empty report must appear in the full report's date folder, not
+    // silently vanish under a fresh _SUCCESS
+    val folder = s"$dir/2024/March/5-March-2024"
+    val alert = scala.io.Source.fromFile(s"$folder/Alert_Report.csv").getLines().toList
+    assert(alert == List("\"policy\",\"n_failed\",\"transaction_date\""),
+      s"empty report must publish header-only: $alert")
+    val inv = scala.io.Source.fromFile(s"$folder/Inventory_Report.csv").getLines().toList
+    assert(inv == List("\"name\",\"n_failed\",\"transaction_date\"",
+      "\"svc one\",3,\"2024-03-05\""), inv.toString)
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile)
+    // a report with rows on only SOME of the publish's dates still
+    // lands a header-only file on the others (all-files-per-folder)
+    val two = Seq(("svc a", 1L, "2024-03-05"), ("svc b", 2L, "2024-03-06"))
+      .toDF("name", "n_failed", "transaction_date")
+    PrismaConnector.writeReportsLiteralLayout(
+      Seq(two -> "Inventory_Report", full -> "Alert_Report"), dir)
+    val mar6Alert = scala.io.Source.fromFile(
+      s"$dir/2024/March/6-March-2024/Alert_Report.csv").getLines().toList
+    assert(mar6Alert == List("\"name\",\"n_failed\",\"transaction_date\""),
+      s"date folders must carry every file name: $mar6Alert")
+    // EVERY report empty → refused (payload-derived dates: there is no
+    // date anywhere to anchor a folder; wall clock is never consulted)
+    val e = intercept[IllegalArgumentException](
+      PrismaConnector.writeReportsLiteralLayout(Seq(empty -> "Alert_Report"),
+        Files.createTempDirectory("graft_report_lit_allempty").toString))
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
+  test("composed R25 flow pins the INVENTORY report to the anchor date too (midnight boundary, round 14)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report_pin_inv").toString
+    // two inventory payloads straddling midnight UTC: 2024-04-07
+    // 23:59:50 and 2024-04-08 00:00:10 — unpinned, Inventory_Report
+    // would split across two date folders while the other two reports
+    // pin to min = 2024-04-07
+    def inv(tsMs: Long, svc: String) =
+      s"""{"timestamp": $tsMs, "requestedTimestamp": $tsMs,
+         | "groupedAggregates": [
+         |  {"serviceName": "$svc", "failedResources": 1,
+         |   "passedResources": 2, "totalResources": 3}]}"""
+        .stripMargin.replace("\n", " ")
+    val invPayloads = Seq(
+      inv(1712534390000L, "Amazon EC2"),   // 2024-04-07 23:59:50 UTC
+      inv(1712534410000L, "Amazon S3"))    // 2024-04-08 00:00:10 UTC
+      .toDF("json")
+    val rtPayload =
+      """{"timestamp": 1712534410000, "requestedTimestamp": 1712534410000,
+        | "groupedAggregates": [
+        |  {"resourceTypeName": "EC2 Instance", "failedResources": 1,
+        |   "passedResources": 2, "totalResources": 3}]}"""
+        .stripMargin.replace("\n", " ")
+    val policies =
+      """{"policies": [
+        | {"policyId": "p1", "policyName": "Public bucket", "policyType": "config",
+        |  "severity": "high", "alertCount": 3}]}""".stripMargin.replace("\n", " ")
+    val pages = Seq(
+      """{"policyId": "p1", "items": [{"id": "a1", "resource": {"account": "prod",
+        | "accountId": "111", "cloudType": "aws",
+        | "cloudAccountGroups": ["g1"]}}]}""".stripMargin.replace("\n", " "))
+      .toDF("json")
+    PrismaConnector.runReportPipelineLiteral(spark, invPayloads,
+      Seq(("Amazon EC2", rtPayload)).toDF("service", "json"),
+      Seq(policies).toDF("json"), pages, dir)
+    // ONE date folder (the anchor), all three files, both inventory
+    // rows inside it with the anchor date rendered in their cells
+    assert(!new java.io.File(s"$dir/2024/April/8-April-2024").exists(),
+      "inventory rows must not split into a second date folder")
+    val folder = new java.io.File(s"$dir/2024/April/7-April-2024")
+    assert(folder.listFiles().filterNot(_.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq == Seq("Alert_Report.csv",
+        "Inventory_Report.csv", "Inventory_Resource_Type_Report.csv"))
+    val invLines = scala.io.Source.fromFile(
+      s"$dir/2024/April/7-April-2024/Inventory_Report.csv").getLines().toList
+    assert(invLines.length == 3, s"both inventory rows must land: $invLines")
+    assert(invLines.tail.forall(_.endsWith("\"2024-04-07\"")),
+      s"inventory cells must carry the anchor date: $invLines")
+  }
 }

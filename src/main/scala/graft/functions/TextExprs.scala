@@ -110,6 +110,21 @@ object TextKernels {
     // replaced diverged on one-to-many mappings (U+0130 İ → "i̇" vs
     // 'i') and conditional mappings (Σ → ς finally, σ medially), giving
     // the engine two subtly different "lowercase"s.
+    //
+    // LOCALE HAZARD (documented deviation, round 14): for non-ASCII
+    // input UTF8String.toLowerCase delegates to String.toLowerCase
+    // under the JVM DEFAULT locale — on a Turkish/Azeri-locale JVM 'I'
+    // lowers to dotless 'ı', silently diverging from DuckDB's
+    // locale-independent lower() and making shingle/token output
+    // machine-dependent. We keep UTF8String.toLowerCase anyway because
+    // matching Spark's own lower() (which has the identical hazard) is
+    // the binding definition — ONE lowercase across kernel, Column-API
+    // lower(), and SQL. A cluster that must be byte-stable across
+    // locales sets -Duser.language=en (or user.country/user.language
+    // via spark.driver/executor.extraJavaOptions) rather than forking
+    // the definition. The Σ→ς final-sigma conditional mapping likewise
+    // differs from DuckDB's per-codepoint mapping (see the sigma note
+    // in the DuckDB mirrors).
     val s = text.toLowerCase.toString
     // letter/digit codepoint stream (already lowercased)
     val cps = new java.lang.StringBuilder(s.length)
@@ -149,11 +164,15 @@ object TextKernels {
   }
 
   /** [[graft.functions.KeepCold]]'s kernel: array minus a fixed shared
-    * set, first-occurrence order preserved. An empty set is identity
-    * without allocating.
+    * membership ([[HotShingles]] — exact broadcast set or Bloom
+    * filter), first-occurrence order preserved. An empty exact set is
+    * identity without allocating. The membership handle is a
+    * per-query-constant reference object, so the per-row cost is
+    * O(|shingles|) lookups against ONE shared structure (the round-13
+    * lesson: the array_except + 1-row-broadcast formulation rebuilt
+    * the hot hash set per row).
     */
-  def keepCold(shingles: ArrayData,
-      hot: java.util.HashSet[UTF8String]): ArrayData = {
+  def keepCold(shingles: ArrayData, hot: HotShingles): ArrayData = {
     if (hot.isEmpty) return shingles
     val n = shingles.numElements()
     val out = new scala.collection.mutable.ArrayBuffer[Any](n)
@@ -270,26 +289,28 @@ case class CharShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** Drop the members of a FIXED string set from a string array — the
-  * hot-shingle filter of the df-capped MinHash signing (round 13). The
-  * set is built ONCE on the driver (from the bounded heavy-hitter
-  * collect) and rides into codegen as a reference object, so each row
-  * pays O(|shingles|) lookups against a shared hash set. The
-  * array_except + 1-row-broadcast formulation this replaced rebuilt a
-  * hash set of the hot array PER ROW — O(|hot|)/row, which ScaleSlope
-  * measured as a slope-169 blow-up at the 100× saturated tier where
-  * |hot| ≈ the whole shingle space.
+/** Drop the members of a FIXED hot-shingle membership from a string
+  * array — the hot-shingle filter of the df-capped MinHash signing
+  * (round 13). The membership is built ONCE on the driver (bounded
+  * heavy-hitter collect, or a distributed Bloom build past
+  * Similarity.HotSetMaxEntries — round 14) and rides into codegen as a
+  * [[HotShingles]] reference object whose payload is BROADCAST, so each
+  * row pays O(|shingles|) lookups against one shared structure and the
+  * expression's equals/hashCode are O(1) fingerprint compares (never a
+  * set traversal during plan canonicalization — the round-13 ADVICE
+  * finding). The array_except + 1-row-broadcast formulation this
+  * replaced rebuilt a hash set of the hot array PER ROW — O(|hot|)/row,
+  * which ScaleSlope measured as a slope-169 blow-up at the 100×
+  * saturated tier where |hot| ≈ the whole shingle space.
   */
-case class KeepCold(child: Expression,
-    hot: java.util.HashSet[UTF8String])
+case class KeepCold(child: Expression, hot: HotShingles)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "keep_cold"
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.keepCold(input.asInstanceOf[ArrayData], hot)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("hotSet", hot,
-      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    val setRef = ctx.addReferenceObj("hotSet", hot, "graft.functions.HotShingles")
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.keepCold($c, $setRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): KeepCold =
@@ -405,8 +426,7 @@ object TextExprs {
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), k))
   def minhashSig(c: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numPerms))
-  def keepCold(c: Column,
-      hot: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Column =
+  def keepCold(c: Column, hot: HotShingles): Column =
     ColumnBridge.column(KeepCold(ColumnBridge.expression(c), hot))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))

@@ -60,8 +60,9 @@ object CorpusPipeline {
     * cluster's minimum doc_id. Docs without a near-duplicate never
     * enter the component computation at all.
     */
-  def nearDedup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = Similarity.minhashPairsOf(docs, threshold)
+  def nearDedup(docs: DataFrame, threshold: Double = 0.5,
+      cacheKey: Option[String] = None): DataFrame = {
+    val pairs = Similarity.minhashPairsOf(docs, threshold, cacheKey = cacheKey)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // production path: skip the star-forest post-check jobs — the
     // fingerprint-certified fixpoint suffices here, and the invariant
@@ -145,8 +146,10 @@ object CorpusPipeline {
     * q_corpus_build query surface ([[build]] adds the per-stage counts).
     * Bench set = doc_id % 10, matching q_decontam's convention.
     */
-  def buildFrame(docs: DataFrame): DataFrame =
-    withSplit(decontaminate(nearDedup(exactDedup(qualityFilter(docs))),
+  def buildFrame(docs: DataFrame,
+      cacheKey: Option[String] = None): DataFrame =
+    withSplit(decontaminate(
+      nearDedup(exactDedup(qualityFilter(docs)), cacheKey = cacheKey),
       docs.filter(col("doc_id") % 10 === 0)))
 
   /** The full composition, returning the train-ready frame and the

@@ -142,36 +142,100 @@ object Similarity {
           .cast("double") / NumPerms, 4).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
 
-  /** Ceiling on the driver-collected hot-shingle set. Heavy hitters
-    * above the df cap are few relative to the vocabulary by
+  /** Ceiling on the driver-collected EXACT hot-shingle set. Heavy
+    * hitters above the df cap are few relative to the vocabulary by
     * construction (each costs > maxDf corpus rows), but unbounded in
-    * principle — past this bound, swap the exact set for a Bloom filter
-    * (bloom_filter_agg / might_contain): the binding semantics (sign
-    * only kept shingles) stay identical, with false positives dropping
-    * a few extra cold shingles symmetrically on both docs.
+    * principle — past this bound [[hotSetOf]] switches to a
+    * DISTRIBUTED Bloom-filter build (round 14; previously a hard
+    * `require` failure that only documented the remedy): the binding
+    * semantics (sign only kept shingles) stay identical, with false
+    * positives dropping a few extra cold shingles symmetrically for
+    * every document — the filter is fixed corpus-wide, so the signed
+    * universe stays consistent across docs. 1M entries keeps the exact
+    * set's broadcast ≲ tens of MB; a boilerplate-heavy 100-TB crawl
+    * whose hot universe exceeds it now degrades smoothly instead of
+    * failing the job.
     */
-  val HotSetMaxEntries: Int = 8 << 20
+  val HotSetMaxEntries: Int = 1 << 20
 
-  /** The hot-shingle set (df > maxDf) of a (doc_id, shingles) ARRAY
-    * frame, collected to a driver-side hash set (a bounded
-    * heavy-hitter collect — one string per shingle that appears in
-    * > maxDf documents).
+  /** False-positive rate of the Bloom fallback — each FP demotes one
+    * cold shingle corpus-wide; at 1e-4 the kept-universe drift from the
+    * exact twins' df cap is a few shingles per 10k vocabulary
+    * (HotBucketSpec forces the Bloom path on the fixture and pins pair
+    * parity with the exact-set path).
     */
-  private def hotSetOf(arrays: DataFrame,
-      maxDf: Int): java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
-    val hot = arrays.select(explode(col("shingles")).as("shingle"))
+  val HotSetBloomFpp: Double = 1e-4
+
+  /** The hot-shingle membership (df > maxDf) of a (doc_id, shingles)
+    * ARRAY frame: an exact broadcast set up to `exactMax` entries (a
+    * bounded heavy-hitter collect — one string per shingle appearing in
+    * > maxDf documents), a distributed Bloom build past it. Both ride
+    * into the signing kernel as a fingerprint-keyed
+    * [[graft.functions.HotShingles]] reference object (O(1) plan
+    * equality, broadcast payload — the round-13 ADVICE finding).
+    */
+  private[graft] def hotSetOf(arrays: DataFrame, maxDf: Int,
+      exactMax: Int = HotSetMaxEntries): graft.functions.HotShingles = {
+    val spark = arrays.sparkSession
+    val hotF = arrays.select(explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("shingle")).limit(HotSetMaxEntries + 1)
-      .collect()
-    require(hot.length <= HotSetMaxEntries,
-      s"hot-shingle set exceeds $HotSetMaxEntries entries — swap the exact " +
-        "driver set for a Bloom filter (see hotSetOf doc)")
-    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
-      math.max(16, hot.length * 2))
-    hot.foreach(r => set.add(
-      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
-    set
+      .select(col("shingle"))
+    val probe = hotF.limit(exactMax + 1).collect()
+    if (probe.length <= exactMax)
+      graft.functions.HotShingles.exact(spark, probe.view.map(r =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))).toSeq)
+    else {
+      // one materialization feeds the count+fingerprint aggregate AND
+      // the Bloom build — without it each action re-runs the full
+      // shingle-df aggregation (one compact row per DISTINCT hot
+      // shingle, the same bounded-state trade the pair queries make)
+      val mat = hotF.localCheckpoint(true)
+      val r = mat.agg(count(lit(1)).as("n"),
+        // bit_xor, never sum: ANSI mode overflow-throws on summed hashes
+        bit_xor(xxhash64(col("shingle"))).as("fp")).head()
+      val n = r.getLong(0)
+      val bloom = mat.stat.bloomFilter("shingle", n, HotSetBloomFpp)
+      graft.functions.HotShingles.bloom(spark, bloom, r.getLong(1), n)
+    }
+  }
+
+  /** Process-wide LRU of hot-shingle memberships, keyed by an EXPLICIT
+    * caller tag (shingle kind + input dir — the
+    * Layout.ensureBucketedTables convention) plus the df/exact
+    * parameters and the session. The df heavy-hitter pass is the one
+    * corpus-wide action the signing stage pays; composed flows
+    * (q_dedup_clusters, CorpusPipeline) and repeated bench/verify
+    * passes re-ran it per invocation over an IDENTICAL input — the
+    * cache makes them pay it once (the IvfIndex.ensureBuilt train-once
+    * convention). Callers must only pass a key whose input frame is a
+    * pure function of the key over IMMUTABLE files (the
+    * testdata/fixture contract); anonymous frames pass None and are
+    * never cached.
+    */
+  private val HotSetCacheMax = 8
+  private val hotSetCache =
+    new java.util.LinkedHashMap[(String, String, Int, Int), graft.functions.HotShingles](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int), graft.functions.HotShingles]): Boolean =
+        size() > HotSetCacheMax
+    }
+
+  private def hotSetCached(arrays: DataFrame, maxDf: Int, exactMax: Int,
+      cacheKey: Option[String]): graft.functions.HotShingles = cacheKey match {
+    case None => hotSetOf(arrays, maxDf, exactMax)
+    case Some(tag) =>
+      val key = (tag, arrays.sparkSession.sparkContext.applicationId, maxDf, exactMax)
+      hotSetCache.synchronized {
+        val hit = hotSetCache.get(key)
+        if (hit != null) hit
+        else {
+          val built = hotSetOf(arrays, maxDf, exactMax)
+          hotSetCache.put(key, built)
+          built
+        }
+      }
   }
 
   /** MinHash signatures over the df ≤ maxDf shingle universe — the SAME
@@ -195,8 +259,10 @@ object Similarity {
     * generation — the capped exact stage stays the verdict.
     */
   def cappedSigsOf(arrays: DataFrame,
-      maxDf: Int = TextOps.MaxShingleDf): DataFrame = {
-    val hot = hotSetOf(arrays, maxDf)
+      maxDf: Int = TextOps.MaxShingleDf,
+      exactMax: Int = HotSetMaxEntries,
+      cacheKey: Option[String] = None): DataFrame = {
+    val hot = hotSetCached(arrays, maxDf, exactMax, cacheKey)
     arrays
       .select(col("doc_id"), graft.functions.TextExprs
         .keepCold(col("shingles"), hot).as("kept"))
@@ -215,9 +281,12 @@ object Similarity {
     * kernel plan (the pair query checkpoints this frame, which hides
     * its lineage behind an ExistingRDD scan in the outer plan).
     */
-  def cappedSignaturesOf(docs: DataFrame): DataFrame =
+  def cappedSignaturesOf(docs: DataFrame,
+      exactMax: Int = HotSetMaxEntries,
+      cacheKey: Option[String] = None): DataFrame =
     cappedSigsOf(shingleArraysOf(docs.filter(size(split(col("text"), " ")) >= 3))
-      .filter(size(col("shingles")) > 0))
+      .filter(size(col("shingles")) > 0),
+      exactMax = exactMax, cacheKey = cacheKey)
 
   /** The ALL-shingle (uncapped) pair generator — the batch equivalent of
     * the STREAMING accumulator, which signs every shingle map-only
@@ -235,14 +304,16 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairsOf(docs: DataFrame, threshold: Double,
+      exactMax: Int = HotSetMaxEntries,
+      cacheKey: Option[String] = None): DataFrame = {
     // lazy localCheckpoint: BOTH sides of the band self-join read one
     // materialization of the compact (doc_id, 32-long sig) frame
     // instead of re-running the scan → kernel → df-agg → sign lineage
     // per side (the df-capped signing made that lineage 2 scans deep;
     // uncheckpointed, the self-join would pay it 4×). ~260 bytes/doc —
     // the same bounded-state trade the graph loops make.
-    val sigs = cappedSignaturesOf(docs).localCheckpoint(false)
+    val sigs = cappedSignaturesOf(docs, exactMax, cacheKey).localCheckpoint(false)
     val bands = capBuckets(bandedFromSigs(sigs), Seq("band", "band_hash"))
     estPairsFromBands(bands, bands)
       .filter(col("est_jaccard") >= threshold)
@@ -250,7 +321,8 @@ object Similarity {
   }
 
   def minhashPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
-    minhashPairsOf(T.documents(s, d), threshold)
+    minhashPairsOf(T.documents(s, d), threshold,
+      cacheKey = Some(s"tok3|$d"))
 
   /** Character k-gram shingle length (codepoints) for the script-
     * agnostic dedup path — ~2 short CJK words or ~1.5 Latin words, the
@@ -290,11 +362,14 @@ object Similarity {
     * QUALIFY keeps.
     */
   def cappedCharSignaturesOf(docs: DataFrame,
-      k: Int = CharShingleK): DataFrame =
+      k: Int = CharShingleK,
+      exactMax: Int = HotSetMaxEntries,
+      cacheKey: Option[String] = None): DataFrame =
     cappedSigsOf(docs.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         graft.functions.TextExprs.charShingles(col("text"), k).as("shingles"))
-      .filter(size(col("shingles")) > 0))
+      .filter(size(col("shingles")) > 0),
+      exactMax = exactMax, cacheKey = cacheKey)
 
   def charMinhashSignaturesOf(docs: DataFrame,
       k: Int = CharShingleK): DataFrame =
@@ -311,9 +386,11 @@ object Similarity {
     * as [[minhashPairsOf]]; only the shingle unit differs.
     */
   def charMinhashPairsOf(docs: DataFrame, threshold: Double,
-      k: Int = CharShingleK): DataFrame = {
+      k: Int = CharShingleK,
+      exactMax: Int = HotSetMaxEntries,
+      cacheKey: Option[String] = None): DataFrame = {
     // one materialization for both join sides — see minhashPairsOf
-    val sigs = cappedCharSignaturesOf(docs, k).localCheckpoint(false)
+    val sigs = cappedCharSignaturesOf(docs, k, exactMax, cacheKey).localCheckpoint(false)
     val bands = capBuckets(bandedFromSigs(sigs), Seq("band", "band_hash"))
     estPairsFromBands(bands, bands)
       .filter(col("est_jaccard") >= threshold)
@@ -973,7 +1050,8 @@ object Similarity {
     // parity-of-purpose on Latin near-dups). Engine-hash-specific
     // (XXH64 signatures) → scalatest, like its token twin q_dedup_near.
     QueryDef("q_dedup_cjk",
-      (s, d) => charMinhashPairsOf(T.documents(s, d), 0.5), None,
+      (s, d) => charMinhashPairsOf(T.documents(s, d), 0.5,
+        cacheKey = Some(s"char${CharShingleK}|$d")), None,
       approxOracle = Some(graft.ApproxOracle(
         asEstOracle(TextOps.CharJaccardOracle),
         Map("est_jaccard" -> EstJaccardTol)))),

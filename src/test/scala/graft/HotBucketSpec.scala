@@ -86,6 +86,70 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(rows.head.getDouble(2) - 0.8571) < 1e-9)
   }
 
+  test("Bloom hot-set fallback: char-family pairs match the exact-set path with HotSetMaxEntries forced to 0 (round 14)") {
+    // The char-shingle family DOES go hot at fixture scale (cross-word
+    // 8-grams), so forcing exactMax = 0 makes EVERY hot shingle route
+    // through the distributed Bloom build instead of the driver set.
+    // FP-tolerant: a Bloom false positive demotes one cold shingle
+    // corpus-wide (symmetrically for every doc), so at fpp 1e-4 the
+    // pair set may differ from the exact-set path by at most a few
+    // borderline pairs — never wholesale.
+    val docs = Tables.documents(spark, sf)
+    def pairSet(exactMax: Int) =
+      Similarity.charMinhashPairsOf(docs, 0.5, exactMax = exactMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExact = pairSet(Similarity.HotSetMaxEntries)
+    val viaBloom = pairSet(0)
+    assert(viaExact.nonEmpty, "fixture must contain char near-dup pairs")
+    val diff = (viaExact diff viaBloom) ++ (viaBloom diff viaExact)
+    assert(diff.size <= math.max(1, viaExact.size / 20),
+      s"Bloom path drifted beyond FP tolerance: |exact|=${viaExact.size} " +
+        s"|bloom|=${viaBloom.size} diff=${diff.take(5)}")
+  }
+
+  test("Bloom hot-set fallback still suppresses boilerplate and keeps genuine near-dups") {
+    // The semantic contract of the df cap, exercised THROUGH the Bloom
+    // representation: a 200-doc boilerplate cluster (every shingle
+    // df = 200 > MaxShingleDf → all hot → kept sets empty) must emit
+    // zero pairs, while a genuine cold near-dup pair survives.
+    val boiler = (0L until 200L).map(i =>
+      (i, "the same boilerplate sentence repeated in every single document"))
+    val genuine = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    import spark.implicits._
+    val docs = (boiler ++ genuine).toDF("doc_id", "text")
+    val rows = Similarity.minhashPairsOf(docs, 0.5, exactMax = 0).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)),
+      s"expected exactly the genuine pair via the Bloom path, got ${rows.mkString(",")}")
+  }
+
+  test("hot-set cache: a keyed invocation reuses the membership, an unkeyed one never caches") {
+    // Same tag + same parameters → the SAME HotShingles instance (the
+    // df pass ran once); no tag → fresh instances. Fingerprint equality
+    // additionally holds between cached and fresh builds of the same
+    // input (the canonicalization identity KeepCold relies on).
+    val docs = Tables.documents(spark, sf)
+    val arrays = Similarity.shingleArraysOf(docs)
+    val tag = s"spec|tok3|$sf"
+    val a = Similarity.hotSetOf(arrays, 2)
+    val b = Similarity.hotSetOf(arrays, 2)
+    assert(!(a eq b) && a == b, "unkeyed builds are fresh but fingerprint-equal")
+    import org.apache.spark.sql.functions.col
+    // two keyed queries over the same input share one membership: the
+    // plans' keep_cold expressions compare EQUAL (fingerprint identity)
+    val s1 = Similarity.cappedSigsOf(arrays, maxDf = 2, cacheKey = Some(tag))
+    val s2 = Similarity.cappedSigsOf(arrays, maxDf = 2, cacheKey = Some(tag))
+    def holderOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case k: graft.functions.KeepCold => k.hot
+        })
+      }.flatten.head
+    assert(holderOf(s1) eq holderOf(s2), "keyed builds must reuse the cached membership")
+    assert(s1.select(col("doc_id")).count() == s2.select(col("doc_id")).count())
+  }
+
   test("df cap is a no-op at fixture scale (max df 25 << 128)") {
     val docs = Tables.documents(spark, sf)
     val capped = TextOps.jaccardPairsOf(docs).collect().toSeq

@@ -105,6 +105,71 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("property: keepCold kernel ≡ array filterNot over its hot set (round 14)") {
+    // Pure-JVM check of the reference-object kernel against its
+    // declarative definition: keepCold(arr, hot) must equal
+    // arr.filterNot(hot), first-occurrence order preserved, over random
+    // multilingual arrays — including the empty-set identity (no copy)
+    // and all-hot rows (everything dropped). ≥1k generated cases.
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen: Gen[Int] = Gen.frequency(
+      5 -> Gen.choose('a'.toInt, 'f'.toInt),  // narrow band → real hits
+      2 -> Gen.choose(0x4e00, 0x4e08),        // Han
+      1 -> Gen.oneOf(0x130, 0xdf, 0x3a3, 0x3c2, 0x10400, 0x1d7d8)) // case edges + surrogates
+    val tokGen: Gen[String] = Gen.choose(1, 4)
+      .flatMap(l => Gen.listOfN(l, cpGen))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    val caseGen: Gen[(List[String], List[String], Int)] = for {
+      arr <- Gen.listOf(tokGen)
+      fromArr <- Gen.someOf(arr) // members → hits
+      fresh <- Gen.listOf(tokGen) // likely misses
+      mode <- Gen.oneOf(0, 0, 1, 2) // 1 = empty set, 2 = all-hot
+    } yield (arr.map(_.toString), (fromArr ++ fresh).toList, mode)
+    forAllSampled(caseGen, n = 1200) { case (arr, drawn, mode) =>
+      val hot = mode match {
+        case 1 => Nil
+        case 2 => arr
+        case _ => drawn
+      }
+      val holder = graft.functions.HotShingles.exact(spark,
+        hot.map(UTF8String.fromString))
+      val input: ArrayData = new GenericArrayData(
+        arr.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.TextKernels.keepCold(input, holder)
+      val want = arr.filterNot(hot.toSet)
+      assert(got.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq == want, s"arr=$arr hot=$hot")
+      // empty-set identity returns the INPUT, not a copy
+      if (hot.isEmpty) assert(got eq input)
+    }
+  }
+
+  test("property: the rlike \\p{L}\\p{N} precondition ⇔ unicodeWords emits ≥1 token (q_dedup_para guard)") {
+    // The round-14 tokenless-doc guard filters on the cheap rlike
+    // precondition BELOW the kernel projection; soundness needs
+    // exactly: text contains a \p{L}\p{N} codepoint ⇔ the tokenizer
+    // emits ≥1 token (lowercasing maps word codepoints to word
+    // codepoints). java.util.regex IS rlike's engine, so this is the
+    // identical predicate, pure-JVM.
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen: Gen[Int] = Gen.frequency(
+      4 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.oneOf(' '.toInt, '.'.toInt, '!'.toInt, 0x3002, 0xff0c, 0x2028),
+      2 -> Gen.choose(0x4e00, 0x9fff),
+      1 -> Gen.oneOf(0x130, 0xdf, 0x3a3, 0x3c2, 0x2160, 0xb2, 0x1d7d8,
+        0x1f600, 0x10400))
+    val textGen: Gen[String] = Gen.listOf(cpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    val p = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]")
+    forAllSampled(textGen, n = 500) { s =>
+      val hasTok = graft.functions.TextKernels
+        .unicodeWords(UTF8String.fromString(s)).numElements() > 0
+      assert(p.matcher(s).find() == hasTok,
+        s"text=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("property: exact dedup is idempotent and keeps one row per distinct text") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf(
       "alpha beta gamma", "alpha beta gamma", "delta epsilon zeta", "eta theta iota"))

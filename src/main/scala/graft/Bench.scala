@@ -17,6 +17,24 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0)
       catch { case _: Throwable => "-1" }
+    // Hot-machine guard (round 14): sidecar-writing runs on a box whose
+    // at-entry loadavg exceeds the measured idle baseline (~1.7,
+    // SCALING.md §bench hygiene) produced the round-13 stale-sidecar
+    // triage (identical-tree refreshes drifting 264.6 → 298.5 s). WARN
+    // by default; refuse outright under SPARK_GRAFT_BENCH_REFUSE_HOT=1
+    // so a scripted refresh can't silently measure on a hot box.
+    val HotLoadThreshold = 1.7
+    val entryLoad = try loadAtEntry.toDouble catch { case _: Throwable => -1.0 }
+    if (entryLoad > HotLoadThreshold) {
+      System.err.println(f"[bench] WARNING: at-entry 1-min loadavg $entryLoad%.2f " +
+        f"exceeds the idle baseline $HotLoadThreshold%.1f — medians from this run " +
+        "are co-tenancy-suspect; refresh sidecars on a quiet machine " +
+        "(set SPARK_GRAFT_BENCH_REFUSE_HOT=1 to fail fast instead)")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_HOT").contains("1")) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_REFUSE_HOT=1 — refusing to measure")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

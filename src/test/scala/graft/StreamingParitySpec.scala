@@ -99,30 +99,111 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
   }
 
   test("streaming near-dedup signature store survives operational compaction") {
-    // the 100-TB composition: appendable band store → Maintenance
-    // compaction clustered on the join key → further micro-batches join
-    // against the compacted store; the final pair set must still equal
-    // the one-shot batch path over all docs
+    // the 100-TB composition: append-tier band store → compactStore
+    // rewrites it into the sb-bucketed tier IN PLACE → further
+    // micro-batches join against the two-tier store; the final pair
+    // set must still equal the one-shot batch path over all docs, and
+    // replaying a COMPACTED batch must stay a no-op
     val tmp = Files.createTempDirectory("graft_sd_compact").toString
     val docs = Tables.documents(spark, sf)
     docs.filter(col("doc_id") % 2 === 0).repartition(2).write.parquet(s"$tmp/in")
     val schema = spark.read.parquet(s"$tmp/in").schema
     StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
       s"$tmp/store", s"$tmp/pairs", s"$tmp/ck").stop()
-    // batch_id is the store's idempotence partition — compaction must
-    // preserve it or the next micro-batch's partitioned write conflicts
-    graft.sources.Maintenance.compactParquet(spark, s"$tmp/store", s"$tmp/store2",
-      Seq("band", "band_hash"), targetFiles = 2, partitionCols = Seq("batch_id"))
+    val nBatches = spark.read.parquet(s"$tmp/store")
+      .select(max(col("batch_id")).cast("long")).head().getLong(0) + 1
+    StreamingDedup.compactStore(spark, s"$tmp/store", upTo = nBatches - 1)
+    // the append tier's rewritten batch dirs are gone; the bucketed
+    // tier holds every row, watermark recorded
+    assert(!new java.io.File(s"$tmp/store/batch_id=0").exists(),
+      "compacted batch dirs must leave the append tier")
+    assert(new java.io.File(
+      s"${StreamingDedup.bucketedDirOf(s"$tmp/store")}/_watermark").isFile)
     docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
       .write.mode("append").parquet(s"$tmp/in")
     StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
-      s"$tmp/store2", s"$tmp/pairs", s"$tmp/ck").stop()
-    val got = StreamingDedup.readPairs(spark, s"$tmp/pairs")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck").stop()
+    def pairRows = StreamingDedup.readPairs(spark, s"$tmp/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = pairRows.toSet
     val want = graft.queries.Similarity.uncappedMinhashPairsOf(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty && got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // replay a batch that was COMPACTED: its store prefix now comes
+    // from the bucketed tier; the recomputed pairs must be identical
+    // and the recreated append dir must stay invisible (watermark
+    // filter) — the at-least-once contract across the maintenance cycle
+    val before = pairRows.sorted
+    // re-commit batch 0 (a COMPACTED batch) with the rows the stream
+    // gave it, recovered from the bucketed tier's own doc ids
+    val batch0Docs = docs.join(
+      spark.read.parquet(StreamingDedup.bucketedDirOf(s"$tmp/store"))
+        .filter(col("batch_id") === 0).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    StreamingDedup.commitBatch(batch0Docs, 0L, s"$tmp/store", s"$tmp/pairs", 0.5)
+    assert(pairRows.sorted.toSeq == before.toSeq,
+      "replaying a compacted batch must not change the pair rows")
+  }
+
+  test("compacted store read opens ONLY the sb buckets the batch touches (round 14)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = Files.createTempDirectory("graft_sd_prune").toString
+    val docs = Tables.documents(spark, sf)
+    // accumulate two append batches, then compact them into the
+    // bucketed tier — the layout the store converges to under the
+    // LSM maintenance cycle
+    StreamingDedup.commitBatch(docs.filter(col("doc_id") < 400), 0L,
+      s"$tmp/store", s"$tmp/pairs", 0.5)
+    StreamingDedup.commitBatch(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450), 1L,
+      s"$tmp/store", s"$tmp/pairs", 0.5)
+    StreamingDedup.compactStore(spark, s"$tmp/store", upTo = 1L)
+    // a SMALL probe batch: 2 docs → ≤ 16 distinct band hashes → a
+    // handful of touched buckets out of StoreBuckets
+    val probe = docs.filter(col("doc_id") >= 450 && col("doc_id") < 452)
+    val probeBands = graft.queries.Similarity.bandedSignaturesOf(probe)
+      .localCheckpoint(true)
+    val hashes = probeBands.select(col("band_hash")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = hashes.map(h =>
+      java.lang.Math.floorMod(h, StreamingDedup.StoreBuckets.toLong).toInt).toSet
+    assert(touched.size < StreamingDedup.StoreBuckets / 4,
+      s"probe batch must touch few buckets, touched ${touched.size}")
+    val pruned = StreamingDedup.readStorePruned(spark, s"$tmp/store", 2L,
+      probeBands).get
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    // every batch is compacted, so the plan reads the bucketed tier
+    // only, with the sb partition filter reaching the scan…
+    val bucketScan = scans.find(_.metadata("Location")
+      .contains("store_bucketed")).getOrElse(
+      fail(s"no bucketed-tier scan in:\n${pruned.queryExecution.executedPlan}"))
+    assert(bucketScan.metadata("PartitionFilters").contains("sb"),
+      s"sb partition filter missing: ${bucketScan.metadata("PartitionFilters")}")
+    // …and only touched-bucket directories were selected for IO
+    val readDirs = bucketScan.inputRDDs().head.partitions.toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq.map(f => f.filePath.toPath.getParent.getName)
+      case _ => Seq.empty[String]
+    }.toSet
+    assert(readDirs.nonEmpty &&
+      readDirs.forall(d => touched.contains(d.stripPrefix("sb=").toInt)),
+      s"scan must open only touched buckets, opened $readDirs for $touched")
+    val allDirs = spark.read
+      .parquet(StreamingDedup.bucketedDirOf(s"$tmp/store")).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+    assert(readDirs.size < allDirs.size,
+      s"pruning must skip untouched buckets (${readDirs.size} vs ${allDirs.size})")
+    // the small probe's hash predicates are PUSHED (row-group skipping
+    // on the band_hash-sorted compacted files)
+    assert(bucketScan.metadata("PushedFilters").contains("band_hash"),
+      s"band-hash predicates must push: ${bucketScan.metadata("PushedFilters")}")
+    // losslessness at the row level: pruned ≡ full read ∩ probe hashes
+    val want = StreamingDedup.readStore(spark,
+      StreamingDedup.bucketedDirOf(s"$tmp/store"), 2L).get
+      .filter(col("band_hash").isin(hashes.map(java.lang.Long.valueOf).toSeq: _*))
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
   }
 
   test("streaming near-dedup pair set is independent of the batch split") {

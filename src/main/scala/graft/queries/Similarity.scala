@@ -177,20 +177,22 @@ object Similarity {
   private[graft] def hotSetOf(arrays: DataFrame, maxDf: Int,
       exactMax: Int = HotSetMaxEntries): graft.functions.HotShingles = {
     val spark = arrays.sparkSession
-    val hotF = arrays.select(explode(col("shingles")).as("shingle"))
+    // ONE materialization of the hot rows feeds the exact-path probe
+    // collect AND (on overflow) the count+fingerprint aggregate and
+    // the Bloom build — the corpus-wide shingle-df aggregation, the
+    // most expensive pass of the signing stage, runs exactly once
+    // whichever representation wins (one compact row per DISTINCT hot
+    // shingle of bounded state, the pair queries' checkpoint trade).
+    val mat = arrays.select(explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val probe = hotF.limit(exactMax + 1).collect()
+      .localCheckpoint(true)
+    val probe = mat.limit(exactMax + 1).collect()
     if (probe.length <= exactMax)
       graft.functions.HotShingles.exact(spark, probe.view.map(r =>
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))).toSeq)
     else {
-      // one materialization feeds the count+fingerprint aggregate AND
-      // the Bloom build — without it each action re-runs the full
-      // shingle-df aggregation (one compact row per DISTINCT hot
-      // shingle, the same bounded-state trade the pair queries make)
-      val mat = hotF.localCheckpoint(true)
       val r = mat.agg(count(lit(1)).as("n"),
         // bit_xor, never sum: ANSI mode overflow-throws on summed hashes
         bit_xor(xxhash64(col("shingle"))).as("fp")).head()
@@ -214,11 +216,20 @@ object Similarity {
     * never cached.
     */
   private val HotSetCacheMax = 8
+
+  /** Per-key memoized build: the map lock covers only map access; the
+    * (possibly minutes-long) distributed build runs under the ENTRY's
+    * own lazy-val lock, so concurrent builds for different keys — and
+    * plain cache hits — never serialize behind one another.
+    */
+  private final class LazyHot(build: () => graft.functions.HotShingles) {
+    lazy val value: graft.functions.HotShingles = build()
+  }
   private val hotSetCache =
-    new java.util.LinkedHashMap[(String, String, Int, Int), graft.functions.HotShingles](
+    new java.util.LinkedHashMap[(String, String, Long, Int, Int), LazyHot](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int, Int), graft.functions.HotShingles]): Boolean =
+          e: java.util.Map.Entry[(String, String, Long, Int, Int), LazyHot]): Boolean =
         size() > HotSetCacheMax
     }
 
@@ -226,16 +237,25 @@ object Similarity {
       cacheKey: Option[String]): graft.functions.HotShingles = cacheKey match {
     case None => hotSetOf(arrays, maxDf, exactMax)
     case Some(tag) =>
-      val key = (tag, arrays.sparkSession.sparkContext.applicationId, maxDf, exactMax)
-      hotSetCache.synchronized {
+      // content token: a fingerprint of the input frame's file listing
+      // (names encode every Spark write's job UUID), so a REGENERATED
+      // dir misses the cache instead of silently serving the previous
+      // corpus's hot set. A file-less lineage (checkpointed input)
+      // tokens to 0 and leans on the caller's tag contract alone.
+      val filesToken = scala.util.hashing.MurmurHash3
+        .orderedHash(arrays.inputFiles.sorted.toSeq).toLong
+      val key = (tag, arrays.sparkSession.sparkContext.applicationId,
+        filesToken, maxDf, exactMax)
+      val holder = hotSetCache.synchronized {
         val hit = hotSetCache.get(key)
         if (hit != null) hit
         else {
-          val built = hotSetOf(arrays, maxDf, exactMax)
-          hotSetCache.put(key, built)
-          built
+          val fresh = new LazyHot(() => hotSetOf(arrays, maxDf, exactMax))
+          hotSetCache.put(key, fresh)
+          fresh
         }
       }
+      holder.value
   }
 
   /** MinHash signatures over the df ≤ maxDf shingle universe — the SAME

@@ -165,13 +165,33 @@ object StreamingDedup {
     * non-local filesystem and drop every cross-batch pair).
     */
   def readStore(spark: SparkSession, storeDir: String,
-      beforeBatch: Long): Option[DataFrame] =
-    try {
-      val st = spark.read.parquet(storeDir)
-        .filter(col("batch_id") < beforeBatch)
-        .select(StoreSchema.fieldNames.map(col).toSeq: _*)
-      Some(st)
-    } catch { case _: AnalysisException => None }
+      beforeBatch: Long): Option[DataFrame] = {
+    val cols = StoreSchema.fieldNames.map(col).toSeq
+    // two-tier aware (round-14 review): after compactStore has moved
+    // history into the bucketed tier, an append-tier-only read would
+    // silently lose every compacted batch — the unpruned read must
+    // union both tiers exactly like the pruned one, just without the
+    // hash/bucket filters.
+    val w = compactionWatermark(spark, storeDir)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketed: Option[DataFrame] =
+      if (w < 0) None
+      else resolvedBucketedDir(fs, storeDir).flatMap { dir =>
+        try Some(spark.read.parquet(dir)
+          .filter(col("batch_id") < beforeBatch).select(cols: _*))
+        catch { case _: AnalysisException => None }
+      }
+    val fresh: Option[DataFrame] =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") > w && col("batch_id") < beforeBatch)
+        .select(cols: _*))
+      catch { case _: AnalysisException => None }
+    (bucketed, fresh) match {
+      case (Some(b), Some(f)) => Some(b.unionByName(f))
+      case (b, f) => b.orElse(f)
+    }
+  }
 
   /** The committed compacted-tier directory, resolving the `__prev`
     * crash window: a compaction that died between its two publish
@@ -280,10 +300,15 @@ object StreamingDedup {
     * `__prev` recovery (the literal-layout sink's protocol): a crash
     * anywhere leaves either the old committed tier or its recoverable
     * `__prev`, never a torn mix, and the append-tier dirs are deleted
-    * only AFTER the new tier is committed. Safe for any `upTo` — even
-    * a later REPLAY of a compacted batch stays a no-op: its rewritten
-    * append dir is excluded by the watermark filter while the bucketed
-    * tier already holds the identical rows.
+    * only AFTER the new tier is committed. The watermark may only
+    * advance over batches whose append dirs actually LANDED (enforced
+    * below): a watermark past a not-yet-committed batch would hide
+    * that batch's rows forever once it lands (its dir sits ≤ watermark,
+    * invisible to both the pruned read and the next compaction).
+    * Within that bound any `upTo` is safe — a later REPLAY of a
+    * compacted batch stays a no-op: its rewritten append dir is
+    * excluded by the watermark filter while the bucketed tier already
+    * holds the identical rows.
     */
   def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
@@ -301,6 +326,24 @@ object StreamingDedup {
     fs.delete(tmp, true) // stale staging from an earlier failed run
     val w = compactionWatermark(spark, storeDir)
     require(upTo >= w, s"compaction watermark can only advance ($w → $upTo)")
+    // the landed-batch bound (round-14 review): the watermark must not
+    // pass the NEWEST landed append batch — micro-batch ids are
+    // monotone, so a batch committing later always carries a HIGHER id
+    // than everything landed, but a watermark set past max(landed)
+    // would hide exactly those future batches' rows forever once they
+    // land (dir ≤ watermark, invisible to reads and to the next
+    // compaction). Gaps below max(landed) are safe: monotone ids are
+    // never back-filled.
+    val maxLanded: Long =
+      Option(fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)))
+        .map(_.toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong))
+        .filter(_.nonEmpty).map(_.max).getOrElse(w)
+    require(upTo <= math.max(maxLanded, w),
+      s"compaction watermark $upTo passes the newest landed batch " +
+        s"$maxLanded — a batch committing later would be hidden forever; " +
+        "compact only up to the newest LANDED batch")
     val cols = (StoreSchema.fieldNames :+ "batch_id").map(col).toSeq
     val oldTier: Option[DataFrame] =
       if (w < 0) None

@@ -49,6 +49,22 @@ class IncrementalCorpusSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("benchsh"))
   }
 
+  test("resuming a pre-hubs state dir fails fast instead of missing exact-dup edges") {
+    val base = Files.createTempDirectory("graft_inc_legacy_hubs").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalCorpus.ingestBatch(docs.filter(col("doc_id") % 3 === 0), 0L, base)
+    // simulate a state dir written before the hubs/ store existed
+    // (round 14): continuing would silently treat every batch digest as
+    // new and drop the cross-batch exact-dup edges
+    val hubs = java.nio.file.Paths.get(base, "hubs")
+    Files.walk(hubs).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalCorpus.ingestBatch(docs.filter(col("doc_id") % 3 === 1), 1L, base)
+    }
+    assert(ex.getMessage.contains("hubs"))
+  }
+
   test("replaying an already-ingested batch leaves the snapshot unchanged") {
     val base = Files.createTempDirectory("graft_inc_r").toString
     val docs = Tables.documents(spark, sf)

@@ -174,23 +174,34 @@ object IncrementalCorpus {
     // (IncrementalCorpusSpec's displacement + parity cases pin it).
     val hubsOld = readBefore(spark, s"$base/hubs", batchId)
     val bmin = q.groupBy("digest").agg(min(col("doc_id")).as("bmin"))
-      .localCheckpoint(true) // feeds the lookup join AND the delta write
-    val batchHubs = hubsOld match {
-      case Some(h) => h.join(broadcast(bmin.select(col("digest"))),
-        Seq("digest"), "left_semi")
-      case None => bmin.limit(0).select(col("digest"), col("bmin").as("hub"))
+    // hubs delta = digests this batch INTRODUCES, hubbed at their
+    // batch minimum — replay-idempotent like every other per-batch
+    // write. batchHubs (the RESTRICTED earlier-hub rows) is
+    // checkpointed because both the lookup join and the delta
+    // anti-join read it — without the materialization each use would
+    // re-scan the whole hubs history; the result is bounded by the
+    // batch's own digest count. The first batch (no hubs yet) skips
+    // the whole lookup machinery: every digest is new.
+    val (withHub, hubsDelta) = hubsOld match {
+      case None =>
+        (q.select(col("doc_id"), col("digest")).join(bmin, "digest")
+          .withColumn("hub", col("bmin")),
+          bmin.select(col("digest"), col("bmin").as("hub")))
+      case Some(h) =>
+        val batchHubs = h
+          .join(broadcast(bmin.select(col("digest"))), Seq("digest"), "left_semi")
+          .localCheckpoint(true)
+        (q.select(col("doc_id"), col("digest"))
+          .join(bmin, "digest")
+          .join(broadcast(batchHubs), Seq("digest"), "left")
+          .withColumn("hub", coalesce(col("hub"), col("bmin"))),
+          bmin.select(col("digest"), col("bmin").as("hub"))
+            .join(broadcast(batchHubs.select(col("digest"))),
+              Seq("digest"), "left_anti"))
     }
-    val withHub = q.select(col("doc_id"), col("digest"))
-      .join(bmin, "digest")
-      .join(broadcast(batchHubs), Seq("digest"), "left")
-      .withColumn("hub", coalesce(col("hub"), col("bmin")))
     val dedges = withHub.filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
     StreamingDedup.writeBatchPartition(dedges, batchId, s"$base/dedges")
-    // hubs delta: digests this batch INTRODUCES, hubbed at their batch
-    // minimum — replay-idempotent like every other per-batch write
-    val hubsDelta = bmin.select(col("digest"), col("bmin").as("hub"))
-      .join(broadcast(batchHubs.select(col("digest"))), Seq("digest"), "left_anti")
     StreamingDedup.writeBatchPartition(hubsDelta, batchId, s"$base/hubs")
 
     // contamination: new docs vs all benchmark docs so far, and already-

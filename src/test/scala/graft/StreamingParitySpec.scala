@@ -206,6 +206,40 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
   }
 
+  test("band-store compaction: crash window restores __prev, watermark never passes landed batches") {
+    val tmp = Files.createTempDirectory("graft_sd_crash").toString
+    val docs = Tables.documents(spark, sf)
+    StreamingDedup.commitBatch(docs.filter(col("doc_id") < 200), 0L,
+      s"$tmp/store", s"$tmp/pairs", 0.5)
+    StreamingDedup.commitBatch(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), 1L,
+      s"$tmp/store", s"$tmp/pairs", 0.5)
+    StreamingDedup.compactStore(spark, s"$tmp/store", upTo = 0L)
+    val rowsBefore = StreamingDedup.readStore(spark, s"$tmp/store", 2L).get.count()
+    // simulate a compaction that died between its two publish renames:
+    // the committed tier is gone, the last good tree sits at __prev
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketed = new org.apache.hadoop.fs.Path(
+      StreamingDedup.bucketedDirOf(s"$tmp/store"))
+    val prev = new org.apache.hadoop.fs.Path(
+      StreamingDedup.bucketedDirOf(s"$tmp/store") + "__prev")
+    assert(fs.rename(bucketed, prev))
+    // readers resolve the surviving prev — no compacted rows are lost
+    assert(StreamingDedup.readStore(spark, s"$tmp/store", 2L).get.count()
+      == rowsBefore, "readers must resolve the __prev tree in the crash window")
+    // the next compaction run restores it and proceeds
+    StreamingDedup.compactStore(spark, s"$tmp/store", upTo = 1L)
+    assert(fs.exists(bucketed) && !fs.exists(prev))
+    assert(StreamingDedup.readStore(spark, s"$tmp/store", 2L).get.count()
+      == rowsBefore)
+    // the watermark clamp: compacting past the newest LANDED batch would
+    // hide a later-committing batch's rows forever — refused loudly
+    val ex = intercept[IllegalArgumentException](
+      StreamingDedup.compactStore(spark, s"$tmp/store", upTo = 99L))
+    assert(ex.getMessage.contains("landed"), ex.getMessage)
+  }
+
   test("streaming near-dedup pair set is independent of the batch split") {
     val oneShot = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -57,7 +57,8 @@ import org.apache.spark.sql.functions._
   *   store/   MinHash band store           (StreamingDedup)
   *   pairs/   near-dup candidate pairs     (StreamingDedup)
   *   dedges/  per-digest star edges        (batch-partitioned)
-  *   hubs/    (digest, hub) at first sight (batch-partitioned, round 14)
+  *   hubs/    (digest, hub) at first sight — a [[TieredStore]] append
+  *            tier; hubs_bucketed/ is its compacted tier (round 15)
   *   flags/   contaminated doc_ids         (batch-partitioned)
   * }}}
   *
@@ -75,19 +76,41 @@ import org.apache.spark.sql.functions._
   *    not a per-batch term.
   *  - '''hubs/''' (round 14) replaced the per-batch
   *    groupBy(digest).min over ALL of raw/ — that recomputation
-  *    shuffled the whole ingested history per micro-batch. The hubs
-  *    lookup now scans one deduped (digest, hub) row per distinct
-  *    digest and restricts it map-side to the batch's digests
-  *    (broadcast semi-join) — no history shuffle; at 100 TB the store
-  *    would additionally be digest-bucketed + compacted, the
-  *    StreamingDedup two-tier mechanism verbatim. raw/ itself is now
-  *    read only on the rare new-bench-docs rescreen path.
+  *    shuffled the whole ingested history per micro-batch. Round 15:
+  *    the store is a digest-bucketed [[TieredStore]] with the same
+  *    automatic compaction cadence as the band store, so the lookup's
+  *    READ also prunes to the batch's own digests (touched sb
+  *    directories + pushed digest predicates / broadcast semi-join) —
+  *    per-batch hub cost is batch-proportional, not history-
+  *    proportional (StoreScale's hubs_probe row measures it flat
+  *    across 10× digest-history growth). raw/ itself is read only on
+  *    the rare new-bench-docs rescreen path.
   *  - '''benchsh/''' is read per batch, but the benchmark it holds is
   *    FIXED in production (`benchMaxId` — a pinned eval suite), making
   *    the read bounded; only the fixture convention lets it grow with
   *    the corpus (the documented q_decontam fixture-quadratic).
   */
 object IncrementalCorpus {
+
+  /** Bucket count of the hubs store's compacted tier. The hubs row is
+    * tiny (two strings/longs), so 64 directories bound listing cost
+    * while a batch's distinct digests prune to the buckets they hash
+    * into; row-level digest pruning does the fine selectivity.
+    */
+  val HubBuckets: Int = 64
+
+  /** The (digest, hub) first-sight store as a [[TieredStore]] (round
+    * 15 — the round-14 hubs/ store removed the per-batch history
+    * SHUFFLE but still scanned every deduped (digest, hub) row ever
+    * written per batch; the two-tier layout + digest-pruned read makes
+    * the lookup proportional to the batch, the same mechanism —
+    * literally the same module — as the band store). The append tier
+    * is byte-compatible with the round-14 flat batch_id layout, so
+    * existing state dirs resume without migration.
+    */
+  private[streaming] def hubStoreOf(base: String): TieredStore =
+    TieredStore.stringKeyed(s"$base/hubs", Seq("digest", "hub"), "digest",
+      HubBuckets, label = "hubs-store")
 
   private def readOr(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.parquet(dir))
@@ -113,8 +136,10 @@ object IncrementalCorpus {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, base: String,
       threshold: Double = 0.5, minOverlap: Double = 0.3,
-      benchMaxId: Long = Long.MaxValue): Unit = {
+      benchMaxId: Long = Long.MaxValue,
+      compactEvery: Int = StreamingDedup.DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
+    val hubStore = hubStoreOf(base)
     // State-layout compatibility guard, BEFORE any state mutation: a dir
     // written before the benchsh/ store existed has earlier bench/
     // batches but no benchsh/ directory — continuing would silently
@@ -131,8 +156,9 @@ object IncrementalCorpus {
     }
     // same guard for the round-14 hubs/ store: continuing a pre-hubs
     // state dir would silently treat every batch digest as new (missed
-    // cross-batch exact-dup edges, no error)
-    if (readBefore(spark, s"$base/hubs", batchId).isEmpty) {
+    // cross-batch exact-dup edges, no error). Two-tier aware: a fully
+    // compacted hubs store has no append-tier batches but is not legacy.
+    if (hubStore.readAll(spark, batchId).isEmpty) {
       val legacyRaw = readBefore(spark, s"$base/raw", batchId)
       require(legacyRaw.forall(_.isEmpty),
         s"$base: raw/ has batches before $batchId but hubs/ is missing — " +
@@ -152,7 +178,7 @@ object IncrementalCorpus {
     // near-dup candidate pairs + band store, batch-keyed (train-once
     // signatures; the band join prunes to buckets the batch touches)
     StreamingDedup.commitBatch(q.drop("digest"), batchId,
-      s"$base/store", s"$base/pairs", threshold)
+      s"$base/store", s"$base/pairs", threshold, compactEvery = compactEvery)
 
     // exact-dup connectivity: one star edge per new doc sharing a digest
     // with an earlier doc or with a batch-mate — linear, ids only.
@@ -161,48 +187,53 @@ object IncrementalCorpus {
     // digest's FIRST appearance) instead of a per-batch
     // groupBy(digest).min over ALL of raw/ — that recomputation
     // shuffled the entire ingested history through an exchange every
-    // micro-batch, the same unbounded per-batch term the band store
-    // had. The hubs side is first restricted map-side to the batch's
-    // own digests (broadcast left-semi — the batch is the small side
-    // BY DEFINITION), so the only per-batch history cost left is the
-    // columnar scan of the deduped (digest, hub) rows; at 100 TB the
-    // store would additionally be digest-bucketed + compacted, the
-    // StreamingDedup two-tier mechanism verbatim. A FROZEN first-seen
-    // hub is connectivity-equivalent to the old running-minimum hub:
+    // micro-batch. Round 15: the hubs store is a [[TieredStore]]
+    // (digest-bucketed + compacted, the band store's mechanism — the
+    // remedy round 14 only named), so the lookup's READ is also
+    // batch-proportional: the probe of the batch's own digests prunes
+    // the compacted tier to touched sb directories and both tiers to
+    // matching digest rows (pushed predicates or broadcast semi-join;
+    // the batch is the small side BY DEFINITION) — the last
+    // linear-in-history per-batch term gone. A FROZEN first-seen hub
+    // is connectivity-equivalent to the old running-minimum hub:
     // every same-digest doc stars to the same representative, so
     // components — and with them the min-id survivors — are identical
     // (IncrementalCorpusSpec's displacement + parity cases pin it).
-    val hubsOld = readBefore(spark, s"$base/hubs", batchId)
+    // materialized ONCE: the batch's (digest → min doc_id) rows feed
+    // the pruned read's probe, the hub lookup join, and the delta —
+    // bounded by the batch's own distinct-digest count
     val bmin = q.groupBy("digest").agg(min(col("doc_id")).as("bmin"))
+      .localCheckpoint(true)
     // hubs delta = digests this batch INTRODUCES, hubbed at their
     // batch minimum — replay-idempotent like every other per-batch
-    // write. batchHubs (the RESTRICTED earlier-hub rows) is
-    // checkpointed because both the lookup join and the delta
-    // anti-join read it — without the materialization each use would
-    // re-scan the whole hubs history; the result is bounded by the
+    // write. batchHubs (the restricted earlier-hub rows the pruned
+    // read returns) is checkpointed because both the lookup join and
+    // the delta anti-join read it; the result is bounded by the
     // batch's own digest count. The first batch (no hubs yet) skips
     // the whole lookup machinery: every digest is new.
-    val (withHub, hubsDelta) = hubsOld match {
-      case None =>
-        (q.select(col("doc_id"), col("digest")).join(bmin, "digest")
-          .withColumn("hub", col("bmin")),
-          bmin.select(col("digest"), col("bmin").as("hub")))
-      case Some(h) =>
-        val batchHubs = h
-          .join(broadcast(bmin.select(col("digest"))), Seq("digest"), "left_semi")
-          .localCheckpoint(true)
-        (q.select(col("doc_id"), col("digest"))
-          .join(bmin, "digest")
-          .join(broadcast(batchHubs), Seq("digest"), "left")
-          .withColumn("hub", coalesce(col("hub"), col("bmin"))),
-          bmin.select(col("digest"), col("bmin").as("hub"))
-            .join(broadcast(batchHubs.select(col("digest"))),
-              Seq("digest"), "left_anti"))
-    }
+    val (withHub, hubsDelta) =
+      hubStore.readPruned(spark, batchId, bmin.select(col("digest"))) match {
+        case None =>
+          (q.select(col("doc_id"), col("digest")).join(bmin, "digest")
+            .withColumn("hub", col("bmin")),
+            bmin.select(col("digest"), col("bmin").as("hub")))
+        case Some(restricted) =>
+          val batchHubs = restricted.localCheckpoint(true)
+          (q.select(col("doc_id"), col("digest"))
+            .join(bmin, "digest")
+            .join(broadcast(batchHubs), Seq("digest"), "left")
+            .withColumn("hub", coalesce(col("hub"), col("bmin"))),
+            bmin.select(col("digest"), col("bmin").as("hub"))
+              .join(broadcast(batchHubs.select(col("digest"))),
+                Seq("digest"), "left_anti"))
+      }
     val dedges = withHub.filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
     StreamingDedup.writeBatchPartition(dedges, batchId, s"$base/dedges")
-    StreamingDedup.writeBatchPartition(hubsDelta, batchId, s"$base/hubs")
+    // digest-sorted append + the same automatic compaction cadence as
+    // the band store — post-commit, replay- and crash-safe
+    hubStore.append(hubsDelta, batchId)
+    if (compactEvery > 0) hubStore.maybeCompact(spark, compactEvery)
 
     // contamination: new docs vs all benchmark docs so far, and already-
     // ingested docs vs the batch's new benchmark docs — each a bounded

@@ -121,14 +121,33 @@ object StreamingDedup {
     */
   val PushdownHashLimit: Int = 1 << 10
 
-  private def sbOf(bandHash: Long): Int =
-    java.lang.Math.floorMod(bandHash, StoreBuckets.toLong).toInt
+  /** Compaction cadence of the production stream ([[nearDedupStream]]):
+    * compact the band store whenever this many append-tier batches have
+    * accumulated since the last watermark (round 15 — [[compactStore]]
+    * previously had no caller in the streaming path, so a long-running
+    * ingest never reached the measured flat-probe regime and its
+    * per-batch directory listing grew with batch count). 16 bounds the
+    * append tier at 16 × task-count files while keeping the rewrite
+    * amortized (each row is rewritten once per ~16 batches of history
+    * at most — and only rows below the watermark move, so the steady-
+    * state rewrite is the whole store every 16 batches: an operator
+    * tuning for write amplification raises it, one tuning for read
+    * latency lowers it).
+    */
+  val DefaultCompactEvery: Int = 16
+
+  /** The band store as a [[TieredStore]] (round 15: the two-tier
+    * machinery factored out so the hubs store reuses it verbatim).
+    */
+  private[streaming] def bandStoreOf(storeDir: String): TieredStore =
+    TieredStore.longKeyed(storeDir, StoreSchema.fieldNames.toSeq,
+      "band_hash", StoreBuckets, PushdownHashLimit, label = "band-store")
 
   /** The compacted tier lives in a SIBLING directory so the append
     * tier's partition inference never sees two layouts in one tree.
     */
   def bucketedDirOf(storeDir: String): String =
-    storeDir.stripSuffix("/") + "_bucketed"
+    bandStoreOf(storeDir).bucketedDir
 
   /** One micro-batch step (also the unit under direct test): new pairs
     * from `batch` vs `store` ∪ `batch`, restricted to pairs touching the
@@ -165,67 +184,13 @@ object StreamingDedup {
     * non-local filesystem and drop every cross-batch pair).
     */
   def readStore(spark: SparkSession, storeDir: String,
-      beforeBatch: Long): Option[DataFrame] = {
-    val cols = StoreSchema.fieldNames.map(col).toSeq
+      beforeBatch: Long): Option[DataFrame] =
     // two-tier aware (round-14 review): after compactStore has moved
     // history into the bucketed tier, an append-tier-only read would
     // silently lose every compacted batch — the unpruned read must
     // union both tiers exactly like the pruned one, just without the
     // hash/bucket filters.
-    val w = compactionWatermark(spark, storeDir)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val bucketed: Option[DataFrame] =
-      if (w < 0) None
-      else resolvedBucketedDir(fs, storeDir).flatMap { dir =>
-        try Some(spark.read.parquet(dir)
-          .filter(col("batch_id") < beforeBatch).select(cols: _*))
-        catch { case _: AnalysisException => None }
-      }
-    val fresh: Option[DataFrame] =
-      try Some(spark.read.parquet(storeDir)
-        .filter(col("batch_id") > w && col("batch_id") < beforeBatch)
-        .select(cols: _*))
-      catch { case _: AnalysisException => None }
-    (bucketed, fresh) match {
-      case (Some(b), Some(f)) => Some(b.unionByName(f))
-      case (b, f) => b.orElse(f)
-    }
-  }
-
-  /** The committed compacted-tier directory, resolving the `__prev`
-    * crash window: a compaction that died between its two publish
-    * renames leaves the last good tier at `__prev` — readers use it
-    * (and [[compactStore]] restores it) rather than losing the only
-    * surviving copy.
-    */
-  private def resolvedBucketedDir(
-      fs: org.apache.hadoop.fs.FileSystem, storeDir: String): Option[String] = {
-    val bucketed = new org.apache.hadoop.fs.Path(bucketedDirOf(storeDir))
-    val prev = new org.apache.hadoop.fs.Path(bucketedDirOf(storeDir) + "__prev")
-    if (fs.exists(bucketed)) Some(bucketed.toString)
-    else if (fs.exists(prev)) Some(prev.toString)
-    else None
-  }
-
-  /** The compaction watermark of the resolved bucketed tier: batches
-    * with id ≤ watermark live there; -1 when no tier exists (all
-    * batches are append-tier).
-    */
-  private[streaming] def compactionWatermark(spark: SparkSession,
-      storeDir: String): Long = {
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    resolvedBucketedDir(fs, storeDir).map { dir =>
-      val wPath = new org.apache.hadoop.fs.Path(dir, "_watermark")
-      if (!fs.exists(wPath)) -1L
-      else {
-        val in = fs.open(wPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
-    }.getOrElse(-1L)
-  }
+    bandStoreOf(storeDir).readAll(spark, beforeBatch)
 
   /** [[readStore]] pruned to what the micro-batch's own band rows can
     * possibly pair with — see the class doc for why this is lossless.
@@ -235,152 +200,22 @@ object StreamingDedup {
     * probe is ≤ [[PushdownHashLimit]] hashes (parquet row-group
     * skipping on the sorted files) or a broadcast left-semi join
     * otherwise (no literal-bloated plan; the driver never collects an
-    * unbounded list).
+    * unbounded list). Mechanism: [[TieredStore.readPruned]].
     */
   def readStorePruned(spark: SparkSession, storeDir: String,
-      beforeBatch: Long, batchBands: DataFrame): Option[DataFrame] = {
-    val distinctHashes = batchBands.select(col("band_hash")).distinct()
-    val probe = distinctHashes.limit(PushdownHashLimit + 1)
-      .collect().map(_.getLong(0))
-    val small = probe.length <= PushdownHashLimit
-    // BALANCED or-tree (depth log n): the left-deep reduce(_ || _)
-    // form recursed Catalyst's tree walks to a StackOverflow at
-    // ~1000 terms
-    def balancedOr(preds: IndexedSeq[org.apache.spark.sql.Column])
-        : org.apache.spark.sql.Column =
-      if (preds.length == 1) preds.head
-      else {
-        val (l, r) = preds.splitAt(preds.length / 2)
-        balancedOr(l) || balancedOr(r)
-      }
-    def hashPrune(df: DataFrame): DataFrame =
-      if (small) {
-        if (probe.isEmpty) df.limit(0) // empty batch pairs with nothing
-        else df.filter(balancedOr(probe.toIndexedSeq.map(h => col("band_hash") === h)))
-      } else df.join(broadcast(distinctHashes), Seq("band_hash"), "left_semi")
-    val cols = StoreSchema.fieldNames.map(col).toSeq
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val w = compactionWatermark(spark, storeDir)
-    val bucketed: Option[DataFrame] =
-      if (w < 0) None
-      else resolvedBucketedDir(fs, storeDir).flatMap { dir =>
-        try {
-          val sbs =
-            if (small) probe.map(sbOf).distinct
-            else batchBands
-              .select(pmod(col("band_hash"), lit(StoreBuckets.toLong))
-                .cast("int").as("sb"))
-              .distinct().collect().map(_.getInt(0)) // bounded ≤ StoreBuckets
-          Some(hashPrune(spark.read.parquet(dir)
-            .filter(col("sb").isin(sbs.map(Integer.valueOf).toSeq: _*) &&
-              col("batch_id") < beforeBatch))
-            .select(cols: _*))
-        } catch { case _: AnalysisException => None }
-      }
-    val fresh: Option[DataFrame] =
-      try Some(hashPrune(spark.read.parquet(storeDir)
-        // > w: batches ≤ w live in the bucketed tier; append-tier dirs
-        // a replay recreated after compaction are garbage, not data
-        .filter(col("batch_id") > w && col("batch_id") < beforeBatch))
-        .select(cols: _*))
-      catch { case _: AnalysisException => None }
-    (bucketed, fresh) match {
-      case (Some(b), Some(f)) => Some(b.unionByName(f))
-      case (b, f) => b.orElse(f)
-    }
-  }
+      beforeBatch: Long, batchBands: DataFrame): Option[DataFrame] =
+    bandStoreOf(storeDir).readPruned(spark, beforeBatch, batchBands)
 
   /** Rewrite every append-tier batch with id ≤ `upTo` (plus the
-    * existing bucketed tier) into a fresh bucketed tier: `sb=K/`
-    * partitions, rows clustered one large file per bucket and sorted
-    * by band_hash (tight row-group stats for the pruned read's pushed
-    * predicates), batch_id kept as a DATA column so replay-prefix
-    * reads still filter exactly. Publish is stage-then-swap with the
-    * `__prev` recovery (the literal-layout sink's protocol): a crash
-    * anywhere leaves either the old committed tier or its recoverable
-    * `__prev`, never a torn mix, and the append-tier dirs are deleted
-    * only AFTER the new tier is committed. The watermark may only
-    * advance over batches whose append dirs actually LANDED (enforced
-    * below): a watermark past a not-yet-committed batch would hide
-    * that batch's rows forever once it lands (its dir sits ≤ watermark,
-    * invisible to both the pruned read and the next compaction).
-    * Within that bound any `upTo` is safe — a later REPLAY of a
-    * compacted batch stays a no-op: its rewritten append dir is
-    * excluded by the watermark filter while the bucketed tier already
-    * holds the identical rows.
+    * existing bucketed tier) into a fresh bucketed tier — the
+    * [[TieredStore.compact]] protocol: sb-partitioned band_hash-sorted
+    * large files, batch_id kept as a data column, publish-by-rename
+    * with `__prev` crash recovery, and the landed-batch watermark
+    * clamp (a watermark past a not-yet-committed batch would hide its
+    * rows forever once it lands).
     */
-  def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val bucketed = new org.apache.hadoop.fs.Path(bucketedDirOf(storeDir))
-    val prev = new org.apache.hadoop.fs.Path(bucketedDirOf(storeDir) + "__prev")
-    val tmp = new org.apache.hadoop.fs.Path(bucketedDirOf(storeDir) + "__tmp")
-    // crash recovery first, the literal-layout discipline: a committed
-    // tier makes a surviving prev garbage; a missing tier restores it
-    if (fs.exists(prev)) {
-      if (fs.exists(bucketed)) fs.delete(prev, true)
-      else require(fs.rename(prev, bucketed),
-        s"band-store compaction could not restore $prev")
-    }
-    fs.delete(tmp, true) // stale staging from an earlier failed run
-    val w = compactionWatermark(spark, storeDir)
-    require(upTo >= w, s"compaction watermark can only advance ($w → $upTo)")
-    // the landed-batch bound (round-14 review): the watermark must not
-    // pass the NEWEST landed append batch — micro-batch ids are
-    // monotone, so a batch committing later always carries a HIGHER id
-    // than everything landed, but a watermark set past max(landed)
-    // would hide exactly those future batches' rows forever once they
-    // land (dir ≤ watermark, invisible to reads and to the next
-    // compaction). Gaps below max(landed) are safe: monotone ids are
-    // never back-filled.
-    val maxLanded: Long =
-      Option(fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)))
-        .map(_.toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toLong))
-        .filter(_.nonEmpty).map(_.max).getOrElse(w)
-    require(upTo <= math.max(maxLanded, w),
-      s"compaction watermark $upTo passes the newest landed batch " +
-        s"$maxLanded — a batch committing later would be hidden forever; " +
-        "compact only up to the newest LANDED batch")
-    val cols = (StoreSchema.fieldNames :+ "batch_id").map(col).toSeq
-    val oldTier: Option[DataFrame] =
-      if (w < 0) None
-      else try Some(spark.read.parquet(bucketed.toString).select(cols: _*))
-      catch { case _: AnalysisException => None }
-    val freshRows: Option[DataFrame] =
-      try Some(spark.read.parquet(storeDir)
-        .filter(col("batch_id") > w && col("batch_id") <= upTo)
-        .select(cols: _*))
-      catch { case _: AnalysisException => None }
-    if (oldTier.isEmpty && freshRows.isEmpty) return // nothing to compact
-    val all = (oldTier, freshRows) match {
-      case (Some(o), Some(f)) => o.unionByName(f)
-      case (o, f) => o.orElse(f).get
-    }
-    all
-      .withColumn("sb", pmod(col("band_hash"), lit(StoreBuckets.toLong)).cast("int"))
-      .repartition(col("sb")) // one task's output per bucket → few large files
-      .sortWithinPartitions(col("sb"), col("band_hash"))
-      .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
-    val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_watermark"), true)
-    try os.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-    if (fs.exists(bucketed)) require(fs.rename(bucketed, prev),
-      s"band-store compaction could not stage the previous tier aside: $bucketed")
-    require(fs.rename(tmp, bucketed),
-      s"band-store compaction could not publish $tmp")
-    fs.delete(prev, true)
-    // the rewritten batches leave the append tier only after commit
-    Option(fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)))
-      .foreach(_.foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLong <= upTo)
-          fs.delete(st.getPath, true)
-      })
-  }
+  def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit =
+    bandStoreOf(storeDir).compact(spark, upTo)
 
   /** All pairs emitted so far (any batch), in [[PairsSchema]] layout; an
     * absent/empty pairs directory reads as zero rows.
@@ -404,56 +239,54 @@ object StreamingDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  /** Land band rows as the append-tier `batch_id=N` partition. Same
-    * dynamic-overwrite idempotence as [[writeBatchPartition]]; rows
-    * are sorted by band_hash within each task so row-group stats stay
-    * tight for the pruned read's pushed predicates — NO extra shuffle
-    * and no per-batch bucket fan-out (file count stays at task count;
-    * the bucketed layout is [[compactStore]]'s job).
-    */
-  private[streaming] def writeBandStore(bands: DataFrame, batchId: Long,
-      dir: String): Unit =
-    bands
-      .withColumn("batch_id", lit(batchId))
-      .sortWithinPartitions(col("band_hash"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(dir)
-
   /** The full idempotent micro-batch commit (the foreachBatch body,
     * exposed so tests can replay it): read the earlier-batch store,
     * compute the batch's pairs and band rows, land both keyed on the
     * batch id. Running this twice for the same (batch, batchId) leaves
-    * both sinks byte-identical.
+    * both sinks byte-identical. `compactEvery > 0` additionally runs
+    * the [[TieredStore.maybeCompact]] cadence as a post-commit step —
+    * safe under replay and crash (see there); 0 leaves compaction to
+    * the operator ([[compactStore]]).
     */
   def commitBatch(batch: DataFrame, batchId: Long, storeDir: String,
-      pairsDir: String, threshold: Double, prune: Boolean = true): Unit = {
+      pairsDir: String, threshold: Double, prune: Boolean = true,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val bandStore = bandStoreOf(storeDir)
     // band rows feed the touched-hash collect, the pair join, AND the
     // store write — cut the streaming-source lineage and materialize
     // ONCE (signatures are the batch's expensive map-only work)
     val bands = Similarity.bandedSignaturesOf(batch).localCheckpoint(true)
     val store =
-      if (prune) readStorePruned(spark, storeDir, batchId, bands)
-      else readStore(spark, storeDir, batchId)
+      if (prune) bandStore.readPruned(spark, batchId, bands)
+      else bandStore.readAll(spark, batchId)
     val pairs = pairsFromBands(bands, store, threshold)
     writeBatchPartition(pairs, batchId, pairsDir)
-    writeBandStore(bands, batchId, storeDir)
+    // sorted-by-band_hash append (tight row-group stats for the pruned
+    // read's pushed predicates); file count stays at task count — the
+    // bucketed layout is compaction's job
+    bandStore.append(bands, batchId)
+    if (compactEvery > 0) bandStore.maybeCompact(spark, compactEvery)
   }
 
   /** Run the stream: docs under `docsDir` → near-dup pairs landed under
     * `pairsDir`, band rows accumulated under `storeDir`, both keyed by
     * micro-batch id. Blocks until all currently-available input is
-    * processed.
+    * processed. The band store compacts automatically every
+    * `compactEvery` batches ([[DefaultCompactEvery]]) so a long-running
+    * ingest converges to the bucketed flat-probe regime without
+    * operator intervention; 0 disables.
     */
   def nearDedupStream(spark: SparkSession, docsDir: String, schema: StructType,
       storeDir: String, pairsDir: String, checkpoint: String,
-      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     val q = docsStream(spark, docsDir, schema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, storeDir, pairsDir, threshold)
+        commitBatch(batch, batchId, storeDir, pairsDir, threshold,
+          compactEvery = compactEvery)
       }
       .start()
     q.processAllAvailable()

@@ -1,0 +1,373 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A keyed two-tier (LSM-shaped) parquet store for streaming state —
+  * the round-14 StreamingDedup band-store layout factored into a
+  * reusable module (round 15: the hubs store needed the identical
+  * tier/compaction/watermark machinery, and a second hand-rolled copy
+  * of a crash-recovery protocol is how protocols drift).
+  *
+  * Layout:
+  *
+  *  - '''append tier''' (`<store>/batch_id=N/`): each micro-batch
+  *    lands its rows in its own partition via dynamic partition
+  *    overwrite (the idempotence key), rows sorted by `keyCol` within
+  *    each task so parquet row-group stats stay tight. File count per
+  *    batch = task count — never per-bucket fragments (the formulation
+  *    that partitioned every batch by bucket drowned in 2,500 tiny
+  *    files by batch 10; StoreScale measured it 3× slower than no
+  *    pruning at all).
+  *  - '''bucketed tier''' (`<store>_bucketed/sb=K/`, sb =
+  *    `bucketExpr(keyCol)`): produced by [[compact]], which rewrites
+  *    all append-tier batches up to a watermark into few LARGE
+  *    per-bucket files (batch_id kept as a data column, the watermark
+  *    in `_watermark`), publish-by-rename with `__prev` crash
+  *    recovery.
+  *
+  * Reads: [[readAll]] unions both tiers (append tier restricted to
+  * batches above the watermark — dirs a replay recreated after
+  * compaction are garbage, not data). [[readPruned]] additionally
+  * restricts the bucketed tier to the sb partitions the probe's keys
+  * touch (DIRECTORY pruning) and both tiers to rows matching the
+  * probe's key set — pushed OR-of-equals parquet predicates when the
+  * probe is ≤ `pushdownLimit` distinct keys (row-group skipping on the
+  * key-sorted files) or a broadcast left-semi join otherwise (no
+  * literal-bloated plan; nothing unbounded ever collects to the
+  * driver). Key-equality pruning is exactly lossless for any consumer
+  * that only ever equi-joins the store on `keyCol` against the probe's
+  * rows — a store row whose key the probe lacks cannot match anything
+  * (TieredStorePropSpec proves pruned ≡ full ∩ probe over generated
+  * batch splits, compaction points, and probe sizes on both literal
+  * and semi-join paths).
+  *
+  * Crash protocol (spec-simulated at each window): compaction stages
+  * the new tier at `__tmp`, renames the committed tier to `__prev`,
+  * publishes, then deletes `__prev`; recovery-first on the next run;
+  * the watermark may only advance over batches whose append dirs
+  * actually LANDED. Correct under both POSIX rename (overwrites dst)
+  * and HDFS rename (refuses): each attempt stages a complete tree
+  * under a fresh delete-then-write `__tmp`, so either rename outcome
+  * leaves one complete committed copy.
+  *
+  * `bucketOfValue` must agree with `bucketExpr` (driver-side twin for
+  * the small-probe path, so deriving touched buckets costs no extra
+  * Spark job); TieredStoreSpec pins the agreement for both shipped
+  * instances, including the xxhash64 seed-42 twin the hubs store uses.
+  *
+  * @param dataCols      store schema field names (minus batch_id)
+  * @param keyCol        the equi-join/prune key column
+  * @param buckets       bucketed-tier partition count — bounds
+  *                      directory opens; row-level key pruning does the
+  *                      fine selectivity inside touched buckets
+  * @param bucketExpr    key column → INT bucket in [0, buckets)
+  * @param bucketOfValue driver-side twin of `bucketExpr` over a
+  *                      collected key value
+  * @param pushdownLimit probe-size ceiling for the pushed
+  *                      OR-of-equals form
+  * @param label         store name used in error messages
+  */
+final class TieredStore(
+    val storeDir: String,
+    val dataCols: Seq[String],
+    val keyCol: String,
+    val buckets: Int,
+    val bucketExpr: Column => Column,
+    val bucketOfValue: Any => Int,
+    val pushdownLimit: Int = 1 << 10,
+    val label: String = "store") extends Serializable {
+
+  /** The compacted tier lives in a SIBLING directory so the append
+    * tier's partition inference never sees two layouts in one tree.
+    */
+  def bucketedDir: String = storeDir.stripSuffix("/") + "_bucketed"
+
+  private def fsOf(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The committed compacted-tier directory, resolving the `__prev`
+    * crash window: a compaction that died between its two publish
+    * renames leaves the last good tier at `__prev` — readers use it
+    * (and [[compact]] restores it) rather than losing the only
+    * surviving copy.
+    */
+  private def resolvedBucketedDir(
+      fs: org.apache.hadoop.fs.FileSystem): Option[String] = {
+    val bucketed = new org.apache.hadoop.fs.Path(bucketedDir)
+    val prev = new org.apache.hadoop.fs.Path(bucketedDir + "__prev")
+    if (fs.exists(bucketed)) Some(bucketed.toString)
+    else if (fs.exists(prev)) Some(prev.toString)
+    else None
+  }
+
+  /** The compaction watermark of the resolved bucketed tier: batches
+    * with id ≤ watermark live there; -1 when no tier exists (all
+    * batches are append-tier).
+    */
+  def watermark(spark: SparkSession): Long = {
+    val fs = fsOf(spark)
+    resolvedBucketedDir(fs).map { dir =>
+      val wPath = new org.apache.hadoop.fs.Path(dir, "_watermark")
+      if (!fs.exists(wPath)) -1L
+      else {
+        val in = fs.open(wPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    }.getOrElse(-1L)
+  }
+
+  /** Append-tier batch ids currently on disk. Guarded listing (a store
+    * whose append tier was never created — e.g. compact-before-
+    * first-append — must read as empty, not throw the FileSystem's
+    * FileNotFoundException; the round-14 ADVICE finding).
+    */
+  def landedBatchIds(spark: SparkSession): Seq[Long] =
+    try fsOf(spark).listStatus(new org.apache.hadoop.fs.Path(storeDir))
+      .toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** Land `df` as the append-tier `batch_id=batchId` partition.
+    * Dynamic partition overwrite is the idempotence mechanism: a
+    * replay rewrites ONLY its own partition with the identical
+    * recomputed rows. Rows are sorted by `keyCol` within each task so
+    * row-group stats stay tight for the pruned read's pushed
+    * predicates — NO extra shuffle and no per-batch bucket fan-out.
+    */
+  def append(df: DataFrame, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+
+  /** The accumulated store (both tiers) restricted to batches strictly
+    * before `beforeBatch` — so a replayed batch sees the identical
+    * store prefix even when its own rows already landed before the
+    * crash. Resolved by attempting the read and treating a missing
+    * path as "no store yet": works identically for local disk, HDFS,
+    * and s3a URIs. Append tier restricted to batches ABOVE the
+    * watermark: dirs a replay recreated after compaction are garbage,
+    * not data.
+    */
+  def readAll(spark: SparkSession, beforeBatch: Long): Option[DataFrame] = {
+    val cols = dataCols.map(col)
+    val w = watermark(spark)
+    val fs = fsOf(spark)
+    val bucketed: Option[DataFrame] =
+      if (w < 0) None
+      else resolvedBucketedDir(fs).flatMap { dir =>
+        try Some(spark.read.parquet(dir)
+          .filter(col("batch_id") < beforeBatch).select(cols: _*))
+        catch { case _: AnalysisException => None }
+      }
+    val fresh: Option[DataFrame] =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") > w && col("batch_id") < beforeBatch)
+        .select(cols: _*))
+      catch { case _: AnalysisException => None }
+    (bucketed, fresh) match {
+      case (Some(b), Some(f)) => Some(b.unionByName(f))
+      case (b, f) => b.orElse(f)
+    }
+  }
+
+  /** [[readAll]] pruned to rows whose `keyCol` appears in `probe`
+    * (any frame carrying a `keyCol` column) — see the class doc for
+    * the two pruning forms and the losslessness contract.
+    */
+  def readPruned(spark: SparkSession, beforeBatch: Long,
+      probe: DataFrame): Option[DataFrame] = {
+    val distinctKeys = probe.select(col(keyCol)).distinct()
+    val probed = distinctKeys.limit(pushdownLimit + 1)
+      .collect().map(_.get(0))
+    val small = probed.length <= pushdownLimit
+    // BALANCED or-tree (depth log n): the left-deep reduce(_ || _)
+    // form recursed Catalyst's tree walks to a StackOverflow at
+    // ~1000 terms
+    def balancedOr(preds: IndexedSeq[Column]): Column =
+      if (preds.length == 1) preds.head
+      else {
+        val (l, r) = preds.splitAt(preds.length / 2)
+        balancedOr(l) || balancedOr(r)
+      }
+    def keyPrune(df: DataFrame): DataFrame =
+      if (small) {
+        if (probed.isEmpty) df.limit(0) // empty probe matches nothing
+        else df.filter(balancedOr(probed.toIndexedSeq.map(v => col(keyCol) === lit(v))))
+      } else df.join(broadcast(distinctKeys), Seq(keyCol), "left_semi")
+    val cols = dataCols.map(col)
+    val fs = fsOf(spark)
+    val w = watermark(spark)
+    val bucketed: Option[DataFrame] =
+      if (w < 0) None
+      else resolvedBucketedDir(fs).flatMap { dir =>
+        try {
+          val sbs =
+            if (small) probed.map(bucketOfValue).distinct
+            else probe
+              .select(bucketExpr(col(keyCol)).as("sb"))
+              .distinct().collect().map(_.getInt(0)) // bounded ≤ buckets
+          Some(keyPrune(spark.read.parquet(dir)
+            .filter(col("sb").isin(sbs.map(Integer.valueOf).toSeq: _*) &&
+              col("batch_id") < beforeBatch))
+            .select(cols: _*))
+        } catch { case _: AnalysisException => None }
+      }
+    val fresh: Option[DataFrame] =
+      try Some(keyPrune(spark.read.parquet(storeDir)
+        // > w: batches ≤ w live in the bucketed tier; append-tier dirs
+        // a replay recreated after compaction are garbage, not data
+        .filter(col("batch_id") > w && col("batch_id") < beforeBatch))
+        .select(cols: _*))
+      catch { case _: AnalysisException => None }
+    (bucketed, fresh) match {
+      case (Some(b), Some(f)) => Some(b.unionByName(f))
+      case (b, f) => b.orElse(f)
+    }
+  }
+
+  /** Rewrite every append-tier batch with id ≤ `upTo` (plus the
+    * existing bucketed tier) into a fresh bucketed tier: `sb=K/`
+    * partitions, rows clustered one large file per bucket and sorted
+    * by `keyCol` (tight row-group stats for the pruned read's pushed
+    * predicates), batch_id kept as a DATA column so replay-prefix
+    * reads still filter exactly. Publish is stage-then-swap with the
+    * `__prev` recovery: a crash anywhere leaves either the old
+    * committed tier or its recoverable `__prev`, never a torn mix,
+    * and the append-tier dirs are deleted only AFTER the new tier is
+    * committed. The watermark may only advance over batches whose
+    * append dirs actually LANDED (enforced below): a watermark past a
+    * not-yet-committed batch would hide that batch's rows forever
+    * once it lands. Within that bound any `upTo` is safe — a later
+    * REPLAY of a compacted batch stays a no-op: its rewritten append
+    * dir is excluded by the watermark filter while the bucketed tier
+    * already holds the identical rows.
+    */
+  def compact(spark: SparkSession, upTo: Long): Unit = {
+    val fs = fsOf(spark)
+    val bucketed = new org.apache.hadoop.fs.Path(bucketedDir)
+    val prev = new org.apache.hadoop.fs.Path(bucketedDir + "__prev")
+    val tmp = new org.apache.hadoop.fs.Path(bucketedDir + "__tmp")
+    // crash recovery first, the literal-layout discipline: a committed
+    // tier makes a surviving prev garbage; a missing tier restores it
+    if (fs.exists(prev)) {
+      if (fs.exists(bucketed)) fs.delete(prev, true)
+      else require(fs.rename(prev, bucketed),
+        s"$label compaction could not restore $prev")
+    }
+    fs.delete(tmp, true) // stale staging from an earlier failed run
+    val w = watermark(spark)
+    require(upTo >= w, s"compaction watermark can only advance ($w → $upTo)")
+    // the landed-batch bound: the watermark must not pass the NEWEST
+    // landed append batch — micro-batch ids are monotone, so a batch
+    // committing later always carries a HIGHER id than everything
+    // landed, but a watermark set past max(landed) would hide exactly
+    // those future batches' rows forever once they land (dir ≤
+    // watermark, invisible to reads and to the next compaction). Gaps
+    // below max(landed) are safe: monotone ids are never back-filled.
+    val maxLanded: Long = {
+      val ids = landedBatchIds(spark)
+      if (ids.nonEmpty) ids.max else w
+    }
+    require(upTo <= math.max(maxLanded, w),
+      s"compaction watermark $upTo passes the newest landed batch " +
+        s"$maxLanded — a batch committing later would be hidden forever; " +
+        "compact only up to the newest LANDED batch")
+    val cols = (dataCols :+ "batch_id").map(col)
+    val oldTier: Option[DataFrame] =
+      if (w < 0) None
+      else try Some(spark.read.parquet(bucketed.toString).select(cols: _*))
+      catch { case _: AnalysisException => None }
+    val freshRows: Option[DataFrame] =
+      try Some(spark.read.parquet(storeDir)
+        .filter(col("batch_id") > w && col("batch_id") <= upTo)
+        .select(cols: _*))
+      catch { case _: AnalysisException => None }
+    if (oldTier.isEmpty && freshRows.isEmpty) return // nothing to compact
+    val all = (oldTier, freshRows) match {
+      case (Some(o), Some(f)) => o.unionByName(f)
+      case (o, f) => o.orElse(f).get
+    }
+    all
+      .withColumn("sb", bucketExpr(col(keyCol)))
+      .repartition(col("sb")) // one task's output per bucket → few large files
+      .sortWithinPartitions(col("sb"), col(keyCol))
+      .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
+    val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_watermark"), true)
+    try os.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (fs.exists(bucketed)) require(fs.rename(bucketed, prev),
+      s"$label compaction could not stage the previous tier aside: $bucketed")
+    require(fs.rename(tmp, bucketed),
+      s"$label compaction could not publish $tmp")
+    fs.delete(prev, true)
+    // the rewritten batches leave the append tier only after commit
+    try fsOf(spark).listStatus(new org.apache.hadoop.fs.Path(storeDir))
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong <= upTo)
+          fs.delete(st.getPath, true)
+      }
+    catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** The automatic compaction cadence for production streams (round
+    * 15 — [[compact]] previously had no caller outside tests and
+    * StoreScale, so a long-running ingest accumulated append-tier
+    * dirs without bound and never reached the measured flat-probe
+    * regime): compact when ≥ `every` append-tier batches have landed
+    * since the last watermark, up to the newest landed batch. Runs as
+    * a post-commit step inside foreachBatch — the landed-batch
+    * watermark clamp makes any landed `upTo` safe, a crash
+    * mid-compaction recovers via `__prev`, and a replay of a
+    * compacted batch stays a no-op. Returns whether it compacted.
+    */
+  def maybeCompact(spark: SparkSession, every: Int): Boolean = {
+    val landed = landedBatchIds(spark)
+    if (landed.length >= every) { compact(spark, landed.max); true }
+    else false
+  }
+}
+
+object TieredStore {
+  /** Driver-side twin of the SQL `xxhash64(stringCol)` (seed 42) — the
+    * bucket function for string-keyed stores. Pinned equal to the SQL
+    * expression by TieredStoreSpec (a seed drift would silently route
+    * probes to the wrong buckets).
+    */
+  def xxhash64OfString(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** A long-keyed store bucketed by `pmod(key, buckets)` (the band
+    * store's shape).
+    */
+  def longKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
+      buckets: Int, pushdownLimit: Int = 1 << 10,
+      label: String = "store"): TieredStore =
+    new TieredStore(storeDir, dataCols, keyCol, buckets,
+      bucketExpr = c => pmod(c, lit(buckets.toLong)).cast("int"),
+      bucketOfValue = v =>
+        java.lang.Math.floorMod(v.asInstanceOf[Long], buckets.toLong).toInt,
+      pushdownLimit = pushdownLimit, label = label)
+
+  /** A string-keyed store bucketed by `pmod(xxhash64(key), buckets)`
+    * (the hubs store's shape).
+    */
+  def stringKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
+      buckets: Int, pushdownLimit: Int = 1 << 10,
+      label: String = "store"): TieredStore =
+    new TieredStore(storeDir, dataCols, keyCol, buckets,
+      bucketExpr = c => pmod(xxhash64(c), lit(buckets.toLong)).cast("int"),
+      bucketOfValue = v => java.lang.Math
+        .floorMod(xxhash64OfString(v.asInstanceOf[String]), buckets.toLong).toInt,
+      pushdownLimit = pushdownLimit, label = label)
+}

@@ -108,7 +108,7 @@ object IncrementalCorpus {
     * is byte-compatible with the round-14 flat batch_id layout, so
     * existing state dirs resume without migration.
     */
-  private[streaming] def hubStoreOf(base: String): TieredStore =
+  private[graft] def hubStoreOf(base: String): TieredStore =
     TieredStore.stringKeyed(s"$base/hubs", Seq("digest", "hub"), "digest",
       HubBuckets, label = "hubs-store")
 

@@ -139,7 +139,7 @@ object StreamingDedup {
   /** The band store as a [[TieredStore]] (round 15: the two-tier
     * machinery factored out so the hubs store reuses it verbatim).
     */
-  private[streaming] def bandStoreOf(storeDir: String): TieredStore =
+  private[graft] def bandStoreOf(storeDir: String): TieredStore =
     TieredStore.longKeyed(storeDir, StoreSchema.fieldNames.toSeq,
       "band_hash", StoreBuckets, PushdownHashLimit, label = "band-store")
 
@@ -302,13 +302,15 @@ object StreamingDedup {
     * localCheckpointed first so it no longer reads from it.
     */
   def nearDedupFixtureRun(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, nFiles: Int = 4): DataFrame = {
+      threshold: Double = 0.5, nFiles: Int = 4,
+      compactEvery: Int = DefaultCompactEvery): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     graft.Tables.documents(spark, sfDir)
       .repartition(nFiles).write.parquet(s"$tmp/in")
     val schema = spark.read.parquet(s"$tmp/in").schema
     val q = nearDedupStream(spark, s"$tmp/in", schema,
-      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck", threshold)
+      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck", threshold,
+      compactEvery = compactEvery)
     q.stop()
     val out = readPairs(spark, s"$tmp/pairs")
       .orderBy(col("doc_a"), col("doc_b"))

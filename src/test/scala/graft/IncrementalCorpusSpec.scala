@@ -65,6 +65,36 @@ class IncrementalCorpusSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("hubs"))
   }
 
+  test("auto-compaction cadence mid-ingest: snapshot parity holds and a compacted batch replays as a no-op (round 15)") {
+    // compactEvery=2 over 4 batches → both the band store and the hubs
+    // store flip to their bucketed tiers MID-INGEST (later batches'
+    // pruned reads cross tier boundaries); the snapshot must still
+    // equal the one-shot batch pipeline, and replaying a batch whose
+    // state was compacted must leave it unchanged.
+    val base = Files.createTempDirectory("graft_inc_cad").toString
+    val docs = Tables.documents(spark, sf)
+    val batches = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalCorpus.ingestBatch(b, i.toLong, base, compactEvery = 2)
+    }
+    val hubStore = IncrementalCorpus.hubStoreOf(base)
+    assert(hubStore.watermark(spark) >= 2L,
+      s"hubs cadence must have fired mid-ingest, watermark=${hubStore.watermark(spark)}")
+    assert(graft.streaming.StreamingDedup.bandStoreOf(s"$base/store")
+      .watermark(spark) >= 2L, "band cadence must have fired mid-ingest")
+    val got = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val want = CorpusPipeline.buildFrame(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    // replay batch 1 — its hubs/band rows live in the bucketed tiers now
+    IncrementalCorpus.ingestBatch(batches(1), 1L, base, compactEvery = 2)
+    val after = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(after == got, "replay of a compacted batch must be a no-op")
+  }
+
   test("replaying an already-ingested batch leaves the snapshot unchanged") {
     val base = Files.createTempDirectory("graft_inc_r").toString
     val docs = Tables.documents(spark, sf)

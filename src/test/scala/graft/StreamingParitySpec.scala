@@ -240,12 +240,48 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     assert(ex.getMessage.contains("landed"), ex.getMessage)
   }
 
-  test("streaming near-dedup pair set is independent of the batch split") {
+  test("automatic compaction cadence: the stream reaches the bucketed regime mid-run and stays exact (round 15)") {
+    // compactEvery=2 over 5 micro-batches → the cadence fires at least
+    // twice INSIDE the stream (batches keep committing against a store
+    // that flips tiers under them); the emitted pair set must still
+    // equal the one-shot batch path, the append tier must stay bounded
+    // by the cadence, and the watermark must have advanced — i.e. a
+    // production stream converges to the measured flat-probe regime
+    // without operator intervention.
+    val tmp = Files.createTempDirectory("graft_sd_cadence").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(5).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    StreamingDedup.nearDedupStream(spark, s"$tmp/in", schema,
+      s"$tmp/store", s"$tmp/pairs", s"$tmp/ck", compactEvery = 2).stop()
+    val got = StreamingDedup.readPairs(spark, s"$tmp/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.queries.Similarity.uncappedMinhashPairsOf(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    val bandStore = StreamingDedup.bandStoreOf(s"$tmp/store")
+    assert(bandStore.watermark(spark) >= 3L,
+      s"cadence must have compacted mid-stream, watermark=${bandStore.watermark(spark)}")
+    assert(bandStore.landedBatchIds(spark).size < 2,
+      s"append tier must stay bounded by the cadence: ${bandStore.landedBatchIds(spark)}")
+    // the store still holds every band row (both tiers union)
+    assert(bandStore.readAll(spark, Long.MaxValue).get.count() ==
+      graft.queries.Similarity.bandedSignaturesOf(docs).count())
+  }
+
+  test("streaming near-dedup pair set is independent of the batch split AND the compaction cadence") {
     val oneShot = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val manyBatches = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(oneShot == manyBatches)
+    // a different compaction cadence changes WHERE rows live
+    // mid-stream (7 batches, compact every 3), never what pairs emit
+    val cadenced = StreamingDedup.nearDedupFixtureRun(spark, sf, nFiles = 7,
+      compactEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cadenced == oneShot)
   }
 
   test("streaming near-dedup commit is idempotent under micro-batch replay") {

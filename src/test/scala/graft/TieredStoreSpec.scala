@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{IncrementalCorpus, StreamingDedup, TieredStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generic two-tier store (streaming/TieredStore.scala): driver/SQL
+  * bucket-twin agreement, the generative losslessness property the
+  * round-14 VERDICT asked for (pruned read ≡ full read ∩ probe over
+  * random batch splits, compaction points, and probe sizes — the three
+  * fixture layouts StreamingParitySpec pins are points in this space),
+  * and the hubs-store instantiation's touched-buckets IO assertion.
+  */
+class TieredStoreSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("driver-side bucket twins agree with the SQL bucket expression (both instances)") {
+    // a seed or pmod drift between bucketOfValue and bucketExpr would
+    // silently route small probes to the WRONG sb directories — rows
+    // dropped, no error. Pin both shipped instances over real values.
+    val hubs = IncrementalCorpus.hubStoreOf(Files.createTempDirectory("ts_twin").toString)
+    val digests = Tables.documents(spark, sf)
+      .select(sha2(lower(trim(col("text"))), 256).as("digest"))
+      .distinct().limit(200)
+    val sqlSide = digests
+      .select(col("digest"), hubs.bucketExpr(col("digest")).as("sb"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(sqlSide.nonEmpty)
+    sqlSide.foreach { case (d, sb) =>
+      assert(hubs.bucketOfValue(d) == sb, s"digest twin drift on $d")
+    }
+    val band = StreamingDedup.bandStoreOf(Files.createTempDirectory("ts_twin2").toString)
+    val hashes = Seq(0L, 1L, -1L, 255L, -256L, Long.MaxValue, Long.MinValue,
+      7919L, -7919L)
+    val sqlBand = hashes.toDF("band_hash")
+      .select(col("band_hash"), band.bucketExpr(col("band_hash")).as("sb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    hashes.foreach { h =>
+      assert(band.bucketOfValue(h) == sqlBand(h), s"band twin drift on $h")
+    }
+  }
+
+  test("pruned read ≡ full read ∩ probe over ≥200 generated (split, compaction, probe) scenarios") {
+    // The pruning argument is prose + three fixture layouts elsewhere;
+    // this covers the space: random rows with colliding keys across
+    // batches, random partial compaction points (watermark anywhere in
+    // the landed range, including mid-history), probe sizes straddling
+    // the pushdown limit (≤8 → pushed OR-of-equals literals; >8 →
+    // broadcast left-semi), and read frontiers both behind and at the
+    // head — every combination must return exactly the ledger's rows
+    // with key ∈ probe and batch < frontier, as a multiset.
+    val dir = Files.createTempDirectory("ts_prop").toString
+    val store = TieredStore.longKeyed(s"$dir/store", Seq("k", "v"), "k",
+      buckets = 16, pushdownLimit = 8, label = "prop-store")
+    val rnd = new scala.util.Random(42)
+    var ledger = Vector.empty[(Long, Long, Long)] // (k, v, batch)
+    var scenarios = 0
+    var compactions = 0
+    var semiProbes = 0
+    for (b <- 0 until 40) {
+      val n = 1 + rnd.nextInt(30)
+      // keys collide across batches (domain 50 « 40×~15 rows) so the
+      // bucketed tier mixes batches inside one sb file
+      val rows = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextLong()))
+      store.append(rows.toDF("k", "v"), b.toLong)
+      ledger ++= rows.map { case (k, v) => (k, v, b.toLong) }
+      if (rnd.nextInt(4) == 0) {
+        val w = store.watermark(spark)
+        val upTo = w + 1 + rnd.nextInt((b - w).toInt + 1)
+        if (upTo <= b) { store.compact(spark, upTo); compactions += 1 }
+      }
+      for (_ <- 0 until 5) {
+        val before = 1L + rnd.nextInt(b + 1)
+        val probeKeys = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(60).toLong).distinct
+        if (probeKeys.size > store.pushdownLimit) semiProbes += 1
+        val got = store.readPruned(spark, before, probeKeys.toDF("k"))
+          .map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+          .getOrElse(Seq.empty)
+        val want = ledger.filter(r => r._3 < before && probeKeys.contains(r._1))
+          .map(r => (r._1, r._2)).sorted
+        assert(got == want,
+          s"batch=$b before=$before probe=${probeKeys.sorted} " +
+            s"w=${store.watermark(spark)}: got ${got.size} want ${want.size}")
+        scenarios += 1
+      }
+    }
+    assert(scenarios >= 200, s"only $scenarios scenarios")
+    assert(compactions >= 5, s"only $compactions compaction points exercised")
+    assert(semiProbes >= 20, s"only $semiProbes probes took the semi-join path")
+    // and the unpruned read returns the full ledger
+    val all = store.readAll(spark, 40L).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(all == ledger.map(r => (r._1, r._2)).sorted)
+  }
+
+  test("hubs-store pruned read opens ONLY the sb buckets the probe digests touch") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Files.createTempDirectory("ts_hubs").toString
+    val store = IncrementalCorpus.hubStoreOf(base)
+    val docs = Tables.documents(spark, sf)
+    def hubsOf(cond: org.apache.spark.sql.Column) = docs.filter(cond)
+      .select(sha2(lower(trim(col("text"))), 256).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min("doc_id").as("hub"))
+    store.append(hubsOf(col("doc_id") < 400), 0L)
+    store.append(hubsOf(col("doc_id") >= 400 && col("doc_id") < 450), 1L)
+    store.compact(spark, 1L)
+    // a SMALL probe of digests KNOWN to the store (batch 0 docs), so
+    // every probe digest must surface exactly one hub row: ≤ 3 touched
+    // buckets of HubBuckets
+    val probe = hubsOf(col("doc_id") >= 100 && col("doc_id") < 103)
+      .select(col("digest")).localCheckpoint(true)
+    val probeDigests = probe.collect().map(_.getString(0))
+    val touched = probeDigests.map(store.bucketOfValue(_)).toSet
+    assert(touched.size < IncrementalCorpus.HubBuckets / 4)
+    val pruned = store.readPruned(spark, 2L, probe).get
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    val bucketScan = scans.find(_.metadata("Location")
+      .contains("hubs_bucketed")).getOrElse(
+      fail(s"no bucketed-tier scan in:\n${pruned.queryExecution.executedPlan}"))
+    assert(bucketScan.metadata("PartitionFilters").contains("sb"))
+    val readDirs = bucketScan.inputRDDs().head.partitions.toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq.map(f => f.filePath.toPath.getParent.getName)
+      case _ => Seq.empty[String]
+    }.toSet
+    assert(readDirs.nonEmpty &&
+      readDirs.forall(d => touched.contains(d.stripPrefix("sb=").toInt)),
+      s"scan must open only touched buckets, opened $readDirs for $touched")
+    val allDirs = spark.read.parquet(store.bucketedDir).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+    assert(readDirs.size < allDirs.size,
+      s"pruning must skip untouched buckets (${readDirs.size} vs ${allDirs.size})")
+    // digest equality predicates are PUSHED into the digest-sorted files
+    assert(bucketScan.metadata("PushedFilters").contains("digest"),
+      s"digest predicates must push: ${bucketScan.metadata("PushedFilters")}")
+    // row-level losslessness: exactly the probe digests' hub rows
+    val got = pruned.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = store.readAll(spark, 2L).get
+      .filter(col("digest").isin(probeDigests.toSeq: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.size == probeDigests.length)
+  }
+
+  test("compacting a store whose append tier was never created is a no-op, not a crash") {
+    // round-14 ADVICE: fs.listStatus on the missing append dir threw a
+    // raw FileNotFoundException through the maxLanded clamp
+    val store = TieredStore.longKeyed(
+      Files.createTempDirectory("ts_empty").toString + "/never", Seq("k"), "k", 4)
+    store.compact(spark, -1L) // must return quietly
+    assert(store.watermark(spark) == -1L && store.readAll(spark, 10L).isEmpty)
+  }
+
+  test("maybeCompact: cadence triggers at the threshold, resets after, replay-safe") {
+    val dir = Files.createTempDirectory("ts_cadence").toString
+    val store = TieredStore.longKeyed(s"$dir/s", Seq("k", "v"), "k", 8,
+      label = "cadence-store")
+    def appendBatch(b: Long): Unit =
+      store.append(Seq((b * 10, b), (b * 10 + 1, b)).toDF("k", "v"), b)
+    appendBatch(0L)
+    assert(!store.maybeCompact(spark, 3) && store.watermark(spark) == -1L)
+    appendBatch(1L)
+    assert(!store.maybeCompact(spark, 3))
+    appendBatch(2L)
+    assert(store.maybeCompact(spark, 3) && store.watermark(spark) == 2L)
+    assert(store.landedBatchIds(spark).isEmpty, "append tier must reset")
+    // a replayed compacted batch recreates a garbage append dir below
+    // the watermark: invisible to reads, harmless to the next cadence
+    appendBatch(1L)
+    val rows = store.readAll(spark, 10L).get.count()
+    assert(rows == 6L, s"replayed dir below watermark must stay invisible, got $rows")
+    appendBatch(3L)
+    appendBatch(4L)
+    appendBatch(5L)
+    assert(store.maybeCompact(spark, 3) && store.watermark(spark) == 5L)
+    assert(store.readAll(spark, 10L).get.count() == 12L)
+  }
+}

@@ -43,6 +43,12 @@ sealed trait HotShingles extends Serializable {
 
   def contains(s: UTF8String): Boolean
 
+  /** Release the broadcast payload (cache eviction — see the hot-set
+    * LRU in queries.Similarity). Non-blocking; the holder is unusable
+    * afterwards.
+    */
+  private[graft] def destroyBroadcast(): Unit
+
   override final def hashCode(): Int = java.lang.Long.hashCode(fingerprint)
   override final def equals(o: Any): Boolean = o match {
     case h: HotShingles => h.getClass == getClass && h.fingerprint == fingerprint
@@ -59,6 +65,7 @@ final class ExactHotShingles private[functions] (
   @transient private lazy val set: java.util.HashSet[UTF8String] = bc.value
   override def isEmpty: Boolean = size == 0
   override def contains(s: UTF8String): Boolean = set.contains(s)
+  override private[graft] def destroyBroadcast(): Unit = bc.destroy()
   override def toString: String = s"ExactHotShingles(n=$size, fp=$fingerprint)"
 }
 
@@ -72,16 +79,17 @@ final class BloomHotShingles private[functions] (
   @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = bc.value
   override def isEmpty: Boolean = false
   override def contains(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+  override private[graft] def destroyBroadcast(): Unit = bc.destroy()
   override def toString: String = s"BloomHotShingles(n~$expectedItems, fp=$fingerprint)"
 }
 
 object HotShingles {
 
   /** 64-bit content fingerprint of one shingle — XXH64 of its UTF-8
-    * bytes, seed 0. XOR-folded over a set it is order-independent, the
-    * same shape as the distributed `bit_xor(xxhash64(...))` the Bloom
-    * path aggregates (the two kinds never compare equal anyway:
-    * equality is class-gated).
+    * bytes, seed 0. XOR-folded over a set it is order-independent;
+    * since round 15 BOTH representations fold exactly this hash (the
+    * Bloom path's treeAggregate uses it per element — the two kinds
+    * still never compare equal: equality is class-gated).
     */
   def fingerprintOf(s: UTF8String): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64
@@ -101,8 +109,8 @@ object HotShingles {
     new ExactHotShingles(spark.sparkContext.broadcast(set), fp, set.size)
   }
 
-  /** Bloom holder from a pre-built filter + the distributed
-    * bit_xor(xxhash64) fingerprint of the same shingle set.
+  /** Bloom holder from a pre-built filter + the xor-folded
+    * [[fingerprintOf]] of the same shingle set.
     */
   def bloom(spark: SparkSession,
       filter: org.apache.spark.util.sketch.BloomFilter,

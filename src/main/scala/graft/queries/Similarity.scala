@@ -166,6 +166,28 @@ object Similarity {
     */
   val HotSetBloomFpp: Double = 1e-4
 
+  /** Hot-set size past which the Bloom fpp auto-relaxes to
+    * [[HotSetBloomFppRelaxed]] (round 15 — the Bloom build was correct
+    * but unpriced: the filter costs ~1.44·log2(1/fpp) bits/entry, so at
+    * fpp 1e-4 (~2.4 B/entry) a boilerplate-heavy crawl with 10⁸ hot
+    * shingles builds a ~240 MB driver filter + broadcast. Past 2²⁷
+    * entries (~322 MB at 1e-4) the fpp relaxes to 1e-3 (~1.8 B/entry,
+    * ~242 MB at the threshold): the absolute FP count scales with the
+    * probe vocabulary either way, so the RATE is the right knob to
+    * give back once the vocabulary itself is enormous. Curve + sizing
+    * table in SCALING.md §bloom-hot-set.
+    */
+  val HotSetBloomRelaxEntries: Long = 1L << 27
+
+  /** The relaxed rate — still ≤ a few demoted cold shingles per 1k
+    * vocabulary (HotBucketSpec pins the relaxed path's membership:
+    * zero false negatives, FP rate within bound).
+    */
+  val HotSetBloomFppRelaxed: Double = 1e-3
+
+  private[graft] def bloomFppFor(n: Long, relaxAt: Long): Double =
+    if (n > relaxAt) HotSetBloomFppRelaxed else HotSetBloomFpp
+
   /** The hot-shingle membership (df > maxDf) of a (doc_id, shingles)
     * ARRAY frame: an exact broadcast set up to `exactMax` entries (a
     * bounded heavy-hitter collect — one string per shingle appearing in
@@ -175,30 +197,55 @@ object Similarity {
     * equality, broadcast payload — the round-13 ADVICE finding).
     */
   private[graft] def hotSetOf(arrays: DataFrame, maxDf: Int,
-      exactMax: Int = HotSetMaxEntries): graft.functions.HotShingles = {
+      exactMax: Int = HotSetMaxEntries,
+      relaxAt: Long = HotSetBloomRelaxEntries): graft.functions.HotShingles = {
     val spark = arrays.sparkSession
-    // ONE materialization of the hot rows feeds the exact-path probe
-    // collect AND (on overflow) the count+fingerprint aggregate and
-    // the Bloom build — the corpus-wide shingle-df aggregation, the
-    // most expensive pass of the signing stage, runs exactly once
-    // whichever representation wins (one compact row per DISTINCT hot
-    // shingle of bounded state, the pair queries' checkpoint trade).
+    // ONE materialization of the hot rows feeds every downstream use —
+    // the corpus-wide shingle-df aggregation, the most expensive pass
+    // of the signing stage, runs exactly once whichever representation
+    // wins (one compact row per DISTINCT hot shingle of bounded state,
+    // the pair queries' checkpoint trade). Materializing via
+    // localCheckpoint + count surfaces the EXACT distinct-hot count
+    // from the job the checkpoint was paying anyway (round 15 —
+    // previously the Bloom path spent a separate count+fingerprint
+    // aggregate AND a separate bloomFilter pass on top of the probe
+    // collect: four actions; now two — count, then one combined
+    // Bloom+fingerprint treeAggregate sized by the exact n).
     val mat = arrays.select(explode(col("shingles")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-      .localCheckpoint(true)
-    val probe = mat.limit(exactMax + 1).collect()
-    if (probe.length <= exactMax)
-      graft.functions.HotShingles.exact(spark, probe.view.map(r =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))).toSeq)
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .rdd
+    mat.localCheckpoint()
+    val n = mat.count() // materializes the checkpoint AND yields n
+    if (n <= exactMax)
+      graft.functions.HotShingles.exact(spark, mat.collect().view.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString).toSeq)
     else {
-      val r = mat.agg(count(lit(1)).as("n"),
-        // bit_xor, never sum: ANSI mode overflow-throws on summed hashes
-        bit_xor(xxhash64(col("shingle"))).as("fp")).head()
-      val n = r.getLong(0)
-      val bloom = mat.stat.bloomFilter("shingle", n, HotSetBloomFpp)
-      graft.functions.HotShingles.bloom(spark, bloom, r.getLong(1), n)
+      val fpp = bloomFppFor(n, relaxAt)
+      // one pass builds the filter AND the order-insensitive xor
+      // fingerprint (xor, never sum: ANSI mode overflow-throws on
+      // summed hashes). The zero filter is created lazily INSIDE each
+      // partition — a treeAggregate zeroValue would serialize an empty
+      // multi-hundred-MB filter to every task at the relax threshold.
+      val (bloom, fp) = mat.treeAggregate(
+        (null: org.apache.spark.util.sketch.BloomFilter, 0L))(
+        seqOp = { case ((b, f), s) =>
+          val bf = if (b == null)
+            org.apache.spark.util.sketch.BloomFilter.create(n, fpp) else b
+          bf.putString(s)
+          (bf, f ^ graft.functions.HotShingles.fingerprintOf(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        },
+        combOp = { case ((b1, f1), (b2, f2)) =>
+          val m =
+            if (b1 == null) b2
+            else if (b2 == null) b1
+            else { b1.mergeInPlace(b2); b1 }
+          (m, f1 ^ f2)
+        })
+      graft.functions.HotShingles.bloom(spark, bloom, fp, n)
     }
   }
 
@@ -223,27 +270,92 @@ object Similarity {
     * plain cache hits — never serialize behind one another.
     */
   private final class LazyHot(build: () => graft.functions.HotShingles) {
-    lazy val value: graft.functions.HotShingles = build()
+    @volatile private var built: graft.functions.HotShingles = _
+    lazy val value: graft.functions.HotShingles = {
+      val v = build(); built = v; v
+    }
+    /** Release the holder's broadcast on cache eviction (round-14
+      * ADVICE: evicted payloads — up to ~1M UTF8Strings each —
+      * otherwise linger until the holder is GC'd AND ContextCleaner
+      * notices). Non-blocking destroy; never-built entries (a build
+      * that threw) have nothing to release. Best-effort: a stopped
+      * SparkContext makes destroy throw — the payload is gone with the
+      * context anyway.
+      */
+    def destroyIfBuilt(): Unit = {
+      val v = built
+      if (v != null) scala.util.Try(v.destroyBroadcast())
+      ()
+    }
   }
   private val hotSetCache =
     new java.util.LinkedHashMap[(String, String, Long, Int, Int), LazyHot](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Long, Int, Int), LazyHot]): Boolean =
-        size() > HotSetCacheMax
+          e: java.util.Map.Entry[(String, String, Long, Int, Int), LazyHot]): Boolean = {
+        val evict = size() > HotSetCacheMax
+        // the eviction hazard is accepted by design: the LRU entry can
+        // in principle still be referenced by an in-flight plan, but a
+        // session juggling > HotSetCacheMax live dedup corpora
+        // CONCURRENTLY is outside the cache's contract (the composed
+        // flows it serves touch 2-3 keys); leaking every evicted
+        // multi-MB payload until a driver GC is the worse trade
+        if (evict) e.getValue.destroyIfBuilt()
+        evict
+      }
     }
 
-  private def hotSetCached(arrays: DataFrame, maxDf: Int, exactMax: Int,
+  /** 64-bit content token of a frame's input files: XXH64 chained over
+    * (path, length, modification time) in sorted-path order — one
+    * listStatus per distinct parent directory, not per file. Round-15
+    * ADVICE fix: the previous token was a 32-bit MurmurHash3 over path
+    * strings alone, so an IN-PLACE regeneration that preserved file
+    * names (any non-Spark writer) served the previous corpus's hot set
+    * silently, and 32 bits is a thin collision margin for a token
+    * whose failure mode is wrong dedup pairs. A file-less lineage
+    * (checkpointed input) tokens to 0 and leans on the caller's tag
+    * contract alone.
+    */
+  private[graft] def inputToken(arrays: DataFrame): Long = {
+    val files = arrays.inputFiles
+    if (files.isEmpty) 0L
+    else {
+      val conf = arrays.sparkSession.sessionState.newHadoopConf()
+      var h = 0x9E3779B97F4A7C15L
+      files.groupBy(f => f.substring(0, math.max(f.lastIndexOf('/'), 0)))
+        .toSeq.sortBy(_._1)
+        .foreach { case (dir, fs0) =>
+          // keyed by file NAME within the dir: listStatus path strings
+          // may differ from inputFiles in scheme spelling (file:/ vs
+          // file:///), names never do
+          val meta: Map[String, (Long, Long)] =
+            try {
+              val p = new org.apache.hadoop.fs.Path(dir)
+              p.getFileSystem(conf).listStatus(p).map(st =>
+                st.getPath.getName ->
+                  (st.getLen, st.getModificationTime)).toMap
+            } catch { case scala.util.control.NonFatal(_) => Map.empty }
+          fs0.sorted.foreach { f =>
+            val (len, mt) = meta.getOrElse(
+              f.substring(f.lastIndexOf('/') + 1), (-1L, -1L))
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(s"$f|$len|$mt")
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, h)
+          }
+        }
+      h
+    }
+  }
+
+  private[graft] def hotSetCached(arrays: DataFrame, maxDf: Int, exactMax: Int,
       cacheKey: Option[String]): graft.functions.HotShingles = cacheKey match {
     case None => hotSetOf(arrays, maxDf, exactMax)
     case Some(tag) =>
-      // content token: a fingerprint of the input frame's file listing
-      // (names encode every Spark write's job UUID), so a REGENERATED
-      // dir misses the cache instead of silently serving the previous
-      // corpus's hot set. A file-less lineage (checkpointed input)
-      // tokens to 0 and leans on the caller's tag contract alone.
-      val filesToken = scala.util.hashing.MurmurHash3
-        .orderedHash(arrays.inputFiles.sorted.toSeq).toLong
+      // content token (see inputToken): a REGENERATED dir — even one
+      // preserving file names — misses the cache instead of silently
+      // serving the previous corpus's hot set.
+      val filesToken = inputToken(arrays)
       val key = (tag, arrays.sparkSession.sparkContext.applicationId,
         filesToken, maxDf, exactMax)
       val holder = hotSetCache.synchronized {

@@ -150,6 +150,85 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
     assert(s1.select(col("doc_id")).count() == s2.select(col("doc_id")).count())
   }
 
+  test("relaxed-fpp Bloom path (round 15): zero false negatives, FP rate within the 1e-3 bound") {
+    // relaxAt = 0 forces every Bloom build onto the relaxed rate — the
+    // auto-degrade a 10⁸-hot-shingle crawl takes to keep the filter
+    // broadcast bounded (SCALING.md §bloom-hot-set). Membership
+    // contract: every true hot shingle still contains() (Bloom has no
+    // false negatives), absent probes false-positive at ≲ fpp.
+    val docs = Tables.documents(spark, sf)
+    val arrays = Similarity.shingleArraysOf(docs)
+    val exact = Similarity.hotSetOf(arrays, maxDf = 2)
+    val relaxed = Similarity.hotSetOf(arrays, maxDf = 2, exactMax = 0, relaxAt = 0)
+    assert(relaxed.isInstanceOf[graft.functions.BloomHotShingles],
+      s"relaxAt=0 with exactMax=0 must build the Bloom form, got $relaxed")
+    val hot = arrays.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shingles")).as("s"))
+      .groupBy("s").count().filter(org.apache.spark.sql.functions.col("count") > 2)
+      .collect().map(_.getString(0))
+    assert(hot.nonEmpty, "fixture must have hot shingles at maxDf=2")
+    import org.apache.spark.unsafe.types.UTF8String
+    hot.foreach { s =>
+      assert(relaxed.contains(UTF8String.fromString(s)),
+        s"false negative on hot shingle '$s'")
+      assert(exact.contains(UTF8String.fromString(s)))
+    }
+    val absent = (0 until 5000).map(i => s"graft-absent-probe-$i")
+    val fps = absent.count(s => relaxed.contains(UTF8String.fromString(s)))
+    // nominal fpp 1e-3 → expect ~5 of 5000; bound generously at 1%
+    assert(fps <= 50, s"FP rate ${fps / 5000.0} breaches the relaxed bound")
+  }
+
+  test("evicted hot-set cache entries destroy their broadcast payload (round 15)") {
+    import spark.implicits._
+    def tinyArrays(tag: Int) = Similarity.shingleArraysOf(
+      (0L until 6L).map(i => (i, s"alpha$tag beta$tag gamma$tag delta$tag " +
+        s"epsilon$tag zeta$tag eta$tag theta$tag")).toDF("doc_id", "text"))
+    // maxDf=1: every shingle is hot (df=6) → a non-empty exact holder.
+    // Deliberately NOT probed yet: contains() latches the broadcast
+    // value driver-side, and a latched copy would keep answering after
+    // destroy — the assertion needs the first payload FETCH to happen
+    // post-eviction.
+    val first = Similarity.hotSetCached(tinyArrays(0), 1,
+      Similarity.HotSetMaxEntries, Some("evict-spec|0"))
+    assert(!first.isEmpty, "holder must be built (size is payload-free)")
+    // flood the LRU (capacity 8) with 8 more keys → the first evicts,
+    // and eviction destroys its broadcast
+    (1 to 8).foreach { t =>
+      Similarity.hotSetCached(tinyArrays(t), 1,
+        Similarity.HotSetMaxEntries, Some(s"evict-spec|$t"))
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      first.contains(org.apache.spark.unsafe.types.UTF8String
+        .fromString("alpha0 beta0"))
+    }
+    assert(ex.getMessage.toLowerCase.contains("destroy"), ex.getMessage)
+    // non-evicted entries keep working
+    val kept = Similarity.hotSetCached(tinyArrays(8), 1,
+      Similarity.HotSetMaxEntries, Some("evict-spec|8"))
+    assert(!kept.isEmpty && kept.contains(org.apache.spark.unsafe.types
+      .UTF8String.fromString("alpha8 beta8 gamma8")))
+  }
+
+  test("in-place fixture regeneration (same file names) misses the hot-set cache (round 15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hot_token").toString
+    (0L until 8L).map(i => (i, s"one two three four five$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
+    def arrays = Similarity.shingleArraysOf(spark.read.parquet(s"$dir/docs"))
+    val t1 = Similarity.inputToken(arrays)
+    assert(t1 == Similarity.inputToken(arrays), "token must be stable")
+    // simulate a non-Spark in-place regeneration: same names, new mtime
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docs"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.setTimes(part, System.currentTimeMillis() + 5000, -1)
+    val t2 = Similarity.inputToken(arrays)
+    assert(t2 != t1, "an in-place rewrite (same names) must change the token " +
+      "— the 32-bit path-only token served stale hot sets here")
+  }
+
   test("df cap is a no-op at fixture scale (max df 25 << 128)") {
     val docs = Tables.documents(spark, sf)
     val capped = TextOps.jaccardPairsOf(docs).collect().toSeq

@@ -39,6 +39,70 @@ object Maintenance {
       .parquet(outDir)
   }
 
+  /** IN-PLACE small-file compaction for a `batch_id=N`-partitioned
+    * streaming store (round 15 — the snapshot-side stores accumulate
+    * one partition per micro-batch forever, task-count files each, so
+    * snapshots open O(batches × tasks) files): every batch partition
+    * is rewritten as ONE zstd file sorted on `keys` (tight row-group
+    * stats for the snapshot's joins), the batch_id layout preserved so
+    * a replayed batch still dynamic-overwrites exactly its own
+    * partition with identical rows (replay stays a no-op,
+    * MaintenanceSpec). Publish is stage-then-swap with the
+    * [[graft.streaming.TieredStore]] `__prev` discipline: recovery
+    * first, then rename the committed store aside, publish the staged
+    * rewrite, delete the remnant — a crash anywhere leaves either the
+    * committed store or its recoverable `__prev`
+    * ([[readBatchStoreOr]] resolves both), correct under POSIX and
+    * HDFS rename semantics (each attempt stages a complete tree under
+    * a fresh `__tmp`). Offline step: run it between micro-batches /
+    * snapshots, not concurrently with a commit. A deployment whose
+    * single batches outgrow one file would range-split within the
+    * batch partition; the problem this solves is the opposite
+    * (many tiny per-batch files). Returns false for an absent store.
+    */
+  def compactBatchStore(spark: SparkSession, dir: String,
+      keys: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val prev = new Path(dir + "__prev")
+    val tmp = new Path(dir + "__tmp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery first: a committed store makes a surviving prev
+    // garbage; a missing store restores it
+    if (fs.exists(prev)) {
+      if (fs.exists(p)) fs.delete(prev, true)
+      else require(fs.rename(prev, p),
+        s"batch-store compaction could not restore $prev")
+    }
+    val df =
+      try spark.read.parquet(dir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return false }
+    fs.delete(tmp, true) // stale staging from an earlier failed run
+    df.repartition(col("batch_id")) // whole batches per task → 1 file/batch
+      .sortWithinPartitions((col("batch_id") +: keys.map(col)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("batch_id").parquet(tmp.toString)
+    require(fs.rename(p, prev),
+      s"batch-store compaction could not stage the previous store aside: $p")
+    require(fs.rename(tmp, p), s"batch-store compaction could not publish $tmp")
+    fs.delete(prev, true)
+    true
+  }
+
+  /** Read a batch-partitioned store, resolving the
+    * [[compactBatchStore]] crash window (committed dir gone, last good
+    * tree at `__prev`) — None only when neither exists. The fallback
+    * probe costs nothing on the committed path.
+    */
+  def readBatchStoreOr(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        try Some(spark.read.parquet(dir + "__prev"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+
   /** Compaction with two-dimensional Z-order clustering: rows are
     * range-partitioned and sorted by the Morton interleave of the two
     * (int-binned) keys, so every output file covers a 2-D tile and

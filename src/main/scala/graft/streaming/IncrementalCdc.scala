@@ -51,13 +51,19 @@ object IncrementalCdc {
 
   /** Accumulated changelog rows; absent store reads as zero rows. */
   def readRows(spark: SparkSession, storeDir: String): DataFrame =
-    try spark.read.parquet(storeDir)
-      .select(RowSchema.fieldNames.map(col).toSeq: _*)
-      .dropDuplicates(Seq("event_id"))
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RowSchema)
-    }
+    graft.sources.Maintenance.readBatchStoreOr(spark, storeDir)
+      .map(_.select(RowSchema.fieldNames.map(col).toSeq: _*)
+        .dropDuplicates(Seq("event_id")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RowSchema))
+
+  /** Offline store maintenance: one user-sorted zstd file per batch
+    * partition ([[graft.sources.Maintenance.compactBatchStore]]);
+    * snapshot- and replay-preserving (MaintenanceSpec).
+    */
+  def maintain(spark: SparkSession, storeDir: String): Boolean =
+    graft.sources.Maintenance.compactBatchStore(spark, storeDir,
+      Seq("user_id", "event_id"))
 
   /** Current state over everything ingested so far — identical
     * (spec-proven) to cdcStateOf over the union of all batches.

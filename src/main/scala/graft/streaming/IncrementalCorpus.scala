@@ -112,9 +112,12 @@ object IncrementalCorpus {
     TieredStore.stringKeyed(s"$base/hubs", Seq("digest", "hub"), "digest",
       HubBuckets, label = "hubs-store")
 
+  /** Batch-store read resolving the maintenance crash window (a
+    * [[graft.sources.Maintenance.compactBatchStore]] that died between
+    * its publish renames leaves the last good tree at `__prev`).
+    */
   private def readOr(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir))
-    catch { case _: AnalysisException => None }
+    graft.sources.Maintenance.readBatchStoreOr(spark, dir)
 
   /** Batch-partitioned read restricted to batches strictly before
     * `beforeBatch` (replay safety), minus the partition column.
@@ -277,7 +280,10 @@ object IncrementalCorpus {
     * `CorpusPipeline.buildFrame` over everything ingested so far.
     */
   def snapshot(spark: SparkSession, base: String): DataFrame = {
-    val raw = spark.read.parquet(s"$base/raw").drop("batch_id", "digest")
+    val raw = readOr(spark, s"$base/raw")
+      .getOrElse(throw new IllegalStateException(
+        s"$base/raw: no ingested state to snapshot"))
+      .drop("batch_id", "digest")
     val pairs = StreamingDedup.readPairs(spark, s"$base/pairs")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val dedges = readOr(spark, s"$base/dedges")
@@ -294,6 +300,34 @@ object IncrementalCorpus {
       raw.join(drop, Seq("doc_id"), "left_anti")
         .join(benchIds, Seq("doc_id"), "left_anti")
         .join(flagged, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Offline state maintenance (round 15): compact every snapshot-side
+    * batch-partitioned store to one sorted zstd file per batch
+    * ([[graft.sources.Maintenance.compactBatchStore]] — they otherwise
+    * accumulate task-count files per micro-batch forever, and a
+    * snapshot opens O(batches × tasks) of them), and fold the two
+    * TieredStores' landed append batches into their bucketed tiers.
+    * Run between batches/snapshots, not concurrently with a commit;
+    * crash-safe via the `__prev` protocols; replay of any compacted
+    * batch remains a no-op (MaintenanceSpec pins snapshot-before ≡
+    * snapshot-after, the listing-count drop, and the replay).
+    */
+  def maintain(spark: SparkSession, base: String): Unit = {
+    Seq("pairs" -> "doc_a", "dedges" -> "src", "flags" -> "doc_id",
+      "bench" -> "doc_id", "benchsh" -> "shingle", "raw" -> "doc_id")
+      .foreach { case (d, key) =>
+        graft.sources.Maintenance.compactBatchStore(spark, s"$base/$d", Seq(key))
+      }
+    // above-watermark only: replayed compacted batches leave garbage
+    // append dirs below it (invisible to reads, but an upTo below the
+    // watermark would trip the advance-only clamp)
+    val hubs = hubStoreOf(base)
+    val hubLanded = hubs.landedBatchIds(spark).filter(_ > hubs.watermark(spark))
+    if (hubLanded.nonEmpty) hubs.compact(spark, hubLanded.max)
+    val bands = StreamingDedup.bandStoreOf(s"$base/store")
+    val bandLanded = bands.landedBatchIds(spark).filter(_ > bands.watermark(spark))
+    if (bandLanded.nonEmpty) bands.compact(spark, bandLanded.max)
   }
 
   /** Self-contained fixture run (the q_corpus_inc query surface): land

@@ -52,15 +52,23 @@ object IncrementalDau {
     StreamingDedup.writeBatchPartition(rows, batchId, storeDir)
   }
 
-  /** Accumulated activity pairs; absent store reads as zero rows. */
+  /** Accumulated activity pairs; absent store reads as zero rows.
+    * Crash-window-safe: resolves a mid-maintenance `__prev` tree.
+    */
   def readRows(spark: SparkSession, storeDir: String): DataFrame =
-    try spark.read.parquet(storeDir)
-      .select(RowSchema.fieldNames.map(col).toSeq: _*)
-      .dropDuplicates(Seq("user_id", "day_abs"))
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RowSchema)
-    }
+    graft.sources.Maintenance.readBatchStoreOr(spark, storeDir)
+      .map(_.select(RowSchema.fieldNames.map(col).toSeq: _*)
+        .dropDuplicates(Seq("user_id", "day_abs")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], RowSchema))
+
+  /** Offline store maintenance: one user-sorted zstd file per batch
+    * partition ([[graft.sources.Maintenance.compactBatchStore]]);
+    * snapshot- and replay-preserving (MaintenanceSpec).
+    */
+  def maintain(spark: SparkSession, storeDir: String): Boolean =
+    graft.sources.Maintenance.compactBatchStore(spark, storeDir,
+      Seq("user_id", "day_abs"))
 
   /** DAU/WAU/MAU over everything ingested so far — identical
     * (spec-proven) to activeUsersOf on the one-shot frame.

@@ -58,13 +58,18 @@ object IncrementalIndex {
     * double-count df and duplicate posting entries.
     */
   def readTerms(spark: SparkSession, storeDir: String): DataFrame =
-    try spark.read.parquet(storeDir)
-      .select(TermSchema.fieldNames.map(col).toSeq: _*)
-      .dropDuplicates(Seq("doc_id", "term"))
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], TermSchema)
-    }
+    graft.sources.Maintenance.readBatchStoreOr(spark, storeDir)
+      .map(_.select(TermSchema.fieldNames.map(col).toSeq: _*)
+        .dropDuplicates(Seq("doc_id", "term")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], TermSchema))
+
+  /** Offline store maintenance: one term-sorted zstd file per batch
+    * partition ([[graft.sources.Maintenance.compactBatchStore]]);
+    * snapshot- and replay-preserving (MaintenanceSpec).
+    */
+  def maintain(spark: SparkSession, storeDir: String): Boolean =
+    graft.sources.Maintenance.compactBatchStore(spark, storeDir, Seq("term"))
 
   /** The current index over everything ingested so far — identical
     * (spec-proven) to invertedIndexOf over the union of all batches.

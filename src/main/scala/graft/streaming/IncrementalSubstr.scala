@@ -65,13 +65,18 @@ object IncrementalSubstr {
     * not a dedup.)
     */
   def readGrams(spark: SparkSession, storeDir: String): DataFrame =
-    try spark.read.parquet(storeDir)
-      .select(GramSchema.fieldNames.map(col).toSeq: _*)
-      .dropDuplicates(Seq("doc_id", "pos", "g"))
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GramSchema)
-    }
+    graft.sources.Maintenance.readBatchStoreOr(spark, storeDir)
+      .map(_.select(GramSchema.fieldNames.map(col).toSeq: _*)
+        .dropDuplicates(Seq("doc_id", "pos", "g")))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GramSchema))
+
+  /** Offline store maintenance: one gram-sorted zstd file per batch
+    * partition ([[graft.sources.Maintenance.compactBatchStore]]);
+    * snapshot- and replay-preserving (MaintenanceSpec).
+    */
+  def maintain(spark: SparkSession, storeDir: String): Boolean =
+    graft.sources.Maintenance.compactBatchStore(spark, storeDir, Seq("g"))
 
   /** The current span report over everything ingested so far —
     * identical (spec-proven) to substrSpansOf over the union of all

@@ -221,12 +221,12 @@ object StreamingDedup {
     * absent/empty pairs directory reads as zero rows.
     */
   def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
-    try spark.read.parquet(pairsDir)
-      .select(PairsSchema.fieldNames.map(col).toSeq: _*)
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], PairsSchema)
-    }
+    // __prev-aware: the pairs store is batch-compactable offline
+    // (Maintenance.compactBatchStore / IncrementalCorpus.maintain)
+    graft.sources.Maintenance.readBatchStoreOr(spark, pairsDir)
+      .map(_.select(PairsSchema.fieldNames.map(col).toSeq: _*))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], PairsSchema))
 
   /** Land `df` as the `batch_id=batchId` partition of `dir`. Dynamic
     * partition overwrite is the idempotence mechanism: a replay rewrites

@@ -329,8 +329,12 @@ final class TieredStore(
     * compacted batch stays a no-op. Returns whether it compacted.
     */
   def maybeCompact(spark: SparkSession, every: Int): Boolean = {
-    val landed = landedBatchIds(spark)
-    if (landed.length >= every) { compact(spark, landed.max); true }
+    // count only batches ABOVE the watermark: a replayed compacted
+    // batch recreates its (garbage, invisible) append dir below it,
+    // which must neither inflate the cadence count nor produce an
+    // upTo < watermark crash when only garbage dirs remain
+    val fresh = landedBatchIds(spark).filter(_ > watermark(spark))
+    if (fresh.length >= every) { compact(spark, fresh.max); true }
     else false
   }
 }

@@ -218,4 +218,126 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     val dup = Seq(Some(1L), Some(1L), None).toDF("v")
     assert(!DataQuality.passes(dup, Seq(DataQuality.unique("v"))))
   }
+
+  private def allParquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+  }
+
+  test("corpus maintenance: snapshot-identical, file count collapses, replay stays a no-op (round 15)") {
+    import spark.implicits._
+    import graft.streaming.IncrementalCorpus
+    val base = Files.createTempDirectory("graft_maint_corpus").toString
+    val docs = Tables.documents(spark, sf)
+    // multi-partition batches → task-count files per store partition,
+    // the fan-out the maintenance step exists to collapse
+    val batches = (0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i).repartition(4))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalCorpus.ingestBatch(b, i.toLong, base)
+    }
+    def snap = IncrementalCorpus.snapshot(spark, base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val before = snap
+    val filesBefore = Seq("pairs", "dedges", "flags", "bench", "benchsh", "raw")
+      .map(d => allParquetFiles(s"$base/$d").size).sum
+    IncrementalCorpus.maintain(spark, base)
+    val filesAfter = Seq("pairs", "dedges", "flags", "bench", "benchsh", "raw")
+      .map(d => allParquetFiles(s"$base/$d").size).sum
+    assert(filesAfter < filesBefore,
+      s"maintenance must collapse files ($filesBefore → $filesAfter)")
+    assert(snap == before, "maintenance must not change the snapshot")
+    // both tiered stores folded their append batches into bucketed tiers
+    assert(IncrementalCorpus.hubStoreOf(base).watermark(spark) == 2L)
+    assert(graft.streaming.StreamingDedup.bandStoreOf(s"$base/store")
+      .watermark(spark) == 2L)
+    // replay of a maintained batch: dynamic overwrite rewrites its own
+    // partitions with identical recomputed rows — snapshot unchanged
+    IncrementalCorpus.ingestBatch(batches(1), 1L, base)
+    assert(snap == before, "replay after maintenance must be a no-op")
+    // and the maintained stores still accept + survive a SECOND cycle
+    IncrementalCorpus.maintain(spark, base)
+    assert(snap == before)
+  }
+
+  test("batch-store compaction crash window: readers resolve __prev; next run recovers (round 15)") {
+    import spark.implicits._
+    import graft.streaming.IncrementalDau
+    val tmp = Files.createTempDirectory("graft_maint_crash").toString
+    def acts(rows: (Long, Int)*) = rows.toDF("user_id", "day")
+      .select(col("user_id"),
+        timestamp_seconds(col("day") * 86400L + 3600L).as("ts"))
+    IncrementalDau.commitBatch(acts((1L, 100), (2L, 100)), 0L, s"$tmp/state")
+    IncrementalDau.commitBatch(acts((2L, 101), (3L, 102)), 1L, s"$tmp/state")
+    val before = IncrementalDau.readRows(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(IncrementalDau.maintain(spark, s"$tmp/state"))
+    assert(IncrementalDau.readRows(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before)
+    // per-batch partitions collapsed to one file each, partition layout kept
+    assert(parquetFiles(s"$tmp/state/batch_id=0").length == 1)
+    assert(parquetFiles(s"$tmp/state/batch_id=1").length == 1)
+    // simulate a compaction that died between its two publish renames
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/state"),
+      new org.apache.hadoop.fs.Path(s"$tmp/state__prev")))
+    // readers resolve the surviving __prev — no silent empty store
+    assert(IncrementalDau.readRows(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before,
+      "crash-window reads must resolve __prev")
+    // the next maintenance run restores the committed store first
+    assert(IncrementalDau.maintain(spark, s"$tmp/state"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/state")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/state__prev")))
+    assert(IncrementalDau.readRows(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before)
+    // replay of a compacted batch stays a no-op
+    IncrementalDau.commitBatch(acts((1L, 100), (2L, 100)), 0L, s"$tmp/state")
+    assert(IncrementalDau.readRows(spark, s"$tmp/state").count() == 4)
+    // an absent store is a quiet no-op, not a crash
+    assert(!IncrementalDau.maintain(spark, s"$tmp/never_written"))
+  }
+
+  test("index/cdc/substr store maintenance preserves each snapshot (round 15)") {
+    import graft.streaming.{IncrementalCdc, IncrementalIndex, IncrementalSubstr}
+    val tmp = Files.createTempDirectory("graft_maint_idx").toString
+    val docs = Tables.documents(spark, sf)
+    // index store
+    IncrementalIndex.commitBatch(docs.filter(col("doc_id") % 2 === 0), 0L, s"$tmp/idx")
+    IncrementalIndex.commitBatch(docs.filter(col("doc_id") % 2 =!= 0), 1L, s"$tmp/idx")
+    val idxBefore = IncrementalIndex.snapshot(spark, s"$tmp/idx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(IncrementalIndex.maintain(spark, s"$tmp/idx"))
+    assert(IncrementalIndex.snapshot(spark, s"$tmp/idx")
+      .collect().map(_.toString).sorted.toSeq == idxBefore)
+    // cdc store
+    val ev = Tables.events(spark, sf)
+    IncrementalCdc.commitBatch(ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")), 0L, s"$tmp/cdc")
+    IncrementalCdc.commitBatch(ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")), 1L, s"$tmp/cdc")
+    val cdcBefore = IncrementalCdc.snapshot(spark, s"$tmp/cdc")
+      .collect().map(_.toString).sorted.toSeq
+    assert(IncrementalCdc.maintain(spark, s"$tmp/cdc"))
+    assert(IncrementalCdc.snapshot(spark, s"$tmp/cdc")
+      .collect().map(_.toString).sorted.toSeq == cdcBefore)
+    // substr store
+    IncrementalSubstr.commitBatch(docs.limit(60), 0L, s"$tmp/sub")
+    IncrementalSubstr.commitBatch(docs.filter(col("doc_id") >= 60).limit(60), 1L, s"$tmp/sub")
+    val subBefore = IncrementalSubstr.snapshot(spark, s"$tmp/sub")
+      .collect().map(_.toString).sorted.toSeq
+    assert(IncrementalSubstr.maintain(spark, s"$tmp/sub"))
+    assert(IncrementalSubstr.snapshot(spark, s"$tmp/sub")
+      .collect().map(_.toString).sorted.toSeq == subBefore)
+  }
 }

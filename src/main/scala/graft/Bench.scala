@@ -30,8 +30,14 @@ object Bench {
     // baseline (~1.7, SCALING.md §bench hygiene) — override with
     // SPARK_GRAFT_BENCH_HOT_LOAD on machines with different core
     // counts/idle load (round-14 ADVICE).
-    val hotLoadThreshold =
-      sys.env.get("SPARK_GRAFT_BENCH_HOT_LOAD").map(_.toDouble).getOrElse(1.7)
+    val hotLoadThreshold = sys.env.get("SPARK_GRAFT_BENCH_HOT_LOAD")
+      .flatMap(v => try Some(v.toDouble) catch {
+        case _: NumberFormatException =>
+          System.err.println(
+            s"[bench] ignoring malformed SPARK_GRAFT_BENCH_HOT_LOAD='$v'")
+          None
+      })
+      .getOrElse(1.7)
     val sidecarRun = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val entryLoad = try loadAtEntry.toDouble catch { case _: Throwable => -1.0 }
     if (entryLoad > hotLoadThreshold) {

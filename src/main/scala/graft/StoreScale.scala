@@ -75,7 +75,8 @@ object StoreScale {
     // stale batches from a previous invocation would flatten nothing
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("pruned", "full", "warm").foreach { v =>
+    Seq("pruned", "full", "warm", "hubs1", "hubs1_bucketed",
+      "hubs10", "hubs10_bucketed", "lr_cadence", "lr_none").foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true)
     }
     // untimed warm-up: codegen + parquet reader caches land outside the
@@ -126,6 +127,68 @@ object StoreScale {
     val probeCmp1 = probeOnce(s"$base/pruned/store1", s"$base/pruned/pairs1", true, 1001L)
     val probeCmp10 = probeOnce(s"$base/pruned/store", s"$base/pruned/pairs", true, 1001L)
 
+    // ---- hubs store (round 15): the IncrementalCorpus (digest, hub)
+    // lookup, measured flat as distinct-digest history grows 10×.
+    // Synthetic distinct digests (the store holds one row per digest by
+    // construction); probe = 8 digests KNOWN to batch 0, the pushed-
+    // predicate path a micro-batch's exact-dup lookup takes. Contrast =
+    // the round-14 shape: full columnar scan of all hub rows restricted
+    // by a broadcast semi-join.
+    def hubRows(from: Long, until: Long): DataFrame =
+      spark.range(from, until)
+        .select(sha2(concat(lit("hub-digest-"), col("id")), 256).as("digest"),
+          col("id").as("hub"))
+    def buildHubs(name: String, batches: Int): streaming.TieredStore = {
+      val st = streaming.IncrementalCorpus.hubStoreOf(s"$base/$name")
+      (0 until batches).foreach { b =>
+        st.append(hubRows(b * 5000L, (b + 1) * 5000L), b.toLong)
+      }
+      st.compact(spark, batches - 1L)
+      st
+    }
+    val hubs1 = buildHubs("hubs1", 1)
+    val hubs10 = buildHubs("hubs10", nBatches)
+    // plain recompute (NOT localCheckpoint'd — the between-measurement
+    // drainStorage() would evict the checkpoint's only blocks, same
+    // hazard as `docs` above; range+sha2 over 8 rows is free)
+    val probeDigests = hubRows(0L, 8L).select(col("digest"))
+    def hubProbe(st: streaming.TieredStore): Double = {
+      val dt = time(st.readPruned(spark, 1000L, probeDigests).get.count())
+      drainStorage(); dt
+    }
+    def hubFull(st: streaming.TieredStore): Double = {
+      val dt = time(st.readAll(spark, 1000L).get
+        .join(broadcast(probeDigests), Seq("digest"), "left_semi").count())
+      drainStorage(); dt
+    }
+    // untimed warm-up of both code paths, then timed
+    hubProbe(hubs1); hubFull(hubs1)
+    val hubP1 = hubProbe(hubs1); val hubP10 = hubProbe(hubs10)
+    val hubF1 = hubFull(hubs1); val hubF10 = hubFull(hubs10)
+
+    // ---- long horizon (round 15): 50 small batches through the
+    // production commit, auto-cadence (compactEvery=8) vs none — the
+    // cadence must keep per-batch time steady while the no-compaction
+    // run's append tier (and its per-batch listing + footer opens)
+    // grows without bound. Same Heaps corpus, 400-doc batches.
+    val lrBatches = 50
+    val lrDocs = 400L
+    def longrun(name: String, every: Int): Seq[Double] = {
+      val store = s"$base/$name/store"
+      val pairs = s"$base/$name/pairs"
+      (0 until lrBatches).map { i =>
+        val b = docs.filter(col("doc_id") >= i * lrDocs && col("doc_id") < (i + 1) * lrDocs)
+        val dt = time(streaming.StreamingDedup.commitBatch(
+          b, i.toLong, store, pairs, 0.5, compactEvery = every))
+        drainStorage()
+        dt
+      }
+    }
+    val lrCadence = longrun("lr_cadence", 8)
+    val lrNone = longrun("lr_none", 0)
+    def tail10(xs: Seq[Double]): Double = xs.takeRight(10).sum / 10.0
+    def head10(xs: Seq[Double]): Double = xs.take(10).sum / 10.0
+
     def fmt(v: Double): String = f"$v%.3f"
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     def pt(x1: Double, x10: Double): String =
@@ -134,7 +197,11 @@ object StoreScale {
       s""""ingest_sec":{"pruned":${arr(ingestP)},"full":${arr(ingestF)}},""" +
       s""""probe8_sec":{"compacted_pruned":${pt(probeCmp1, probeCmp10)},""" +
       s""""append_pruned":${pt(probeApp1, probeApp10)},""" +
-      s""""full":${pt(probeFull1, probeFull10)}}}""")
+      s""""full":${pt(probeFull1, probeFull10)}},""" +
+      s""""hubs_probe8_sec":{"pruned":${pt(hubP1, hubP10)},""" +
+      s""""fullscan_semi":${pt(hubF1, hubF10)}},""" +
+      s""""longrun50":{"cadence8":{"head10":${fmt(head10(lrCadence))},"tail10":${fmt(tail10(lrCadence))},"per_batch":${arr(lrCadence)}},""" +
+      s""""none":{"head10":${fmt(head10(lrNone))},"tail10":${fmt(tail10(lrNone))},"per_batch":${arr(lrNone)}}}}""")
     spark.stop()
   }
 }

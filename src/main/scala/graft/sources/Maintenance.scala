@@ -60,6 +60,43 @@ object Maintenance {
     * batch partition; the problem this solves is the opposite
     * (many tiny per-batch files). Returns false for an absent store.
     */
+  /** Recover a batch store from a [[compactBatchStore]] crash window.
+    * A missing committed dir restores the surviving `__prev` wholesale.
+    * When BOTH exist — a WRITER re-created the store dir after a
+    * mid-publish crash (writers land fresh batches without resolving
+    * `__prev`) — batch partitions are the unit of truth: every `__prev`
+    * batch dir absent from the committed dir is moved in, then `__prev`
+    * is dropped. A batch id present in both keeps the committed copy —
+    * replay recomputes identical partition content, so the two copies
+    * agree. Idempotent: a crash mid-merge leaves a smaller `__prev`
+    * that the next recovery (or [[readBatchStoreOr]]'s union) resolves
+    * the same way. Called by [[compactBatchStore]] and by every batch
+    * writer ([[graft.streaming.StreamingDedup.writeBatchPartition]]) —
+    * without the writer-side call, the first post-crash commit would
+    * mask `__prev` behind a one-batch store and the next recovery
+    * would delete the only copy of history.
+    */
+  def recoverBatchStore(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val prev = new Path(dir + "__prev")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(prev)) return
+    if (!fs.exists(p)) {
+      require(fs.rename(prev, p),
+        s"batch-store recovery could not restore $prev")
+      return
+    }
+    fs.listStatus(prev).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=") && !fs.exists(new Path(p, name)))
+        require(fs.rename(st.getPath, new Path(p, name)),
+          s"batch-store recovery could not merge ${st.getPath}")
+    }
+    fs.delete(prev, true)
+    ()
+  }
+
   def compactBatchStore(spark: SparkSession, dir: String,
       keys: Seq[String]): Boolean = {
     import org.apache.hadoop.fs.Path
@@ -67,13 +104,7 @@ object Maintenance {
     val prev = new Path(dir + "__prev")
     val tmp = new Path(dir + "__tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // crash recovery first: a committed store makes a surviving prev
-    // garbage; a missing store restores it
-    if (fs.exists(prev)) {
-      if (fs.exists(p)) fs.delete(prev, true)
-      else require(fs.rename(prev, p),
-        s"batch-store compaction could not restore $prev")
-    }
+    recoverBatchStore(spark, dir) // crash recovery first
     val df =
       try spark.read.parquet(dir)
       catch { case _: org.apache.spark.sql.AnalysisException => return false }
@@ -90,18 +121,40 @@ object Maintenance {
     true
   }
 
-  /** Read a batch-partitioned store, resolving the
-    * [[compactBatchStore]] crash window (committed dir gone, last good
-    * tree at `__prev`) — None only when neither exists. The fallback
-    * probe costs nothing on the committed path.
+  /** Read a batch-partitioned store, resolving every
+    * [[compactBatchStore]] crash window — None only when nothing
+    * exists. Committed dir missing → read the surviving `__prev`.
+    * BOTH present (a post-crash writer, or a crash mid
+    * [[recoverBatchStore]] merge) → union the `__prev` batch
+    * partitions the committed dir lacks, so no window serves a
+    * truncated history silently. One `exists` probe on the hot path;
+    * the union machinery only engages while an unrecovered `__prev`
+    * lingers.
     */
-  def readBatchStoreOr(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        try Some(spark.read.parquet(dir + "__prev"))
+  def readBatchStoreOr(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val committed =
+      try Some(spark.read.parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val prev = new Path(dir + "__prev")
+    val fs = prev.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(prev)) committed
+    else committed match {
+      case None =>
+        try Some(spark.read.parquet(prev.toString))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
+      case Some(df) =>
+        val have = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+          .filter(_.startsWith("batch_id=")).toSet
+        val missing = fs.listStatus(prev).map(_.getPath)
+          .filter(q => q.getName.startsWith("batch_id=") && !have(q.getName))
+        if (missing.isEmpty) committed
+        else Some(df.unionByName(
+          spark.read.option("basePath", prev.toString)
+            .parquet(missing.map(_.toString).toSeq: _*)
+            .select(df.columns.map(col).toSeq: _*)))
     }
+  }
 
   /** Compaction with two-dimensional Z-order clustering: rows are
     * range-partitioned and sorted by the Morton interleave of the two

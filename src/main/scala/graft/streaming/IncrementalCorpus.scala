@@ -323,10 +323,12 @@ object IncrementalCorpus {
     // append dirs below it (invisible to reads, but an upTo below the
     // watermark would trip the advance-only clamp)
     val hubs = hubStoreOf(base)
-    val hubLanded = hubs.landedBatchIds(spark).filter(_ > hubs.watermark(spark))
+    val hubW = hubs.watermark(spark)
+    val hubLanded = hubs.landedBatchIds(spark).filter(_ > hubW)
     if (hubLanded.nonEmpty) hubs.compact(spark, hubLanded.max)
     val bands = StreamingDedup.bandStoreOf(s"$base/store")
-    val bandLanded = bands.landedBatchIds(spark).filter(_ > bands.watermark(spark))
+    val bandW = bands.watermark(spark)
+    val bandLanded = bands.landedBatchIds(spark).filter(_ > bandW)
     if (bandLanded.nonEmpty) bands.compact(spark, bandLanded.max)
   }
 

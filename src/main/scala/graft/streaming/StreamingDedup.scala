@@ -231,13 +231,19 @@ object StreamingDedup {
   /** Land `df` as the `batch_id=batchId` partition of `dir`. Dynamic
     * partition overwrite is the idempotence mechanism: a replay rewrites
     * ONLY its own partition with the identical recomputed rows and never
-    * touches other batches' output.
+    * touches other batches' output. Recovery-first (round 15): a
+    * maintenance compaction that crashed mid-publish leaves the only
+    * copy of history at `dir__prev` — writing WITHOUT merging it back
+    * would mask it behind a fresh one-batch store and the next recovery
+    * would discard it. One `exists` probe per commit on the clean path.
     */
-  private[streaming] def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+  private[streaming] def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit = {
+    graft.sources.Maintenance.recoverBatchStore(df.sparkSession, dir)
     df.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
+  }
 
   /** The full idempotent micro-batch commit (the foreachBatch body,
     * exposed so tests can replay it): read the earlier-batch store,

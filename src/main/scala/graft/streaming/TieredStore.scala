@@ -332,8 +332,10 @@ final class TieredStore(
     // count only batches ABOVE the watermark: a replayed compacted
     // batch recreates its (garbage, invisible) append dir below it,
     // which must neither inflate the cadence count nor produce an
-    // upTo < watermark crash when only garbage dirs remain
-    val fresh = landedBatchIds(spark).filter(_ > watermark(spark))
+    // upTo < watermark crash when only garbage dirs remain. Watermark
+    // hoisted: it costs FS round trips and runs on every commit.
+    val w = watermark(spark)
+    val fresh = landedBatchIds(spark).filter(_ > w)
     if (fresh.length >= every) { compact(spark, fresh.max); true }
     else false
   }

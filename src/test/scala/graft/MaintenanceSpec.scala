@@ -304,6 +304,49 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(IncrementalDau.readRows(spark, s"$tmp/state").count() == 4)
     // an absent store is a quiet no-op, not a crash
     assert(!IncrementalDau.maintain(spark, s"$tmp/never_written"))
+
+    // the WRITER-continues window (round-15 review finding): a stream
+    // that resumes after the mid-publish crash must not mask __prev
+    // behind a fresh one-batch store — the writer merges it back first
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/state"),
+      new org.apache.hadoop.fs.Path(s"$tmp/state__prev")))
+    IncrementalDau.commitBatch(acts((9L, 200)), 2L, s"$tmp/state")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/state__prev")),
+      "the writer must merge the surviving __prev back before landing")
+    assert(IncrementalDau.readRows(spark, s"$tmp/state")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == before + ((9L, 200)),
+      "history + the new batch must both survive")
+  }
+
+  test("masked __prev (crash mid-recovery-merge): reads union the missing batches (round 15)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_maint_mask").toString
+    // committed dir holds only batch 2; __prev holds batches 0-1 (the
+    // state a crash inside the recovery merge can leave)
+    Seq((1L, 10L)).toDF("k", "v").withColumn("batch_id", lit(2L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/s")
+    Seq((2L, 20L)).toDF("k", "v").withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$tmp/s__prev")
+    Seq((3L, 30L)).toDF("k", "v").withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$tmp/s__prev")
+    val got = Maintenance.readBatchStoreOr(spark, s"$tmp/s").get
+      .select("k", "v", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 2L), (2L, 20L, 0L), (3L, 30L, 1L)),
+      s"masked __prev batches must surface, got $got")
+    // a batch id present in BOTH keeps the committed copy, no dup rows
+    Seq((4L, 40L)).toDF("k", "v").withColumn("batch_id", lit(2L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$tmp/s__prev")
+    val got2 = Maintenance.readBatchStoreOr(spark, s"$tmp/s").get
+      .filter(col("batch_id") === 2L)
+      .select("k").as[Long].collect().toSeq
+    assert(got2 == Seq(1L), s"committed copy must win for a shared batch id, got $got2")
+    // recovery converges to one committed tree with all batches
+    Maintenance.recoverBatchStore(spark, s"$tmp/s")
+    assert(!new java.io.File(s"$tmp/s__prev").exists())
+    val after = Maintenance.readBatchStoreOr(spark, s"$tmp/s").get
+      .select("k", "v", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(after == Set((1L, 10L, 2L), (2L, 20L, 0L), (3L, 30L, 1L)))
   }
 
   test("index/cdc/substr store maintenance preserves each snapshot (round 15)") {

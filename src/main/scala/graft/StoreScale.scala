@@ -76,7 +76,7 @@ object StoreScale {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq("pruned", "full", "warm", "hubs1", "hubs1_bucketed",
-      "hubs10", "hubs10_bucketed", "lr_cadence", "lr_none").foreach { v =>
+      "hubs10", "hubs10_bucketed", "lr_cadence", "lr_none", "lr_geo").foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true)
     }
     // untimed warm-up: codegen + parquet reader caches land outside the
@@ -186,6 +186,22 @@ object StoreScale {
     }
     val lrCadence = longrun("lr_cadence", 8)
     val lrNone = longrun("lr_none", 0)
+    // geometric (size-ratio) cadence: triggers space out as the store
+    // grows — O(N log N) total rewrite vs fixed-interval's O(N²/every)
+    val lrGeo: Seq[Double] = {
+      val store = s"$base/lr_geo/store"
+      val st = streaming.StreamingDedup.bandStoreOf(store)
+      (0 until lrBatches).map { i =>
+        val b = docs.filter(col("doc_id") >= i * lrDocs && col("doc_id") < (i + 1) * lrDocs)
+        val dt = time {
+          streaming.StreamingDedup.commitBatch(
+            b, i.toLong, store, s"$base/lr_geo/pairs", 0.5)
+          st.maybeCompactBySize(spark, ratio = 1.0, minBytes = 1L)
+        }
+        drainStorage()
+        dt
+      }
+    }
     def tail10(xs: Seq[Double]): Double = xs.takeRight(10).sum / 10.0
     def head10(xs: Seq[Double]): Double = xs.take(10).sum / 10.0
 
@@ -201,6 +217,7 @@ object StoreScale {
       s""""hubs_probe8_sec":{"pruned":${pt(hubP1, hubP10)},""" +
       s""""fullscan_semi":${pt(hubF1, hubF10)}},""" +
       s""""longrun50":{"cadence8":{"head10":${fmt(head10(lrCadence))},"tail10":${fmt(tail10(lrCadence))},"per_batch":${arr(lrCadence)}},""" +
+      s""""geometric":{"head10":${fmt(head10(lrGeo))},"tail10":${fmt(tail10(lrGeo))},"per_batch":${arr(lrGeo)}},""" +
       s""""none":{"head10":${fmt(head10(lrNone))},"tail10":${fmt(tail10(lrNone))},"per_batch":${arr(lrNone)}}}}""")
     spark.stop()
   }

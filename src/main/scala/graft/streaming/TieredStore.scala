@@ -328,6 +328,40 @@ final class TieredStore(
     * mid-compaction recovers via `__prev`, and a replay of a
     * compacted batch stays a no-op. Returns whether it compacted.
     */
+  /** Size-ratio (geometric) cadence — the size-tiered LSM alternative
+    * to the fixed-interval [[maybeCompact]]: compact when the append
+    * tier's bytes reach `ratio` × the bucketed tier's bytes (with
+    * `minBytes` as the floor so a near-empty store doesn't thrash).
+    * Trigger points space geometrically (1, 2, 4, 8, … batches of
+    * history between rewrites at ratio 1), so the TOTAL rewrite work
+    * over N batches is O(N log N) rows versus the fixed-interval
+    * policy's O(N²/every) — each row is rewritten O(log N) times —
+    * while the append tier is bounded by a FRACTION of the store
+    * instead of a fixed batch count (its dir count grows within an
+    * epoch; the fixed-interval policy makes the opposite trade:
+    * bounded listing, quadratic rewrite). StoreScale's longrun50
+    * measures both curves; pick by whether listing cost or write
+    * amplification binds. Same safety inheritance as [[maybeCompact]].
+    */
+  def maybeCompactBySize(spark: SparkSession, ratio: Double = 1.0,
+      minBytes: Long = 64L << 20): Boolean = {
+    val fs = fsOf(spark)
+    def bytesOf(path: String): Long =
+      try fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val w = watermark(spark)
+    val fresh = landedBatchIds(spark).filter(_ > w)
+    if (fresh.isEmpty) return false
+    // append bytes: only above-watermark batch dirs count (garbage
+    // replay dirs below the watermark are invisible data)
+    val appendBytes = fresh.map(b => bytesOf(s"$storeDir/batch_id=$b")).sum
+    val bucketedBytes =
+      resolvedBucketedDir(fs).map(bytesOf).getOrElse(0L)
+    if (appendBytes >= math.max(minBytes, (ratio * bucketedBytes).toLong)) {
+      compact(spark, fresh.max); true
+    } else false
+  }
+
   def maybeCompact(spark: SparkSession, every: Int): Boolean = {
     // count only batches ABOVE the watermark: a replayed compacted
     // batch recreates its (garbage, invisible) append dir below it,

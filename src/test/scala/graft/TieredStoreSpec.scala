@@ -153,6 +153,33 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.watermark(spark) == -1L && store.readAll(spark, 10L).isEmpty)
   }
 
+  test("maybeCompactBySize: geometric triggers, losslessness, floor respected") {
+    val dir = Files.createTempDirectory("ts_geo").toString
+    val store = TieredStore.longKeyed(s"$dir/s", Seq("k", "v"), "k", 8,
+      label = "geo-store")
+    // constant-size batches → at ratio 1 the append tier reaches the
+    // bucketed tier's size after ~double the batches each epoch:
+    // compaction points must space out geometrically, not linearly
+    var compactions = List.empty[Long]
+    (0L until 24L).foreach { b =>
+      store.append((0L until 32L).map(k => (k, b)).toDF("k", "v"), b)
+      if (store.maybeCompactBySize(spark, ratio = 1.0, minBytes = 1L))
+        compactions ::= b
+    }
+    val points = compactions.reverse
+    assert(points.length >= 3 && points.length <= 8,
+      s"expected geometric (log N) trigger count over 24 batches, got $points")
+    val gaps = (points.head + 1) +: points.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.last >= 2 * gaps.head,
+      s"trigger gaps must widen as the store grows, got $gaps")
+    // nothing lost across the mixed layout
+    assert(store.readAll(spark, 100L).get.count() == 24L * 32L)
+    // a high floor suppresses compaction entirely on a small store
+    val floored = TieredStore.longKeyed(s"$dir/f", Seq("k"), "k", 8)
+    floored.append(Seq(1L, 2L).toDF("k"), 0L)
+    assert(!floored.maybeCompactBySize(spark) && floored.watermark(spark) == -1L)
+  }
+
   test("maybeCompact: cadence triggers at the threshold, resets after, replay-safe") {
     val dir = Files.createTempDirectory("ts_cadence").toString
     val store = TieredStore.longKeyed(s"$dir/s", Seq("k", "v"), "k", 8,

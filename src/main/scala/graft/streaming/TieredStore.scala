@@ -56,6 +56,18 @@ import org.apache.spark.sql.functions._
   * Spark job); TieredStoreSpec pins the agreement for both shipped
   * instances, including the xxhash64 seed-42 twin the hubs store uses.
   *
+  * Known small-store overhead (measured, StoreScale longrun50): a
+  * compacted tier always carries `buckets` directories, so while the
+  * whole store is a few MB the two-tier read pays ~0.5 s of listing +
+  * tiny-file footers that a flat scan doesn't — compaction only pays
+  * for itself once history is large (the regime the probe rows
+  * measure) or listing is expensive (object stores). The remedy, if a
+  * deployment needs small stores fast too, is a bucket count scaled
+  * with store size at compaction time (choose m ≤ buckets from the
+  * row count, record it next to `_watermark`, derive touched dirs
+  * from the recorded m at read) — not built: it buys nothing at the
+  * scale this store exists for.
+  *
   * @param dataCols      store schema field names (minus batch_id)
   * @param keyCol        the equi-join/prune key column
   * @param buckets       bucketed-tier partition count — bounds

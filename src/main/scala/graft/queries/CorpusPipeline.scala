@@ -147,10 +147,19 @@ object CorpusPipeline {
     * Bench set = doc_id % 10, matching q_decontam's convention.
     */
   def buildFrame(docs: DataFrame,
-      cacheKey: Option[String] = None): DataFrame =
-    withSplit(decontaminate(
-      nearDedup(exactDedup(qualityFilter(docs)), cacheKey = cacheKey),
-      docs.filter(col("doc_id") % 10 === 0)))
+      cacheKey: Option[String] = None): DataFrame = {
+    // the dedup survivors feed THREE decontamination branches (the
+    // bench-id anti-join consumed twice + the overlap screen), and
+    // Catalyst duplicates the whole quality → digest-window → drop
+    // anti-join tower per branch (round 15; the before plan shows it
+    // three times, each with its own full-text shuffle). One eager
+    // materialization — the same boundary [[build]] already pays for
+    // its audit counts — makes the dedup pass run once: measured
+    // 5.5 s → ~3.5 s at sf0.1.
+    val deduped = nearDedup(exactDedup(qualityFilter(docs)), cacheKey = cacheKey)
+      .localCheckpoint(true)
+    withSplit(decontaminate(deduped, docs.filter(col("doc_id") % 10 === 0)))
+  }
 
   /** The full composition, returning the train-ready frame and the
     * per-stage audit counts. Each audited boundary is localCheckpointed

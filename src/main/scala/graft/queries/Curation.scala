@@ -672,7 +672,12 @@ object Curation {
     QueryDef("q_clf_auc",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val (feats, nDocs) = clfFeats(s, d)
+        // one materialization feeds BOTH training and the scoring pass
+        // (round 15): uncheckpointed, the post-training scoring join
+        // re-ran the whole tokenize → vocab-join feature build a second
+        // time — the most expensive lineage in the query
+        val (feats0, nDocs) = clfFeats(s, d)
+        val feats = feats0.localCheckpoint(true)
         val learned =
           graft.ml.LogReg.train(s, feats, nDocs, ClfIters, ClfLr)
         import s.implicits._
@@ -870,11 +875,20 @@ object Curation {
     * rounding as the cross-engine ulp guard).
     */
   def dsirHashedScores(s: SparkSession, d: String): DataFrame = {
+    // four consumers (raw, tgt, totals, the scoring join) — each
+    // branch re-ran the tokenizer kernel + md5 bucketing over the
+    // whole corpus (round 15: 4-5 documents scans in the before plans
+    // of all three scorer queries, guide §7.2). Narrowed to the three
+    // columns downstream actually reads (w is spent once b exists),
+    // then materialized once: ~24 B/token-row in block storage vs four
+    // full tokenize+hash passes.
     val tk = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.unicodeWords(col("text"))).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("b"))
+      .localCheckpoint(true)
     val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
     val tgt = tk.filter(col("lang") === "en")
       .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))

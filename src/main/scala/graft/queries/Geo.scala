@@ -184,9 +184,13 @@ object Geo {
     QueryDef("q_geo_pairs",
       (s, d) => {
         val pts = pointsOf(T.events(s, d))
+        // both join sides read one materialization of the narrow binned
+        // points (round 15 — uncheckpointed, lhs and rhs each re-ran
+        // the events scan + hash-projection)
         val binned = pts.select(col("event_id"), col("event_type"),
           col("x"), col("y"),
           expr(s"x div $PairDist").as("gx"), expr(s"y div $PairDist").as("gy"))
+          .localCheckpoint(true)
         val offs = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
           struct(lit(i.toLong).as("dx"), lit(j.toLong).as("dy")))): _*)
         val lhs = binned.select(col("event_id").as("id_a"),

@@ -60,25 +60,39 @@ object Graph {
     // their source's out-weight (the denominator never changes), and
     // the node list. Without this every iteration re-derives the edge
     // aggregation all the way from the fact-table self-join — measured
-    // 20.5 s → 7 s at sf0.1.
+    // 20.5 s → 7 s at sf0.1. Round 15: destinations are additionally
+    // semi-joined to the node set HERE (loop-invariant, one broadcast
+    // below the ceiling) so the union-form iteration below needs no
+    // per-iteration node join at all — previously each round LEFT-
+    // joined the full node list against the contribution aggregate,
+    // which cost a second join and a driver-funnelled broadcast of the
+    // node-count contribution frame every iteration (guide §2.4:
+    // remove shuffles outright). wtot is aggregated BEFORE the
+    // restriction, so out-of-node-set destinations still dilute their
+    // source's rank exactly as the oracle's deg CTE prescribes.
     val ew = edges.join(
         maybeBcast(edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), n, bcastLimit),
         "src")
       .select(col("src"), col("dst"), col("w"), col("wtot"))
+      .join(maybeBcast(nd.select(col("node").as("dst")), n, bcastLimit),
+        Seq("dst"), "left_semi")
       .localCheckpoint(true)
     val base = Scale / n
     val base15 = (15L * base) / 100L
     var pr = nd.withColumn("pr", lit(base))
+    // zero-contribution rows for every node: unioned into the per-round
+    // aggregation so isolated/dangling-target nodes keep their base
+    // rank without a node-list join (Σ(c ∪ {0}) ≡ coalesce(Σc, 0))
+    val zeros = nd.select(col("node"), lit(0L).as("c"))
     var it = 0
     while (it < iterations) {
       // rank is node-count rows (the contracted graph) — broadcast it
       // into the edge scan (conditional on BroadcastNodeLimit) so the
-      // only shuffle per iteration is the dst-keyed contribution agg
-      val contrib = maybeBcast(pr, n, bcastLimit).join(ew, pr("node") === ew("src"))
-        .selectExpr("dst", "(pr * w) div wtot AS c")
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = nd.join(maybeBcast(contrib, n, bcastLimit), nd("node") === contrib("dst"), "left")
-        .select(nd("node"), coalesce(col("s"), lit(0L)).as("s"))
+      // only shuffle per iteration is the node-keyed contribution agg
+      pr = maybeBcast(pr, n, bcastLimit).join(ew, pr("node") === ew("src"))
+        .selectExpr("dst AS node", "(pr * w) div wtot AS c")
+        .unionByName(zeros)
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
         .selectExpr("node", s"${base15}L + ((85 * s) div 100) AS pr")
         // truncate lineage: 10 chained join+agg rounds would otherwise
         // compound into one mega-plan (node-count rows only — cheap)
@@ -305,7 +319,11 @@ object Graph {
               col("node") === col("seen"), "left_anti")
             .withColumn("hop", lit(h))
             .localCheckpoint(true)
-          best = best.unionByName(next).localCheckpoint(true)
+          // best stays a lazy union of the ≤4 checkpointed hop frames:
+          // re-checkpointing the union each hop re-materialized rows
+          // that already live in block storage (round 15 — one fewer
+          // job per hop, plan depth bounded by the hop count)
+          best = best.unionByName(next)
           frontier = next.select(col("node"))
         }
         best.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
@@ -347,9 +365,13 @@ object Graph {
     // ONE broadcast row; top-50 cuts via TakeOrderedAndProject.
     QueryDef("q_assoc_rules",
       (s, d) => {
+        // three consumers (basket count, item supports, pair explosion)
+        // — uncheckpointed, each re-ran the fact-table scan + distinct
+        // exchange (round 15: 4 lineitem scans in the before plan)
         val items = T.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
           .distinct()
+          .localCheckpoint(true)
         val nBaskets = items.select(col("ok")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val itemSupp = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
@@ -502,18 +524,30 @@ object Graph {
     */
   def kcoreOf(edges: DataFrame, k: Int): DataFrame = {
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var n = e.select(col("src")).distinct().count()
-    var done = n == 0
+    // fixpoint on the EDGE count (round 15): peeling only removes
+    // edges, and an edge disappears iff an endpoint was dropped, so
+    // |E| unchanged ⟺ no node dropped ⟺ fixpoint — the previous
+    // distinct-src count answered the same question through an extra
+    // exchange per round (guide §2.4). The surviving-node degrees are
+    // both-directions row counts, so keep is derived per round from
+    // the same aggregation the final output uses; keep is node-
+    // dimension rows and broadcasts under the standard ceiling (edge
+    // count bounds it), with the hint dropping past it like every
+    // other iterative operator here.
+    var m = e.count()
+    var done = m == 0
     while (!done) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
       val e2 = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(maybeBcast(keep.select(col("node").as("src")), m, BroadcastNodeLimit),
+          Seq("src"), "left_semi")
+        .join(maybeBcast(keep.select(col("node").as("dst")), m, BroadcastNodeLimit),
+          Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).localCheckpoint(true)
-      val n2 = e2.select(col("src")).distinct().count()
-      done = n2 == n || n2 == 0
-      e = e2; n = n2
+      val m2 = e2.count()
+      done = m2 == m || m2 == 0
+      e = e2; m = m2
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

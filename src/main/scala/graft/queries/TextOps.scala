@@ -85,9 +85,21 @@ object TextOps {
       maxDf: Int): org.apache.spark.sql.DataFrame = {
     // df via a count window: shuffles by shingle — the same key the
     // self-join below needs, so the exchange is reused, not added.
+    // Materialized ONCE (round 15): this frame feeds FOUR plan branches
+    // (both self-join sides + both size joins), and Catalyst duplicates
+    // the whole scan → shingle-kernel → shingle-sort → window subtree
+    // per branch (guide §7.2 — the before plans show 4 identical
+    // Generate+Window towers; AQE's exchange reuse only deduplicates
+    // the exchange itself, not the sort+window above it). The trade is
+    // the standard materialized-boundary one: kept-shingle rows ≈ the
+    // corpus's token stream in block storage vs four full
+    // kernel+sort passes over it — measured 1.9 s → 1.1 s (token
+    // 3-grams) and 4.1 s → ~1.8 s (char 8-grams) at sf0.1; a cluster
+    // deployment would use a cached table / reliable checkpoint.
     val shingles = all
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf).drop("df")
+      .localCheckpoint(true)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = shingles.as("x").join(shingles.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -139,7 +151,11 @@ object TextOps {
     */
   def containmentPairsOf(docs: org.apache.spark.sql.DataFrame,
       maxDf: Int = MaxShingleDf, thr: Double = 0.9): org.apache.spark.sql.DataFrame = {
-    val st = pairStatsOf(docs, maxDf)
+    // both directional projections read one materialization: st is
+    // pair-count rows (compact), and an uncheckpointed st re-ran the
+    // whole candidate self-join once per direction (round 15 — the
+    // before plan's two identical join towers)
+    val st = pairStatsOf(docs, maxDf).localCheckpoint(true)
     val aInB = st.select(col("doc_a").as("doc_in"), col("doc_b").as("doc_of"),
       round(col("n_common").cast("double") / col("n_a"), 4).as("containment"))
     val bInA = st.select(col("doc_b").as("doc_in"), col("doc_a").as("doc_of"),
@@ -609,8 +625,15 @@ object TextOps {
       (s, d) => {
         val toks = T.documents(s, d)
           .select(col("doc_id"), explode(unicodeWords(col("text"))).as("word"))
+        // tf feeds both the scoring join and the document frequency —
+        // materialized once (compact distinct (doc, word) rows), and df
+        // is derived FROM tf (one row per (doc, word) ⟹ per-word row
+        // count ≡ distinct-doc count): round 15 — previously dfreq
+        // re-ran the tokenizer over the corpus a second time and paid a
+        // count-distinct Expand on top (guide §7.2 / §2.3)
         val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        val dfreq = toks.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+          .localCheckpoint(true)
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "word").join(broadcast(n))
           .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))

@@ -1301,15 +1301,23 @@ object TimeWindows {
         val sess = s; import sess.implicits._
         val e = T.events(s, d)
         val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+        // daily/dev are (event_type × day) rows — tiny — but feed 2 and
+        // 3 plan branches respectively; uncheckpointed, each branch
+        // re-scanned events and re-ran the daily aggregation (round 15:
+        // the before plan reads events.parquet 12× — guide §7.2
+        // duplicated subtrees). Two cheap materializations make the
+        // corpus-scale pass run once.
         val daily = e.join(broadcast(d0))
           .groupBy(col("event_type"),
             datediff(to_date(col("ts")), col("d0")).as("t"))
           .agg(count(lit(1)).as("x"))
+          .localCheckpoint(true)
         val st = daily.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"))
         val dev = daily.join(broadcast(st), "event_type")
           .select(col("event_type"), col("t"),
             (col("n") * col("x") - col("ss")).as("dx"))
+          .localCheckpoint(true)
         val den = dev.groupBy(col("event_type"))
           .agg(sum(col("dx") * col("dx")).as("den"))
         val lags = Seq(1, 7).toDF("lag")

@@ -269,7 +269,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       plan.contains("BroadcastHashJoin"), s"shingle equi-join expected:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "exact pairs must never plan as a cross product")
-    assert(plan.contains("char_shingles"),
+    // the kept-shingle frame is checkpointed since round 15 (one
+    // materialization feeds all four plan branches), so the kernel
+    // lineage sits behind an ExistingRDD in the outer plan — audit the
+    // shingle stage directly, the cappedCharSignaturesOf convention
+    val shPlan = formattedPlan(
+      graft.queries.Similarity.charShinglesOf(Tables.documents(spark, sf)))
+    assert(shPlan.contains("char_shingles"),
       "shingles must come from the codegen'd kernel, not lambdas")
   }
 

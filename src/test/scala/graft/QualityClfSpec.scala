@@ -52,6 +52,22 @@ class QualityClfSpec extends AnyFunSuite with SharedSpark {
       f"expected margin separation, got en=$enMean%.4f rest=$restMean%.4f")
   }
 
+  test("doc-major fast path learns the same weights as the join form (4 dp)") {
+    import spark.implicits._
+    // mixed doc sizes + duplicate-free (doc, f) rows, several features
+    val feats = (0 until 50).flatMap { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      val marker = if (y == 1.0) "pos" else "neg"
+      Seq((i.toLong, y, marker, 1.0 + (i % 3)), (i.toLong, y, "noise", 1.0),
+        (i.toLong, y, "_bias", 1.0))
+    }.toDF("doc_id", "y", "f", "x")
+    val fast = ml.LogReg.train(spark, feats, 50.0, 10, 0.5)
+      .map { case (f, w) => f -> math.rint(w * 1e4) / 1e4 }
+    val join = ml.LogReg.trainJoinForm(spark, feats, 50.0, 10, 0.5)
+      .map { case (f, w) => f -> math.rint(w * 1e4) / 1e4 }
+    assert(fast == join)
+  }
+
   test("weights are invariant to input partitioning") {
     import spark.implicits._
     val feats = (0 until 30).flatMap { i =>

@@ -59,6 +59,23 @@ object StarComponents {
       .distinct()
   }
 
+  /** Edge-count ceiling for the driver union-find fast path (round
+    * 15): a dedup graph whose CANONICAL edge list fits comfortably on
+    * the driver (≤ 2²⁰ edges ≈ 16 MB of long pairs, nodes bounded by
+    * 2× that plus self-loops) is labeled in one collect + one
+    * parallelize instead of O(log² n) two-shuffle rounds — the rounds
+    * cost 3-4 s of pure job latency at fixture scale while the actual
+    * graph is a few hundred edges. The decision reads the EXACT counts
+    * off the two checkpoint jobs the method already pays (observe
+    * metrics), so the bound is never an estimate; past it, the
+    * published star-contraction loop runs unchanged — the same
+    * exact-cardinality regime split as LogReg's margins and the graph
+    * loops' broadcast ceiling. Most documents have no near-duplicate,
+    * so a 100-TB corpus can still land under the bound — but nothing
+    * relies on it.
+    */
+  val DriverEdgeLimit: Long = 1L << 20
+
   /** @param edges two long columns `src`, `dst` (undirected; self-loops
     *              and duplicates tolerated)
     * @param validate run the star-forest invariant post-checks (one agg +
@@ -66,38 +83,85 @@ object StarComponents {
     *                 a 100-TB production run that already trusts the
     *                 fingerprint-certified fixpoint passes `false` to
     *                 skip the two extra jobs per invocation.
+    * @param driverEdgeLimit ceiling for the driver union-find fast path
+    *                 ([[DriverEdgeLimit]]); 0 forces the distributed
+    *                 loop (specs pin parity between the two paths)
     * @return (id, comp) — every node labeled with its component's
     *         minimum node id (same contract as
     *         [[Components.connectedComponents]])
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
-      validate: Boolean = true): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
+      validate: Boolean = true,
+      driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+    val nodesObs = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    var e = edges.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .observe("n_nodes", count(lit(1)))
+    val nodes = nodesObs.localCheckpoint(true)
+    val nNodes = nodesObs.queryExecution.observedMetrics("n_nodes").getLong(0)
     // convergence via an order-independent content fingerprint:
     // (count, sum(xxhash64(u,v))) — the hash sum identifies the edge SET,
     // not just its moments, so two distinct consecutive edge sets can't
     // collide short of a 64-bit hash collision (the rewrites are not
     // strictly monotone: large-star can add edges, so moment-only
-    // fingerprints could in principle tie without a fixpoint)
-    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    // fingerprints could in principle tie without a fixpoint).
+    // Computed as an `observe` metric riding the round's checkpoint
+    // materialization (round 15): the previous separate fingerprint
+    // aggregate cost one extra Spark job per round — at fixture scale
+    // the loop is job-latency-bound, and the metric is exactly the
+    // same (count, sum) pair, now collected DURING the job that was
+    // already scanning every row to checkpoint it.
+    def ckWithFingerprint(df: DataFrame): (DataFrame, (Long, BigDecimal)) = {
+      val obs = df.observe("fp", count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+      val ck = obs.localCheckpoint(true)
+      val r = obs.queryExecution.observedMetrics("fp")
+      (ck, (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))))
     }
-    var prev = fingerprint(e)
+    var (e, prev) = ckWithFingerprint(
+      edges.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .distinct())
+    if (prev._1 <= driverEdgeLimit && nNodes <= 2 * driverEdgeLimit) {
+      val spark = edges.sparkSession
+      // driver union-find (path-halving) with a min-per-root pass, so
+      // every node labels to its component's MINIMUM id — identical to
+      // the star-contraction fixpoint's labels by construction
+      val ids = nodes.select(col("id"))
+        .as(org.apache.spark.sql.Encoders.scalaLong).collect()
+      val pairs = e.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long](ids.length * 2)
+      ids.foreach(id => parent.put(id, id))
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x)))
+          x = parent.get(x)
+        }
+        x
+      }
+      pairs.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val compMin = new java.util.HashMap[Long, Long](ids.length * 2)
+      ids.foreach { id =>
+        val r = find(id)
+        val cur = compMin.getOrDefault(r, Long.MaxValue)
+        if (id < cur) compMin.put(r, id)
+      }
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(ids.toIndexedSeq.map(id => (id, compMin.get(find(id)))))
+        .toDF("id", "comp")
+    }
     var converged = prev._1 == 0 // no non-loop edges: already stars
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val fp = fingerprint(e)
+      val (e2, fp) = ckWithFingerprint(smallStar(largeStar(e)))
+      e = e2
       converged = fp == prev
       prev = fp
       i += 1

@@ -746,26 +746,61 @@ object Curation {
     // Equi-DEPTH histogram of l_extendedprice (8 buckets of ~equal mass)
     // — the profiling complement to q_histogram's equi-width bins and
     // the statistic a cost-based layout planner actually wants (equal-
-    // mass bins expose skew that fixed-width bins hide). Plan shape:
-    // ONE 1-row percentile aggregate computes the 7 interior boundaries,
-    // broadcasts, and bucketing is a map-side sum of comparisons +
-    // bounded-key agg — never a global sort/ntile (an ntile(8) over an
-    // unpartitioned window would shuffle every row to sort order; at
-    // 100 TB the boundary-broadcast form is the only viable one, and
-    // `percentile` swaps for `approx_percentile` with no other change).
-    // Boundaries are rounded to 4 decimals BEFORE bucketing in both
-    // engines so the comparisons see bit-identical doubles.
+    // mass bins expose skew that fixed-width bins hide). Plan shape
+    // (round 15): the 7 interior boundaries come from a range-
+    // partitioned sort + global-rank selection (≤14 rows to the
+    // driver), then bucketing is a map-side sum of literal comparisons
+    // + bounded-key agg — never an ntile(8) window (which would
+    // shuffle every row to one sort order), and no longer the
+    // `percentile` ObjectAggregate (which funnelled every distinct
+    // value through a single final-merge task; a sketch deployment
+    // swaps the selection for `approx_percentile` with no other
+    // change). Boundaries are rounded to 4 decimals BEFORE bucketing
+    // in both engines so the comparisons see bit-identical doubles.
     QueryDef("q_hist_eqdepth",
       (s, d) => {
         val li = T.lineitem(s, d)
           .select(col("l_extendedprice").cast("double").as("v"))
-        val qs = (1 to 7).map(i => s"${i / 8.0}").mkString(", ")
-        val bounds = li.agg(expr(s"percentile(v, array($qs))").as("bs"))
-        val bucket = (1 to 7)
-          .map(i => (col("v") > round(element_at(col("bs"), i), 4)).cast("int"))
+        // Exact interior boundaries via range-partitioned sort + rank
+        // selection (round 15, guide §1.2 "per-task work"): the
+        // `percentile(v, array(…))` ObjectAggregate built a value→count
+        // OpenHashMap per partition, merged all of them in ONE final
+        // reduce task, and sorted the (nearly all-distinct) 583k-entry
+        // map single-threaded — measured 2.8-3.8 s of the query's
+        // 4-5 s at sf0.1. The sorted-rank form shuffles the column
+        // once ACROSS range partitions (parallel), zips global indexes,
+        // and collects exactly the ≤14 rank rows the 7 interpolations
+        // read — the scale shape is strictly better too (the old final
+        // merge funnelled every distinct value through one task).
+        // Interpolation replicates Percentile.getPercentile to the op:
+        // (hi−pos)·v[lo] + (pos−lo)·v[hi], pos = p·(n−1), p dyadic —
+        // and the 4-dp HALF_UP round of the shortest decimal repr is
+        // java BigDecimal.valueOf, bit-identical to Spark's round().
+        val n = li.count()
+        val idx = li.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+          .select(col("v")).as(org.apache.spark.sql.Encoders.scalaDouble)
+          .rdd.zipWithIndex()
+        val positions = (1 to 7).map(i => (i / 8.0) * (n - 1))
+        val needed = positions.flatMap { p =>
+          val lo = p.toLong; Seq(lo, math.min(lo + 1, n - 1))
+        }.toSet
+        val byRank: Map[Long, Double] = idx
+          .filter { case (_, ix) => needed.contains(ix) }
+          .map(_.swap).collect().toMap
+        val bs: Seq[Double] = positions.map { pos =>
+          val lo = pos.toLong
+          val lk = byRank(lo)
+          if (lo + 1 > n - 1) lk
+          else {
+            val hk = byRank(lo + 1)
+            if (hk == lk) lk else (lo + 1 - pos) * lk + (pos - lo) * hk
+          }
+        }
+        val bucket = bs
+          .map(b => (col("v") > lit(java.math.BigDecimal.valueOf(b)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)).cast("int"))
           .reduce(_ + _) + 1
-        li.join(broadcast(bounds))
-          .groupBy(bucket.as("bucket"))
+        li.groupBy(bucket.as("bucket"))
           .agg(count(lit(1)).as("n"),
             round(min(col("v")), 4).as("lo"),
             round(max(col("v")), 4).as("hi"))

@@ -48,14 +48,24 @@ object Graph {
   private def maybeBcast(df: DataFrame, nodeCount: Long, limit: Long): DataFrame =
     if (nodeCount <= limit) broadcast(df) else df
 
+  /** Eager localCheckpoint whose row count rides the materialization
+    * job as an `observe` metric (round 15) — every iterative operator
+    * here pays a bounding count right after a checkpoint, and the
+    * separate count action was pure job latency at fixture scale.
+    */
+  private def ckCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = df.observe("n", count(lit(1)))
+    val ck = obs.localCheckpoint(true)
+    (ck, obs.queryExecution.observedMetrics("n").getLong(0))
+  }
+
   /** Spark-side deterministic integer PageRank; factored out so specs
     * can run it on crafted graphs (GraphSpec parity vs a naive
     * in-test implementation).
     */
   def pagerankOf(nodes: DataFrame, edges: DataFrame, iterations: Int,
                  bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
-    val nd = nodes.localCheckpoint(true)
-    val n = nd.count() // bounded: dimension-table count, one action
+    val (nd, n) = ckCounted(nodes) // bounded: dimension-table count
     // materialize the loop-invariant state ONCE: edges pre-joined with
     // their source's out-weight (the denominator never changes), and
     // the node list. Without this every iteration re-derives the edge
@@ -173,9 +183,8 @@ object Graph {
   def lpaOf(edges: DataFrame, iterations: Int,
             bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val ew = edges.localCheckpoint(true)
-    var lab = ew.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    val n = lab.count() // node-dimension count, one action on the checkpoint
+    var (lab, n) = ckCounted(ew.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))) // node-dimension count rides the ck
     var it = 0
     while (it < iterations) {
       val votes = maybeBcast(lab, n, bcastLimit).join(ew, lab("node") === ew("src"))
@@ -227,17 +236,15 @@ object Graph {
     // materialize the undirected edge list once: five downstream
     // branches (deg, orientation, both wedge sides, the three counts)
     // would otherwise each re-derive it from the fact-table self-join
-    val und = edges.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint(true)
     // edge count m bounds everything broadcast below: |deg| <= 2m rows,
-    // and the adjacency arrays hold exactly m entries total. One cheap
-    // action on the checkpoint. (Round-10 finding: the 100x RelScale
-    // tier OOM'd a 64 GB heap on the then-UNCONDITIONAL adj broadcast —
-    // ~2e8 oriented edges of arrays; the fallback below turns that run
-    // into two m-row shuffle joins, exactly as this comment always
-    // promised.)
-    val m = und.count()
+    // and the adjacency arrays hold exactly m entries total; it rides
+    // the checkpoint job as an observe metric. (Round-10 finding: the
+    // 100x RelScale tier OOM'd a 64 GB heap on the then-UNCONDITIONAL
+    // adj broadcast — ~2e8 oriented edges of arrays; the fallback below
+    // turns that run into two m-row shuffle joins, exactly as this
+    // comment always promised.)
+    val (und, m) = ckCounted(edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")))
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -453,12 +460,11 @@ object Graph {
         // checkpoint the sparsified edge list ONCE: five downstream
         // branches (deg, both nb sides, the anti join) would otherwise
         // each re-run the fact-table self-join + w>=2 aggregation
-        val e = coPurchaseEdges(T.lineitem(s, d))
+        // sparsified edge count bounds |deg| <= 2m; rides the ck job
+        val (e, m) = ckCounted(coPurchaseEdges(T.lineitem(s, d))
           .filter(col("w") >= 2)
           .filter(col("src") < col("dst"))
-          .select(col("src").as("a"), col("dst").as("b"))
-          .localCheckpoint(true)
-        val m = e.count() // sparsified edge count bounds |deg| <= 2m
+          .select(col("src").as("a"), col("dst").as("b")))
         val deg = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -523,29 +529,27 @@ object Graph {
     * the core. Factored out so GraphSpec can run it on crafted graphs.
     */
   def kcoreOf(edges: DataFrame, k: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     // fixpoint on the EDGE count (round 15): peeling only removes
     // edges, and an edge disappears iff an endpoint was dropped, so
     // |E| unchanged ⟺ no node dropped ⟺ fixpoint — the previous
     // distinct-src count answered the same question through an extra
-    // exchange per round (guide §2.4). The surviving-node degrees are
-    // both-directions row counts, so keep is derived per round from
-    // the same aggregation the final output uses; keep is node-
-    // dimension rows and broadcasts under the standard ceiling (edge
-    // count bounds it), with the hint dropping past it like every
-    // other iterative operator here.
-    var m = e.count()
+    // exchange per round (guide §2.4). The count rides the round's
+    // checkpoint job as an `observe` metric (the StarComponents
+    // convention) instead of a separate action. keep is node-dimension
+    // rows and broadcasts under the standard ceiling (edge count
+    // bounds it), with the hint dropping past it like every other
+    // iterative operator here.
+    var (e, m) = ckCounted(edges.select(col("src"), col("dst")))
     var done = m == 0
     while (!done) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-      val e2 = e
+      val (e2, m2) = ckCounted(e
         .join(maybeBcast(keep.select(col("node").as("src")), m, BroadcastNodeLimit),
           Seq("src"), "left_semi")
         .join(maybeBcast(keep.select(col("node").as("dst")), m, BroadcastNodeLimit),
           Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")).localCheckpoint(true)
-      val m2 = e2.count()
+        .select(col("src"), col("dst")))
       done = m2 == m || m2 == 0
       e = e2; m = m2
     }

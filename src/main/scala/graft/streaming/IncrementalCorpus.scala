@@ -143,14 +143,26 @@ object IncrementalCorpus {
       compactEvery: Int = StreamingDedup.DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     val hubStore = hubStoreOf(base)
-    // State-layout compatibility guard, BEFORE any state mutation: a dir
-    // written before the benchsh/ store existed has earlier bench/
-    // batches but no benchsh/ directory — continuing would silently
-    // screen new docs against only this batch's shingle delta (missed
-    // contamination flags, no error). Fail fast and name the remedy.
-    // The bench/ probe only runs when benchsh/ is absent (fresh dirs
-    // pass trivially; replay passes: the two are written together).
-    if (readBefore(spark, s"$base/benchsh", batchId).isEmpty) {
+    // State-layout compatibility guards, BEFORE any state mutation.
+    // Round 15: the healthy path is decided by FILESYSTEM existence
+    // probes (a legacy dir is one whose store DIRECTORY is absent) —
+    // the previous formulation set up several spark.read's of pure
+    // driver latency on EVERY micro-batch to answer a question one
+    // `exists` answers; the expensive spark-side probes now run only
+    // when the directory really is missing (the fail-fast path).
+    val gfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirPresent(p: String): Boolean =
+      gfs.exists(new org.apache.hadoop.fs.Path(p)) ||
+        gfs.exists(new org.apache.hadoop.fs.Path(p + "__prev"))
+    // a dir written before the benchsh/ store existed has earlier
+    // bench/ batches but no benchsh/ directory — continuing would
+    // silently screen new docs against only this batch's shingle
+    // delta (missed contamination flags, no error). Fail fast and
+    // name the remedy. The bench/ probe only runs when benchsh/ is
+    // absent (fresh dirs pass trivially; replay passes: the two are
+    // written together).
+    if (!dirPresent(s"$base/benchsh")) {
       val legacyBench = readBefore(spark, s"$base/bench", batchId)
       require(legacyBench.forall(_.isEmpty),
         s"$base: bench/ has batches before $batchId but benchsh/ is missing — " +
@@ -161,7 +173,7 @@ object IncrementalCorpus {
     // state dir would silently treat every batch digest as new (missed
     // cross-batch exact-dup edges, no error). Two-tier aware: a fully
     // compacted hubs store has no append-tier batches but is not legacy.
-    if (hubStore.readAll(spark, batchId).isEmpty) {
+    if (!dirPresent(s"$base/hubs") && !dirPresent(hubStore.bucketedDir)) {
       val legacyRaw = readBefore(spark, s"$base/raw", batchId)
       require(legacyRaw.forall(_.isEmpty),
         s"$base: raw/ has batches before $batchId but hubs/ is missing — " +

@@ -11,9 +11,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StarComponentsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
-  private def star(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    StarComponents.connectedComponents(edges.toDF("src", "dst"))
+  /** Runs BOTH execution regimes — the driver union-find fast path
+    * (default, every fixture here is under the edge ceiling) and the
+    * distributed star-contraction loop (forced via driverEdgeLimit=0)
+    * — and asserts they label identically before returning (round 15:
+    * the fast path must never diverge from the published algorithm).
+    */
+  private def star(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = StarComponents.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
+    val loop = StarComponents.connectedComponents(edges.toDF("src", "dst"),
+        driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop,
+      s"driver union-find and star contraction disagree: $fast vs $loop")
+    fast
+  }
 
   private def prop(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Components.connectedComponents(edges.toDF("src", "dst"))

@@ -52,8 +52,35 @@ object Tables {
     * comparing against DuckDB's ns values). The conf is set here, not
     * only in the mains, so every entry point (driver harness, scalatest)
     * reads consistently.
+    *
+    * The loaded frame is memoized per (session, dir, name) — round 15,
+    * guide §6 (file listing): every `spark.read.parquet` builds a fresh
+    * InMemoryFileIndex (driver directory listing) and re-reads the
+    * footer schema, ~75 ms per call warm, and a full bench pass makes
+    * ~400 such calls. The cache holds the immutable SCAN DEFINITION
+    * (plan + resolved file list + the schema assertion, run once per
+    * dir) — never data or results: every action still reads the
+    * parquet bytes. Callers' contract is the fixture one the hot-set
+    * cache already states: a table dir is immutable for the life of
+    * the session (regenerating a dir in place mid-session requires a
+    * fresh session — all harness paths create their dirs before the
+    * first read).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, sfDir, name)
+    val hit = loadCache.get(key)
+    if (hit != null) hit
+    else {
+      val df = loadTable(spark, sfDir, name)
+      val prev = loadCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     declaredColumns.get(name).foreach { cols =>

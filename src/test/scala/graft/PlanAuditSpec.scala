@@ -356,17 +356,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"hint must pin the shuffled-hash strategy:\n$plan")
   }
 
-  test("q_hist_eqdepth broadcasts boundaries — no global sort/ntile, two aggs total") {
+  test("q_hist_eqdepth inlines literal boundaries — no ntile, no join, one bucket agg") {
     val plan = formattedPlan(q("q_hist_eqdepth"))
     assert(!plan.contains("Window"), "equi-depth bucketing must not use ntile")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      "the 1-row boundary aggregate must broadcast")
-    // one boundary agg (ObjectHashAggregate, percentile) + one bucket agg
-    // (HashAggregate), each partial+final = 4 agg nodes total. Count the
-    // numbered detail entries — node names repeat in the tree header, and
-    // "ObjectHashAggregate" contains "HashAggregate" as a substring.
+    // Round 15: boundaries come from a range-partitioned rank selection run
+    // eagerly (14 rows to the driver) and are inlined as literal comparisons,
+    // so the bucket plan has no join and no ObjectHashAggregate(percentile) —
+    // just one partial+final HashAggregate pair over the scan.
+    assert(!plan.contains("Join"), s"bucket pass must not join boundaries:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "boundary percentile must not run as an object aggregate in the bucket plan")
     val aggNodes = raw"\(\d+\) (Object)?HashAggregate".r.findAllIn(plan).size
-    assert(aggNodes <= 4, s"unexpected agg explosion ($aggNodes agg nodes):\n$plan")
+    assert(aggNodes <= 2, s"unexpected agg explosion ($aggNodes agg nodes):\n$plan")
   }
 
   test("q_source_overlap joins word-keyed and broadcasts the size table twice") {

@@ -17,19 +17,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0)
       catch { case _: Throwable => "-1" }
-    // Hot-machine guard (round 14; default flipped round 15): runs on a
-    // box whose at-entry loadavg exceeds the idle baseline produced the
-    // round-13 AND round-14 stale-sidecar triages (identical-tree
-    // refreshes drifting ~10%, a triage cycle each). FULL runs — the
-    // ones that write BENCH_FULL.json — now REFUSE by default above the
-    // threshold; SPARK_GRAFT_BENCH_ALLOW_HOT=1 overrides for a
-    // deliberately-hot measurement (recorded via the sidecar's loadavg
-    // field). Dev-filtered smokes (SPARK_GRAFT_BENCH_ONLY set) stay
-    // warn-only: they write no sidecar, so a hot box only costs the
-    // developer's own time. The threshold is this box's measured idle
-    // baseline (~1.7, SCALING.md §bench hygiene) — override with
-    // SPARK_GRAFT_BENCH_HOT_LOAD on machines with different core
-    // counts/idle load (round-14 ADVICE).
+    // Hot-machine guard (round 14; default flipped round 15; refusal
+    // REMOVED round 16): the round-15 refuse-by-default protected the
+    // committed sidecars but broke the measurement contract — any
+    // external harness that runs Bench right after a long Verify pass
+    // sees loadavg above the idle baseline and got exit 2 with no JSON,
+    // making a whole optimization round unverifiable (round-15 VERDICT
+    // item 1). The two concerns are now decoupled: a hot box SKIPS ONLY
+    // the BENCH_FULL.json sidecar write (so committed medians always
+    // come from a quiet machine) but still runs every pass and prints
+    // the one-line stdout JSON, annotated with the at-entry loadavg so
+    // a reader can discount hot-run medians. Measurement never exits
+    // non-zero because of machine load. SPARK_GRAFT_BENCH_ALLOW_HOT=1
+    // restores the sidecar write on a hot box for a deliberately-hot
+    // refresh; the threshold is this box's measured idle baseline
+    // (~1.7, SCALING.md §bench hygiene), overridable via
+    // SPARK_GRAFT_BENCH_HOT_LOAD for other machines.
     val hotLoadThreshold = sys.env.get("SPARK_GRAFT_BENCH_HOT_LOAD")
       .flatMap(v => try Some(v.toDouble) catch {
         case _: NumberFormatException =>
@@ -38,19 +41,16 @@ object Bench {
           None
       })
       .getOrElse(1.7)
-    val sidecarRun = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val entryLoad = try loadAtEntry.toDouble catch { case _: Throwable => -1.0 }
-    if (entryLoad > hotLoadThreshold) {
+    val hotBox = entryLoad > hotLoadThreshold
+    if (hotBox) {
       System.err.println(f"[bench] WARNING: at-entry 1-min loadavg $entryLoad%.2f " +
         f"exceeds the idle baseline $hotLoadThreshold%.1f — medians from this " +
-        "run are co-tenancy-suspect; refresh sidecars on a quiet machine")
-      if (sidecarRun && !sys.env.get("SPARK_GRAFT_BENCH_ALLOW_HOT").contains("1")) {
-        System.err.println("[bench] refusing the sidecar-writing run on a hot box " +
-          "(set SPARK_GRAFT_BENCH_ALLOW_HOT=1 to measure anyway, or " +
-          "SPARK_GRAFT_BENCH_HOT_LOAD to adjust the threshold)")
-        sys.exit(2)
-      }
+        "run are co-tenancy-suspect; the BENCH_FULL.json sidecar write is " +
+        "skipped (SPARK_GRAFT_BENCH_ALLOW_HOT=1 writes it anyway); the run " +
+        "itself proceeds and the stdout JSON carries the loadavg")
     }
+    val sidecarOk = !hotBox || sys.env.get("SPARK_GRAFT_BENCH_ALLOW_HOT").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -143,8 +143,10 @@ object Bench {
       s"\"" + k + "\":{\"med\":" + fmt(v) + ",\"spread\":" + fmt(spread(k)) + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // dev-filtered runs must not clobber the full-surface sidecar
-    if (only.isEmpty) try {
+    // dev-filtered runs must not clobber the full-surface sidecar;
+    // hot-box runs skip the write too (measurement still happened and
+    // prints below — only the committed-medians file is protected)
+    if (only.isEmpty && sidecarOk) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"loadavg":$loadAtEntry,"queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()
@@ -156,7 +158,7 @@ object Bench {
       val entry = (if (shown == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); shown += 1 }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"shown":$shown,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${full.size},"shown":$shown,"loadavg":$loadAtEntry,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

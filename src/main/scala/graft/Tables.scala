@@ -72,6 +72,25 @@ object Tables {
     if (hit != null) hit
     else {
       val df = loadTable(spark, sfDir, name)
+      // Eviction (round 16, ADVICE): entries for stopped sessions were
+      // retained for the process lifetime (plans + InMemoryFileIndex
+      // per session — scalatest runs create dozens of sessions). A
+      // weak map can't evict here (the cached DataFrame strongly
+      // references its session, pinning a weak key forever), so the
+      // first cache entry for a context registers a listener that
+      // drops every entry of that context's sessions when the context
+      // ends. The dir-immutability contract is unchanged and stated in
+      // the scaladoc above.
+      evictionHooked.computeIfAbsent(spark.sparkContext, ctx => {
+        ctx.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            loadCache.keySet.removeIf(_._1.sparkContext eq ctx)
+            evictionHooked.remove(ctx)
+          }
+        })
+        java.lang.Boolean.TRUE
+      })
       val prev = loadCache.putIfAbsent(key, df)
       if (prev != null) prev else df
     }
@@ -79,6 +98,8 @@ object Tables {
 
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val evictionHooked =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
 
   private def loadTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

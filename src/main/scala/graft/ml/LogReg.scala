@@ -63,18 +63,21 @@ object LogReg {
     */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Double,
       iterations: Int, lr: Double): Seq[(String, Double)] = {
-    val docVec = feats.groupBy(col("doc_id"))
-      .agg(max(col("y")).as("y"),
-        collect_list(struct(col("f"), col("x"))).as("fx"))
-      .localCheckpoint(true)
-    try {
-      val vocab = docVec
-        .select(explode(col("fx.f")).as("f")).distinct()
-        .limit(LiteralModelMaxFeatures + 1)
-        .collect().map(_.getString(0))
-      if (vocab.length > LiteralModelMaxFeatures)
-        trainJoinForm(spark, feats, nDocs, iterations, lr)
-      else {
+    // Regime decided FIRST, from the cheap vocab probe on the raw
+    // feature rows (round 16, ADVICE): building docVec is a full-corpus
+    // shuffle + materialization, so paying it before knowing whether
+    // the >LiteralModelMaxFeatures fallback discards it contradicted
+    // the scaling contract — the join-form path now never builds it.
+    val vocab = feats.select(col("f")).distinct()
+      .limit(LiteralModelMaxFeatures + 1)
+      .collect().map(_.getString(0))
+    if (vocab.length > LiteralModelMaxFeatures)
+      trainJoinForm(spark, feats, nDocs, iterations, lr)
+    else {
+      val docVec = graft.Materialize.frame(feats.groupBy(col("doc_id"))
+        .agg(max(col("y")).as("y"),
+          collect_list(struct(col("f"), col("x"))).as("fx")))
+      try {
         import spark.implicits._
         var w: Seq[(String, Double)] = vocab.sorted.map(_ -> 0.0).toSeq
         var it = 0
@@ -95,8 +98,8 @@ object LogReg {
           it += 1
         }
         w
-      }
-    } finally { docVec.unpersist(); () }
+      } finally { docVec.unpersist(); () }
+    }
   }
 
   /** The join-form loop — the fallback for vocabularies too large for

@@ -82,7 +82,11 @@ object StarComponents {
     *                 one semi-join over the final edge list). Default on;
     *                 a 100-TB production run that already trusts the
     *                 fingerprint-certified fixpoint passes `false` to
-    *                 skip the two extra jobs per invocation.
+    *                 skip the two extra jobs per invocation. On the
+    *                 driver fast path the labels are exact by
+    *                 construction, so `true` runs a driver-side closure
+    *                 assertion (every edge's endpoints share a root)
+    *                 instead of the two Spark jobs.
     * @param driverEdgeLimit ceiling for the driver union-find fast path
     *                 ([[DriverEdgeLimit]]); 0 forces the distributed
     *                 loop (specs pin parity between the two paths)
@@ -125,36 +129,46 @@ object StarComponents {
         .distinct())
     if (prev._1 <= driverEdgeLimit && nNodes <= 2 * driverEdgeLimit) {
       val spark = edges.sparkSession
-      // driver union-find (path-halving) with a min-per-root pass, so
-      // every node labels to its component's MINIMUM id — identical to
-      // the star-contraction fixpoint's labels by construction
+      // Driver union-find over INDEX arrays (round 16): the previous
+      // java.util.HashMap[Long, Long] boxed every find/put — millions
+      // of boxed longs at the 2²⁰-edge ceiling. Sorting the collected
+      // id array once lets the whole structure be a primitive Array[Int]
+      // of parent INDICES, and because ids are sorted, "smaller index"
+      // ⟺ "smaller id" — keeping the smaller-index root as the union
+      // winner makes every root its component's MINIMUM id directly
+      // (the separate compMin pass is gone; micro-bench at the ceiling
+      // in StarComponentsSpec).
+      // `validate` is exact-by-construction here (each label IS a
+      // root's id); the cheap O(E·α) closure assertion below runs when
+      // requested so callers asking for the invariant checks still get
+      // a real post-condition instead of a silent no-op (round-15
+      // ADVICE).
       val ids = nodes.select(col("id"))
         .as(org.apache.spark.sql.Encoders.scalaLong).collect()
-      val pairs = e.select(col("u"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = new java.util.HashMap[Long, Long](ids.length * 2)
-      ids.foreach(id => parent.put(id, id))
-      def find(x0: Long): Long = {
+      java.util.Arrays.sort(ids)
+      val pairRows = e.select(col("u"), col("v")).collect()
+      val n = ids.length
+      val parent = Array.tabulate(n)(identity)
+      def idxOf(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+      def find(x0: Int): Int = {
         var x = x0
-        while (parent.get(x) != x) {
-          parent.put(x, parent.get(parent.get(x)))
-          x = parent.get(x)
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)) // path halving
+          x = parent(x)
         }
         x
       }
-      pairs.foreach { case (u, v) =>
-        val ru = find(u); val rv = find(v)
-        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      pairRows.foreach { r =>
+        val ru = find(idxOf(r.getLong(0))); val rv = find(idxOf(r.getLong(1)))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
-      val compMin = new java.util.HashMap[Long, Long](ids.length * 2)
-      ids.foreach { id =>
-        val r = find(id)
-        val cur = compMin.getOrDefault(r, Long.MaxValue)
-        if (id < cur) compMin.put(r, id)
+      if (validate) pairRows.foreach { r =>
+        require(find(idxOf(r.getLong(0))) == find(idxOf(r.getLong(1))),
+          "driver union-find postcheck: edge endpoints in different components")
       }
       import spark.implicits._
       return spark.sparkContext
-        .parallelize(ids.toIndexedSeq.map(id => (id, compMin.get(find(id)))))
+        .parallelize((0 until n).map(i => (ids(i), ids(find(i)))))
         .toDF("id", "comp")
     }
     var converged = prev._1 == 0 // no non-loop edges: already stars

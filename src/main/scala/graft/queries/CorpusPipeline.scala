@@ -121,8 +121,23 @@ object CorpusPipeline {
     * is conservative over-merging of band-colliding docs into one split.
     */
   def withClusterSplit(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val banded = Similarity.bandedSignaturesOf(docs)
-    val capped = Similarity.capBuckets(banded, Seq("band", "band_hash"))
+    // One window pass, one banded materialization (round 16): `banded`
+    // fed THREE plan branches (both self-join sides through capBuckets
+    // + the overflow edges), so Catalyst re-planned the MinHash-sign →
+    // band-explode tower three times, and capBuckets/bucketOverflowEdges
+    // each re-ran the identical (band, band_hash)-ordered window on top
+    // (guide §7.2 / §2.4 — dedup the subtree, establish the partitioning
+    // once). Ranking ONCE with the bucket minimum carried alongside lets
+    // the cap filter and the overflow edges read the same materialized
+    // rows; both outputs are row-identical to the old
+    // capBuckets/bucketOverflowEdges pair by construction (same window,
+    // same rank predicate, first-over-ordered-frame = bucket min).
+    val w = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    val ranked = graft.Materialize.frame(Similarity.bandedSignaturesOf(docs)
+      .withColumn("bucket_rank", row_number().over(w))
+      .withColumn("hub", first(col("doc_id")).over(w)))
+    val capped = ranked.filter(col("bucket_rank") <= Similarity.MaxBandBucket)
+      .drop("bucket_rank", "hub")
     val pairs = Similarity.estPairsFromBands(capped, capped)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -131,7 +146,10 @@ object CorpusPipeline {
     // guarantee): each dropped row contributes one star edge to its
     // bucket's minimum instead — linear in bucket size, conservatively
     // over-merging (CorpusPipelineSpec exercises a 200-doc hot bucket)
-    val edges = pairs.unionByName(Similarity.bucketOverflowEdges(banded))
+    val overflow = ranked.filter(col("bucket_rank") > Similarity.MaxBandBucket)
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    val edges = pairs.unionByName(overflow)
     val comp = StarComponents.connectedComponents(edges, validate = false)
       .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "rep")
     val h = substring(md5(concat(lit("s:"),
@@ -156,8 +174,8 @@ object CorpusPipeline {
     // materialization — the same boundary [[build]] already pays for
     // its audit counts — makes the dedup pass run once: measured
     // 5.5 s → ~3.5 s at sf0.1.
-    val deduped = nearDedup(exactDedup(qualityFilter(docs)), cacheKey = cacheKey)
-      .localCheckpoint(true)
+    val deduped = graft.Materialize.frame(
+      nearDedup(exactDedup(qualityFilter(docs)), cacheKey = cacheKey))
     withSplit(decontaminate(deduped, docs.filter(col("doc_id") % 10 === 0)))
   }
 
@@ -172,10 +190,11 @@ object CorpusPipeline {
     * pipelines.
     */
   def build(docs: DataFrame): (DataFrame, Summary) = {
-    val q = qualityFilter(docs).localCheckpoint(true)
-    val e = exactDedup(q).localCheckpoint(true)
-    val n = nearDedup(e).localCheckpoint(true)
-    val d = decontaminate(n, docs.filter(col("doc_id") % 10 === 0)).localCheckpoint(true)
+    val q = graft.Materialize.frame(qualityFilter(docs))
+    val e = graft.Materialize.frame(exactDedup(q))
+    val n = graft.Materialize.frame(nearDedup(e))
+    val d = graft.Materialize.frame(
+      decontaminate(n, docs.filter(col("doc_id") % 10 === 0)))
     val out = withSplit(d)
     (out, Summary(docs.count(), q.count(), e.count(), n.count(), d.count()))
   }

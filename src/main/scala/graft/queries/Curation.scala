@@ -677,7 +677,7 @@ object Curation {
         // re-ran the whole tokenize → vocab-join feature build a second
         // time — the most expensive lineage in the query
         val (feats0, nDocs) = clfFeats(s, d)
-        val feats = feats0.localCheckpoint(true)
+        val feats = graft.Materialize.frame(feats0)
         val learned =
           graft.ml.LogReg.train(s, feats, nDocs, ClfIters, ClfLr)
         import s.implicits._
@@ -776,26 +776,40 @@ object Curation {
         // (hi−pos)·v[lo] + (pos−lo)·v[hi], pos = p·(n−1), p dyadic —
         // and the 4-dp HALF_UP round of the shortest decimal repr is
         // java BigDecimal.valueOf, bit-identical to Spark's round().
+        // NOTE this query runs Spark jobs EAGERLY at construction time
+        // (count + zipWithIndex + collect for the boundary selection) —
+        // consumers of QueryDef that assume lazy plans get the ≤14-row
+        // driver work up front; the bench times construction+execution
+        // together either way.
         val n = li.count()
-        val idx = li.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
-          .select(col("v")).as(org.apache.spark.sql.Encoders.scalaDouble)
-          .rdd.zipWithIndex()
-        val positions = (1 to 7).map(i => (i / 8.0) * (n - 1))
-        val needed = positions.flatMap { p =>
-          val lo = p.toLong; Seq(lo, math.min(lo + 1, n - 1))
-        }.toSet
-        val byRank: Map[Long, Double] = idx
-          .filter { case (_, ix) => needed.contains(ix) }
-          .map(_.swap).collect().toMap
-        val bs: Seq[Double] = positions.map { pos =>
-          val lo = pos.toLong
-          val lk = byRank(lo)
-          if (lo + 1 > n - 1) lk
+        // n == 0 guard (round 16, ADVICE): the old `percentile` form
+        // degraded to zero rows on empty input; the rank selection
+        // threw (byRank missing key / negative positions). Dummy
+        // boundaries keep the plan shape; the groupBy over the empty
+        // input still yields zero rows.
+        val bs: Seq[Double] =
+          if (n == 0) Seq.fill(7)(0.0)
           else {
-            val hk = byRank(lo + 1)
-            if (hk == lk) lk else (lo + 1 - pos) * lk + (pos - lo) * hk
+            val idx = li.repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+              .select(col("v")).as(org.apache.spark.sql.Encoders.scalaDouble)
+              .rdd.zipWithIndex()
+            val positions = (1 to 7).map(i => (i / 8.0) * (n - 1))
+            val needed = positions.flatMap { p =>
+              val lo = p.toLong; Seq(lo, math.min(lo + 1, n - 1))
+            }.toSet
+            val byRank: Map[Long, Double] = idx
+              .filter { case (_, ix) => needed.contains(ix) }
+              .map(_.swap).collect().toMap
+            positions.map { pos =>
+              val lo = pos.toLong
+              val lk = byRank(lo)
+              if (lo + 1 > n - 1) lk
+              else {
+                val hk = byRank(lo + 1)
+                if (hk == lk) lk else (lo + 1 - pos) * lk + (pos - lo) * hk
+              }
+            }
           }
-        }
         val bucket = bs
           .map(b => (col("v") > lit(java.math.BigDecimal.valueOf(b)
             .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)).cast("int"))
@@ -917,13 +931,12 @@ object Curation {
     // columns downstream actually reads (w is spent once b exists),
     // then materialized once: ~24 B/token-row in block storage vs four
     // full tokenize+hash passes.
-    val tk = T.documents(s, d)
+    val tk = graft.Materialize.frame(T.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.unicodeWords(col("text"))).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-      .select(col("doc_id"), col("lang"), col("b"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("lang"), col("b")))
     val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
     val tgt = tk.filter(col("lang") === "en")
       .groupBy(col("b").as("tb")).agg(count(lit(1)).as("c_t"))

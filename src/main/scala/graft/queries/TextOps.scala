@@ -95,11 +95,11 @@ object TextOps {
     // corpus's token stream in block storage vs four full
     // kernel+sort passes over it — measured 1.9 s → 1.1 s (token
     // 3-grams) and 4.1 s → ~1.8 s (char 8-grams) at sf0.1; a cluster
-    // deployment would use a cached table / reliable checkpoint.
-    val shingles = all
+    // deployment sets graft.Materialize.StorageLevelConf (or swaps the
+    // boundary for a cached table / reliable checkpoint).
+    val shingles = graft.Materialize.frame(all
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf).drop("df")
-      .localCheckpoint(true)
+      .filter(col("df") <= maxDf).drop("df"))
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = shingles.as("x").join(shingles.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -206,11 +206,10 @@ object TextOps {
     // `ord` keeps the (df, shingle) structs: positions index the GLOBAL
     // (df, shingle) order, and verification merge-scans the struct
     // arrays directly (functions.SortedOverlap).
-    val arr = all.join(dfc, "shingle")
+    val arr = graft.Materialize.frame(all.join(dfc, "shingle")
       .groupBy(col("doc_id")).agg(
         array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
-      .withColumn("n_sh", size(col("ord")))
-      .localCheckpoint(true) // reused 3× below (prefix + both verify arms)
+      .withColumn("n_sh", size(col("ord")))) // reused 3× below (prefix + both verify arms)
     val prefLen = (col("n_sh") -
       ceil(col("n_sh") * lit(PrefixTauGuard)).cast("int") + 1)
     val cand = arr.select(col("doc_id"), col("n_sh"),
@@ -631,8 +630,8 @@ object TextOps {
         // count ≡ distinct-doc count): round 15 — previously dfreq
         // re-ran the tokenizer over the corpus a second time and paid a
         // count-distinct Expand on top (guide §7.2 / §2.3)
-        val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
+        val tf = graft.Materialize.frame(
+          toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "word").join(broadcast(n))

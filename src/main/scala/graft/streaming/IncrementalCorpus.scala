@@ -155,6 +155,22 @@ object IncrementalCorpus {
     def dirPresent(p: String): Boolean =
       gfs.exists(new org.apache.hadoop.fs.Path(p)) ||
         gfs.exists(new org.apache.hadoop.fs.Path(p + "__prev"))
+    // "present" alone is too weak for the layout guards (round 16,
+    // ADVICE): a store dir that exists but holds no committed batch_id=
+    // children (partial crash debris, a manual restore) would silently
+    // pass the fail-fast guard whose whole purpose is preventing silent
+    // missed contamination/dedup. A dir only counts as healthy when a
+    // committed batch child is visible; otherwise the original
+    // spark-side readBefore probe decides (cheap — it only runs on the
+    // rare empty-dir case).
+    def hasCommittedBatch(p: String): Boolean = {
+      def childOk(dir: String): Boolean = {
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        gfs.exists(dp) && gfs.listStatus(dp)
+          .exists(_.getPath.getName.startsWith("batch_id="))
+      }
+      childOk(p) || childOk(p + "__prev")
+    }
     // a dir written before the benchsh/ store existed has earlier
     // bench/ batches but no benchsh/ directory — continuing would
     // silently screen new docs against only this batch's shingle
@@ -162,7 +178,7 @@ object IncrementalCorpus {
     // name the remedy. The bench/ probe only runs when benchsh/ is
     // absent (fresh dirs pass trivially; replay passes: the two are
     // written together).
-    if (!dirPresent(s"$base/benchsh")) {
+    if (!hasCommittedBatch(s"$base/benchsh")) {
       val legacyBench = readBefore(spark, s"$base/bench", batchId)
       require(legacyBench.forall(_.isEmpty),
         s"$base: bench/ has batches before $batchId but benchsh/ is missing — " +
@@ -173,7 +189,7 @@ object IncrementalCorpus {
     // state dir would silently treat every batch digest as new (missed
     // cross-batch exact-dup edges, no error). Two-tier aware: a fully
     // compacted hubs store has no append-tier batches but is not legacy.
-    if (!dirPresent(s"$base/hubs") && !dirPresent(hubStore.bucketedDir)) {
+    if (!hasCommittedBatch(s"$base/hubs") && !dirPresent(hubStore.bucketedDir)) {
       val legacyRaw = readBefore(spark, s"$base/raw", batchId)
       require(legacyRaw.forall(_.isEmpty),
         s"$base: raw/ has batches before $batchId but hubs/ is missing — " +

@@ -76,7 +76,8 @@ object StoreScale {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq("pruned", "full", "warm", "hubs1", "hubs1_bucketed",
-      "hubs10", "hubs10_bucketed", "lr_cadence", "lr_none", "lr_geo").foreach { v =>
+      "hubs10", "hubs10_bucketed", "hubs100", "hubs100_bucketed",
+      "lr_cadence", "lr_none", "lr_geo").foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true)
     }
     // untimed warm-up: codegen + parquet reader caches land outside the
@@ -152,6 +153,11 @@ object StoreScale {
     }
     val hubs1 = buildHubs("hubs1", 1)
     val hubs10 = buildHubs("hubs10", nBatches)
+    // 100× (round 16, VERDICT item 6): 500k distinct digests — the
+    // tier where the full-scan contrast visibly grows, so "pruned
+    // lookup flat" becomes a measured claim instead of a structural
+    // argument (at 50k rows the full scan was still flat too)
+    val hubs100 = buildHubs("hubs100", 10 * nBatches)
     // plain recompute (NOT localCheckpoint'd — the between-measurement
     // drainStorage() would evict the checkpoint's only blocks, same
     // hazard as `docs` above; range+sha2 over 8 rows is free)
@@ -171,7 +177,9 @@ object StoreScale {
       .join(broadcast(probeDigests), Seq("digest"), "left_semi").count())
     drainStorage()
     val hubP1 = hubProbe(hubs1); val hubP10 = hubProbe(hubs10)
+    val hubP100 = hubProbe(hubs100)
     val hubF1 = hubFull(hubs1); val hubF10 = hubFull(hubs10)
+    val hubF100 = hubFull(hubs100)
 
     // ---- long horizon (round 15): 50 small batches through the
     // production commit, auto-cadence (compactEvery=8) vs none — the
@@ -222,7 +230,10 @@ object StoreScale {
       s""""append_pruned":${pt(probeApp1, probeApp10)},""" +
       s""""full":${pt(probeFull1, probeFull10)}},""" +
       s""""hubs_probe8_sec":{"pruned":${pt(hubP1, hubP10)},""" +
-      s""""fullscan_semi":${pt(hubF1, hubF10)}},""" +
+      s""""fullscan_semi":${pt(hubF1, hubF10)},""" +
+      s""""pruned_x100":${fmt(hubP100)},"fullscan_semi_x100":${fmt(hubF100)},""" +
+      s""""slope100_pruned":${fmt(hubP100 / math.max(hubP1, 1e-9))},""" +
+      s""""slope100_fullscan":${fmt(hubF100 / math.max(hubF1, 1e-9))}},""" +
       s""""longrun50":{"cadence8":{"head10":${fmt(head10(lrCadence))},"tail10":${fmt(tail10(lrCadence))},"per_batch":${arr(lrCadence)}},""" +
       s""""geometric":{"head10":${fmt(head10(lrGeo))},"tail10":${fmt(tail10(lrGeo))},"per_batch":${arr(lrGeo)}},""" +
       s""""none":{"head10":${fmt(head10(lrNone))},"tail10":${fmt(tail10(lrNone))},"per_batch":${arr(lrNone)}}}}""")

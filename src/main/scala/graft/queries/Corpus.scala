@@ -71,7 +71,13 @@ object Corpus {
       bench: org.apache.spark.sql.DataFrame,
       minOverlap: Double = 0.3): org.apache.spark.sql.DataFrame = {
     val corpus = Similarity.shinglesOf(corpusDocs)
-    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle counts map-only (round 16): the kernel emits a
+    // DISTINCT shingle array per doc, so size(array) ≡ the exploded
+    // count — the previous groupBy re-ran the whole shingle explode a
+    // second time and paid a doc-keyed exchange for a number the scan
+    // stage already knows (guide §2.4 — remove shuffles outright)
+    val sizes = corpusDocs.select(col("doc_id"),
+      size(graft.functions.TextExprs.tokenShingles(col("text"), 3)).as("n_sh"))
     corpus.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_common"))

@@ -649,7 +649,13 @@ object Curation {
     // so cross-engine exp/summation ulp noise (~1e-12) cannot surface.
     QueryDef("q_quality_clf",
       (s, d) => {
-        val (feats, nDocs) = clfFeats(s, d)
+        // materialized ONCE like q_clf_auc's (round 16): train()'s
+        // regime probe (distinct f) and the docVec build both consume
+        // feats — unmaterialized, the probe re-ran the whole tokenize →
+        // vocab-join lineage as an extra full pass (the round-15 ADVICE
+        // probe-first reorder made that pass visible: 3.4 → 5.4 s)
+        val (feats0, nDocs) = clfFeats(s, d)
+        val feats = graft.Materialize.frame(feats0)
         val learned =
           graft.ml.LogReg.train(s, feats, nDocs, ClfIters, ClfLr)
         import s.implicits._

@@ -942,9 +942,15 @@ object TextOps {
     */
   def spansFromGrams(grams: org.apache.spark.sql.DataFrame,
                      k: Int): org.apache.spark.sql.DataFrame = {
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // materialized ONCE (round 16): the dup-count aggregation and the
+    // mark join both consume the gram frame — unmaterialized, the
+    // whole upstream (q_dedup_substr: the corpus explode+md5 pass;
+    // q_substr_inc: the store read + redelivery dropDuplicates) ran
+    // twice (guide §7.2). Digest rows only, ~64 B/gram.
+    val g = graft.Materialize.frame(grams)
+    val dup = g.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select(col("g"))
-    val marked = grams.join(dup, "g")
+    val marked = g.join(dup, "g")
       .select(col("doc_id"), col("n_toks"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMaxEnd = max(col("pos") + (k - 1))

@@ -139,9 +139,11 @@ object StreamingDedup {
   /** The band store as a [[TieredStore]] (round 15: the two-tier
     * machinery factored out so the hubs store reuses it verbatim).
     */
-  private[graft] def bandStoreOf(storeDir: String): TieredStore =
+  private[graft] def bandStoreOf(storeDir: String,
+      targetBucketBytes: Long = 4L << 20): TieredStore =
     TieredStore.longKeyed(storeDir, StoreSchema.fieldNames.toSeq,
-      "band_hash", StoreBuckets, PushdownHashLimit, label = "band-store")
+      "band_hash", StoreBuckets, PushdownHashLimit, label = "band-store",
+      targetBucketBytes = targetBucketBytes)
 
   /** The compacted tier lives in a SIBLING directory so the append
     * tier's partition inference never sees two layouts in one tree.
@@ -156,23 +158,36 @@ object StreamingDedup {
   def processBatch(batch: DataFrame, store: Option[DataFrame],
       threshold: Double): (DataFrame, DataFrame) = {
     val newBands = Similarity.bandedSignaturesOf(batch)
-    (pairsFromBands(newBands, store, threshold), newBands)
+    (pairsFromBands(newBands, store, threshold)._1, newBands)
   }
 
   /** The candidate join given precomputed batch band rows: cap buckets
     * over store ∪ batch, emit pairs touching the batch.
     */
+  /** Returns (pairs, the materialized capped boundary) so the caller
+    * can drop the boundary's blocks once the pairs are consumed — a
+    * long-running stream must not accumulate one dead block set per
+    * micro-batch.
+    */
   private def pairsFromBands(newBands: DataFrame, store: Option[DataFrame],
-      threshold: Double): DataFrame = {
+      threshold: Double): (DataFrame, DataFrame) = {
     val tagged = newBands.withColumn("is_new", lit(true))
     val combined = store match {
       case Some(st) => st.withColumn("is_new", lit(false)).unionByName(tagged)
       case None     => tagged
     }
-    val capped = Similarity.capBuckets(combined, Seq("band", "band_hash"))
-    Similarity
+    // materialized ONCE (round 16): both sides of the candidate
+    // self-join consume the capped frame, and Catalyst re-planned the
+    // store-read → union → bucket-cap window tower per side — the
+    // store's pruned read and the rank window each ran twice per
+    // micro-batch (guide §7.2; the same fix as q_split_safe's). The
+    // materialized rows are the pruned store ∪ batch band rows — the
+    // join's own input, batch-proportional by the pruning contract.
+    val capped = graft.Materialize.frame(
+      Similarity.capBuckets(combined, Seq("band", "band_hash")))
+    (Similarity
       .estPairsFromBands(capped, capped, col("x.is_new") || col("y.is_new"))
-      .filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= threshold), capped)
   }
 
   /** The accumulated store restricted to batches strictly before
@@ -254,6 +269,19 @@ object StreamingDedup {
     * safe under replay and crash (see there); 0 leaves compaction to
     * the operator ([[compactStore]]).
     */
+  private val profileOn: Boolean =
+    sys.env.get("SPARK_GRAFT_INC_PROFILE").contains("1")
+
+  private def profile[A](phase: String, batchId: Long)(body: => A): A =
+    if (!profileOn) body
+    else {
+      val t0 = System.nanoTime()
+      val out = body
+      System.err.println(
+        f"[sd-profile] batch=$batchId $phase%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      out
+    }
+
   def commitBatch(batch: DataFrame, batchId: Long, storeDir: String,
       pairsDir: String, threshold: Double, prune: Boolean = true,
       compactEvery: Int = 0): Unit = {
@@ -262,17 +290,23 @@ object StreamingDedup {
     // band rows feed the touched-hash collect, the pair join, AND the
     // store write — cut the streaming-source lineage and materialize
     // ONCE (signatures are the batch's expensive map-only work)
-    val bands = Similarity.bandedSignaturesOf(batch).localCheckpoint(true)
-    val store =
+    val bands = profile("sign", batchId)(
+      Similarity.bandedSignaturesOf(batch).localCheckpoint(true))
+    val store = profile("store_read", batchId)(
       if (prune) bandStore.readPruned(spark, batchId, bands)
-      else bandStore.readAll(spark, batchId)
-    val pairs = pairsFromBands(bands, store, threshold)
-    writeBatchPartition(pairs, batchId, pairsDir)
+      else bandStore.readAll(spark, batchId))
+    val (pairs, cappedBoundary) = pairsFromBands(bands, store, threshold)
+    profile("pairs", batchId) {
+      writeBatchPartition(pairs, batchId, pairsDir)
+      cappedBoundary.unpersist() // dead once the pairs landed
+    }
     // sorted-by-band_hash append (tight row-group stats for the pruned
     // read's pushed predicates); file count stays at task count — the
     // bucketed layout is compaction's job
-    bandStore.append(bands, batchId)
-    if (compactEvery > 0) bandStore.maybeCompact(spark, compactEvery)
+    profile("append", batchId) {
+      bandStore.append(bands, batchId)
+      if (compactEvery > 0) bandStore.maybeCompact(spark, compactEvery)
+    }
   }
 
   /** Run the stream: docs under `docsDir` → near-dup pairs landed under

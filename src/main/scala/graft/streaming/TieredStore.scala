@@ -56,39 +56,62 @@ import org.apache.spark.sql.functions._
   * Spark job); TieredStoreSpec pins the agreement for both shipped
   * instances, including the xxhash64 seed-42 twin the hubs store uses.
   *
-  * Known small-store overhead (measured, StoreScale longrun50): a
-  * compacted tier always carries `buckets` directories, so while the
-  * whole store is a few MB the two-tier read pays ~0.5 s of listing +
-  * tiny-file footers that a flat scan doesn't — compaction only pays
-  * for itself once history is large (the regime the probe rows
-  * measure) or listing is expensive (object stores). The remedy, if a
-  * deployment needs small stores fast too, is a bucket count scaled
-  * with store size at compaction time (choose m ≤ buckets from the
-  * row count, record it next to `_watermark`, derive touched dirs
-  * from the recorded m at read) — not built: it buys nothing at the
-  * scale this store exists for.
+  * Small-store overhead, remedied (round 16 — the round-15 doc only
+  * NAMED this): a compacted tier used to carry all `buckets`
+  * directories however small the store, so while the whole store was
+  * a few MB the two-tier read paid ~0.5 s of listing + tiny-file
+  * footers that a flat scan doesn't (measured, StoreScale longrun50).
+  * [[compact]] now scales the EFFECTIVE bucket count with tier size:
+  * m = clamp(1, buckets, ceil(tierBytes / targetBucketBytes)), records
+  * m in `_buckets` next to `_watermark`, and reads derive touched
+  * directories from the RECORDED m (a tier without `_buckets` — any
+  * pre-round-16 store — reads as m = buckets, so existing state dirs
+  * resume without migration). A few-MB store compacts to one
+  * directory of one file; directory fan-out grows only once the tier
+  * earns it (guide §6 — output sizing follows data size, never a
+  * constant tuned for one scale).
   *
   * @param dataCols      store schema field names (minus batch_id)
   * @param keyCol        the equi-join/prune key column
-  * @param buckets       bucketed-tier partition count — bounds
-  *                      directory opens; row-level key pruning does the
-  *                      fine selectivity inside touched buckets
-  * @param bucketExpr    key column → INT bucket in [0, buckets)
-  * @param bucketOfValue driver-side twin of `bucketExpr` over a
+  * @param buckets       bucketed-tier partition CEILING — the most
+  *                      directories a compaction may fan out to;
+  *                      [[compact]] chooses the effective count from
+  *                      tier bytes (see the small-store note above).
+  *                      Row-level key pruning does the fine
+  *                      selectivity inside touched buckets
+  * @param bucketExprM   (key column, bucket count m) → INT bucket in
+  *                      [0, m) — parameterized on m because the
+  *                      effective count is chosen per compaction
+  * @param bucketOfValueM driver-side twin of `bucketExprM` over a
   *                      collected key value
   * @param pushdownLimit probe-size ceiling for the pushed
   *                      OR-of-equals form
   * @param label         store name used in error messages
+  * @param targetBucketBytes bytes of tier data per bucket directory a
+  *                      compaction aims for — the effective count is
+  *                      ceil(tierBytes / this), clamped to
+  *                      [1, buckets]. Pruned probes read O(touched ×
+  *                      targetBucketBytes) however large the store,
+  *                      until the ceiling is hit and row-group
+  *                      key-pruning takes over the fine selectivity.
   */
 final class TieredStore(
     val storeDir: String,
     val dataCols: Seq[String],
     val keyCol: String,
     val buckets: Int,
-    val bucketExpr: Column => Column,
-    val bucketOfValue: Any => Int,
+    val bucketExprM: (Column, Int) => Column,
+    val bucketOfValueM: (Any, Int) => Int,
     val pushdownLimit: Int = 1 << 10,
-    val label: String = "store") extends Serializable {
+    val label: String = "store",
+    val targetBucketBytes: Long = 4L << 20) extends Serializable {
+
+  /** The bucket expression/twin at the configured CEILING — the hash
+    * agreement the twin spec pins is modulus-independent, so pinning
+    * it here covers every effective m.
+    */
+  def bucketExpr: Column => Column = c => bucketExprM(c, buckets)
+  def bucketOfValue: Any => Int = v => bucketOfValueM(v, buckets)
 
   /** The compacted tier lives in a SIBLING directory so the append
     * tier's partition inference never sees two layouts in one tree.
@@ -112,6 +135,28 @@ final class TieredStore(
     if (fs.exists(bucketed)) Some(bucketed.toString)
     else if (fs.exists(prev)) Some(prev.toString)
     else None
+  }
+
+  /** The bucket count the resolved bucketed tier was WRITTEN with —
+    * recorded by [[compact]] in `_buckets` next to `_watermark`; a
+    * tier without the file (pre-round-16 state) was written at the
+    * ceiling, so that is what absent reads as. Falls back to the
+    * ceiling when no tier exists (readers then never consult it).
+    */
+  def recordedBuckets(spark: SparkSession): Int = {
+    val fs = fsOf(spark)
+    resolvedBucketedDir(fs).map(recordedBucketsOf(fs, _)).getOrElse(buckets)
+  }
+
+  private def recordedBucketsOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
+    if (!fs.exists(p)) buckets
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
   }
 
   /** The compaction watermark of the resolved bucketed tier: batches
@@ -219,11 +264,14 @@ final class TieredStore(
       if (w < 0) None
       else resolvedBucketedDir(fs).flatMap { dir =>
         try {
+          // bucket derivation MUST use the count the tier was written
+          // with, not the ceiling — a compaction may have chosen fewer
+          val m = recordedBucketsOf(fs, dir)
           val sbs =
-            if (small) probed.map(bucketOfValue).distinct
+            if (small) probed.map(bucketOfValueM(_, m)).distinct
             else probe
-              .select(bucketExpr(col(keyCol)).as("sb"))
-              .distinct().collect().map(_.getInt(0)) // bounded ≤ buckets
+              .select(bucketExprM(col(keyCol), m).as("sb"))
+              .distinct().collect().map(_.getInt(0)) // bounded ≤ m
           Some(keyPrune(spark.read.parquet(dir)
             .filter(col("sb").isin(sbs.map(Integer.valueOf).toSeq: _*) &&
               col("batch_id") < beforeBatch))
@@ -305,14 +353,31 @@ final class TieredStore(
       case (Some(o), Some(f)) => o.unionByName(f)
       case (o, f) => o.orElse(f).get
     }
+    // Effective bucket count from tier size (round 16): compressed
+    // input bytes (old tier + the append batches being folded in)
+    // approximate the rewritten tier's bytes — same rows, same codec.
+    // Small stores get few directories (a few-MB store: ONE), large
+    // ones fan out until the ceiling bounds directory opens.
+    def bytesOf(p: String): Long =
+      try fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val tierBytes =
+      (if (oldTier.isDefined) bytesOf(bucketed.toString) else 0L) +
+        landedBatchIds(spark).filter(b => b > w && b <= upTo)
+          .map(b => bytesOf(s"$storeDir/batch_id=$b")).sum
+    val m = math.min(buckets.toLong, math.max(1L,
+      (tierBytes + targetBucketBytes - 1) / targetBucketBytes)).toInt
     all
-      .withColumn("sb", bucketExpr(col(keyCol)))
+      .withColumn("sb", bucketExprM(col(keyCol), m))
       .repartition(col("sb")) // one task's output per bucket → few large files
       .sortWithinPartitions(col("sb"), col(keyCol))
       .write.mode("overwrite").partitionBy("sb").parquet(tmp.toString)
     val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_watermark"), true)
     try os.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+    val ob = fs.create(new org.apache.hadoop.fs.Path(tmp, "_buckets"), true)
+    try ob.write(m.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally ob.close()
     if (fs.exists(bucketed)) require(fs.rename(bucketed, prev),
       s"$label compaction could not stage the previous tier aside: $bucketed")
     require(fs.rename(tmp, bucketed),
@@ -404,22 +469,26 @@ object TieredStore {
     */
   def longKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
       buckets: Int, pushdownLimit: Int = 1 << 10,
-      label: String = "store"): TieredStore =
+      label: String = "store",
+      targetBucketBytes: Long = 4L << 20): TieredStore =
     new TieredStore(storeDir, dataCols, keyCol, buckets,
-      bucketExpr = c => pmod(c, lit(buckets.toLong)).cast("int"),
-      bucketOfValue = v =>
-        java.lang.Math.floorMod(v.asInstanceOf[Long], buckets.toLong).toInt,
-      pushdownLimit = pushdownLimit, label = label)
+      bucketExprM = (c, m) => pmod(c, lit(m.toLong)).cast("int"),
+      bucketOfValueM = (v, m) =>
+        java.lang.Math.floorMod(v.asInstanceOf[Long], m.toLong).toInt,
+      pushdownLimit = pushdownLimit, label = label,
+      targetBucketBytes = targetBucketBytes)
 
-  /** A string-keyed store bucketed by `pmod(xxhash64(key), buckets)`
+  /** A string-keyed store bucketed by `pmod(xxhash64(key), m)`
     * (the hubs store's shape).
     */
   def stringKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
       buckets: Int, pushdownLimit: Int = 1 << 10,
-      label: String = "store"): TieredStore =
+      label: String = "store",
+      targetBucketBytes: Long = 4L << 20): TieredStore =
     new TieredStore(storeDir, dataCols, keyCol, buckets,
-      bucketExpr = c => pmod(xxhash64(c), lit(buckets.toLong)).cast("int"),
-      bucketOfValue = v => java.lang.Math
-        .floorMod(xxhash64OfString(v.asInstanceOf[String]), buckets.toLong).toInt,
-      pushdownLimit = pushdownLimit, label = label)
+      bucketExprM = (c, m) => pmod(xxhash64(c), lit(m.toLong)).cast("int"),
+      bucketOfValueM = (v, m) => java.lang.Math
+        .floorMod(xxhash64OfString(v.asInstanceOf[String]), m.toLong).toInt,
+      pushdownLimit = pushdownLimit, label = label,
+      targetBucketBytes = targetBucketBytes)
 }

@@ -158,7 +158,13 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark with BeforeAndAft
     StreamingDedup.commitBatch(
       docs.filter(col("doc_id") >= 400 && col("doc_id") < 450), 1L,
       s"$tmp/store", s"$tmp/pairs", 0.5)
-    StreamingDedup.compactStore(spark, s"$tmp/store", upTo = 1L)
+    // tiny targetBucketBytes forces the fixture store (a few KB) to
+    // fan out to the full StoreBuckets ceiling — the directory-pruning
+    // IO assertions below need many directories to skip; the default
+    // size-scaled policy would rightly compact this store to ONE
+    // (TieredStoreSpec covers that regime)
+    StreamingDedup.bandStoreOf(s"$tmp/store", targetBucketBytes = 1L)
+      .compact(spark, 1L)
     // a SMALL probe batch: 2 docs → ≤ 16 distinct band hashes → a
     // handful of touched buckets out of StoreBuckets
     val probe = docs.filter(col("doc_id") >= 450 && col("doc_id") < 452)

@@ -52,8 +52,13 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
     // head — every combination must return exactly the ledger's rows
     // with key ∈ probe and batch < frontier, as a multiset.
     val dir = Files.createTempDirectory("ts_prop").toString
+    // small targetBucketBytes: the effective bucket count GROWS across
+    // the run's compaction points (round 16 — every scenario after the
+    // first recompaction also proves parity across a bucket-count
+    // change)
     val store = TieredStore.longKeyed(s"$dir/store", Seq("k", "v"), "k",
-      buckets = 16, pushdownLimit = 8, label = "prop-store")
+      buckets = 16, pushdownLimit = 8, label = "prop-store",
+      targetBucketBytes = 2048L)
     val rnd = new scala.util.Random(42)
     var ledger = Vector.empty[(Long, Long, Long)] // (k, v, batch)
     var scenarios = 0
@@ -105,7 +110,15 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
       .groupBy("digest").agg(min("doc_id").as("hub"))
     store.append(hubsOf(col("doc_id") < 400), 0L)
     store.append(hubsOf(col("doc_id") >= 400 && col("doc_id") < 450), 1L)
-    store.compact(spark, 1L)
+    // compact via a tiny-target twin so the few-KB fixture tier fans
+    // out to the HubBuckets ceiling — the directory-skip assertions
+    // need many dirs; the size-scaled default would compact to one
+    // (covered by the dedicated test below). Reads derive the bucket
+    // count from the tier's recorded _buckets, so probing through the
+    // default instance stays exact.
+    TieredStore.stringKeyed(s"$base/hubs", Seq("digest", "hub"), "digest",
+      IncrementalCorpus.HubBuckets, label = "hubs-store",
+      targetBucketBytes = 1L).compact(spark, 1L)
     // a SMALL probe of digests KNOWN to the store (batch 0 docs), so
     // every probe digest must surface exactly one hub row: ≤ 3 touched
     // buckets of HubBuckets
@@ -144,6 +157,50 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
     assert(got == want && got.size == probeDigests.length)
   }
 
+  test("compaction scales the bucket count with tier size; reads use the recorded count") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ts_scale").toString
+    // ~64 KB per batch of random longs → a 1-batch tier lands well
+    // under one 256 KB target bucket, a 17-batch tier needs several
+    val store = TieredStore.longKeyed(s"$dir/s", Seq("k", "v"), "k",
+      buckets = 64, label = "scale-store", targetBucketBytes = 256L << 10)
+    val rnd = new scala.util.Random(7)
+    def batchRows(b: Long) =
+      (0 until 4000).map(i => (b * 4000L + i, rnd.nextLong())).toDF("k", "v")
+    store.append(batchRows(0), 0L)
+    store.compact(spark, 0L)
+    val mSmall = store.recordedBuckets(spark)
+    assert(mSmall < 8, s"a tiny tier must compact to few buckets, got $mSmall")
+    val sbDirs = new java.io.File(store.bucketedDir).listFiles()
+      .count(_.getName.startsWith("sb="))
+    assert(sbDirs == mSmall, s"directory fan-out $sbDirs != recorded $mSmall")
+    (1L to 16L).foreach(b => store.append(batchRows(b), b))
+    store.compact(spark, 16L)
+    val mBig = store.recordedBuckets(spark)
+    assert(mBig > mSmall, s"a 17× tier must fan out more ($mSmall → $mBig)")
+    // parity across the bucket-count change: every key still resolves
+    val probeKeys = Seq(0L, 1L, 4000L, 40001L, 64000L, 123L, 99999L)
+    val got = store.readPruned(spark, 100L, probeKeys.toDF("k")).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = store.readAll(spark, 100L).get
+      .filter(col("k").isin(probeKeys.map(java.lang.Long.valueOf): _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // pre-round-16 back-compat: a tier written at the ceiling with no
+    // _buckets file must read at the ceiling
+    val legacy = TieredStore.longKeyed(s"$dir/legacy", Seq("k", "v"), "k",
+      buckets = 8, label = "legacy-store", targetBucketBytes = 1L)
+    legacy.append(batchRows(0), 0L)
+    legacy.compact(spark, 0L) // targetBucketBytes=1 → written at ceiling 8
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(legacy.bucketedDir, "_buckets"), false)
+    assert(legacy.recordedBuckets(spark) == 8)
+    val gotLegacy = legacy.readPruned(spark, 10L, Seq(5L, 17L).toDF("k")).get
+      .collect().map(_.getLong(0)).toSet
+    assert(gotLegacy == Set(5L, 17L))
+  }
+
   test("compacting a store whose append tier was never created is a no-op, not a crash") {
     // round-14 ADVICE: fs.listStatus on the missing append dir threw a
     // raw FileNotFoundException through the maxLanded clamp
@@ -159,10 +216,16 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
       label = "geo-store")
     // constant-size batches → at ratio 1 the append tier reaches the
     // bucketed tier's size after ~double the batches each epoch:
-    // compaction points must space out geometrically, not linearly
+    // compaction points must space out geometrically, not linearly.
+    // Batches carry incompressible random payloads big enough that
+    // tier bytes track rows, not per-file parquet overhead (round 16:
+    // the size-scaled bucket count shrank a tiny tier's overhead
+    // enough that 32-row batches triggered every time)
+    val geoRnd = new scala.util.Random(11)
     var compactions = List.empty[Long]
     (0L until 24L).foreach { b =>
-      store.append((0L until 32L).map(k => (k, b)).toDF("k", "v"), b)
+      store.append((0L until 2000L).map(k => (k, geoRnd.nextLong()))
+        .toDF("k", "v"), b)
       if (store.maybeCompactBySize(spark, ratio = 1.0, minBytes = 1L))
         compactions ::= b
     }
@@ -173,7 +236,7 @@ class TieredStoreSpec extends AnyFunSuite with SharedSpark {
     assert(gaps.last >= 2 * gaps.head,
       s"trigger gaps must widen as the store grows, got $gaps")
     // nothing lost across the mixed layout
-    assert(store.readAll(spark, 100L).get.count() == 24L * 32L)
+    assert(store.readAll(spark, 100L).get.count() == 24L * 2000L)
     // a high floor suppresses compaction entirely on a small store
     val floored = TieredStore.longKeyed(s"$dir/f", Seq("k"), "k", 8)
     floored.append(Seq(1L, 2L).toDF("k"), 0L)

@@ -77,6 +77,7 @@ object StoreScale {
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq("pruned", "full", "warm", "hubs1", "hubs1_bucketed",
       "hubs10", "hubs10_bucketed", "hubs100", "hubs100_bucketed",
+      "hubs1000", "hubs1000_bucketed",
       "lr_cadence", "lr_none", "lr_geo").foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$v"), true)
     }
@@ -143,21 +144,25 @@ object StoreScale {
       spark.range(from, until)
         .select(sha2(concat(lit("hub-digest-"), col("id")), 256).as("digest"),
           col("id").as("hub"))
-    def buildHubs(name: String, batches: Int): streaming.TieredStore = {
+    def buildHubs(name: String, batches: Int,
+        rowsPerBatch: Long = 5000L): streaming.TieredStore = {
       val st = streaming.IncrementalCorpus.hubStoreOf(s"$base/$name")
       (0 until batches).foreach { b =>
-        st.append(hubRows(b * 5000L, (b + 1) * 5000L), b.toLong)
+        st.append(hubRows(b * rowsPerBatch, (b + 1) * rowsPerBatch), b.toLong)
       }
       st.compact(spark, batches - 1L)
       st
     }
     val hubs1 = buildHubs("hubs1", 1)
     val hubs10 = buildHubs("hubs10", nBatches)
-    // 100× (round 16, VERDICT item 6): 500k distinct digests — the
-    // tier where the full-scan contrast visibly grows, so "pruned
-    // lookup flat" becomes a measured claim instead of a structural
-    // argument (at 50k rows the full scan was still flat too)
+    // 100×/1000× (round 16, VERDICT item 6): 500k / 5M distinct
+    // digests — the tiers where the full-scan contrast visibly grows,
+    // so "pruned lookup flat" becomes a measured claim instead of a
+    // structural argument (at 50k rows the full scan was still flat
+    // too). The 1000× tier lands as 10 large appends — same digest
+    // count, build time bounded.
     val hubs100 = buildHubs("hubs100", 10 * nBatches)
+    val hubs1000 = buildHubs("hubs1000", 10, rowsPerBatch = 500000L)
     // plain recompute (NOT localCheckpoint'd — the between-measurement
     // drainStorage() would evict the checkpoint's only blocks, same
     // hazard as `docs` above; range+sha2 over 8 rows is free)
@@ -177,9 +182,9 @@ object StoreScale {
       .join(broadcast(probeDigests), Seq("digest"), "left_semi").count())
     drainStorage()
     val hubP1 = hubProbe(hubs1); val hubP10 = hubProbe(hubs10)
-    val hubP100 = hubProbe(hubs100)
+    val hubP100 = hubProbe(hubs100); val hubP1000 = hubProbe(hubs1000)
     val hubF1 = hubFull(hubs1); val hubF10 = hubFull(hubs10)
-    val hubF100 = hubFull(hubs100)
+    val hubF100 = hubFull(hubs100); val hubF1000 = hubFull(hubs1000)
 
     // ---- long horizon (round 15): 50 small batches through the
     // production commit, auto-cadence (compactEvery=8) vs none — the
@@ -232,8 +237,9 @@ object StoreScale {
       s""""hubs_probe8_sec":{"pruned":${pt(hubP1, hubP10)},""" +
       s""""fullscan_semi":${pt(hubF1, hubF10)},""" +
       s""""pruned_x100":${fmt(hubP100)},"fullscan_semi_x100":${fmt(hubF100)},""" +
-      s""""slope100_pruned":${fmt(hubP100 / math.max(hubP1, 1e-9))},""" +
-      s""""slope100_fullscan":${fmt(hubF100 / math.max(hubF1, 1e-9))}},""" +
+      s""""pruned_x1000":${fmt(hubP1000)},"fullscan_semi_x1000":${fmt(hubF1000)},""" +
+      s""""slope1000_pruned":${fmt(hubP1000 / math.max(hubP1, 1e-9))},""" +
+      s""""slope1000_fullscan":${fmt(hubF1000 / math.max(hubF1, 1e-9))}},""" +
       s""""longrun50":{"cadence8":{"head10":${fmt(head10(lrCadence))},"tail10":${fmt(tail10(lrCadence))},"per_batch":${arr(lrCadence)}},""" +
       s""""geometric":{"head10":${fmt(head10(lrGeo))},"tail10":${fmt(tail10(lrGeo))},"per_batch":${arr(lrGeo)}},""" +
       s""""none":{"head10":${fmt(head10(lrNone))},"tail10":${fmt(tail10(lrNone))},"per_batch":${arr(lrNone)}}}}""")

@@ -140,7 +140,7 @@ object StreamingDedup {
     * machinery factored out so the hubs store reuses it verbatim).
     */
   private[graft] def bandStoreOf(storeDir: String,
-      targetBucketBytes: Long = 4L << 20): TieredStore =
+      targetBucketBytes: Long = 256L << 10): TieredStore =
     TieredStore.longKeyed(storeDir, StoreSchema.fieldNames.toSeq,
       "band_hash", StoreBuckets, PushdownHashLimit, label = "band-store",
       targetBucketBytes = targetBucketBytes)

@@ -66,10 +66,17 @@ import org.apache.spark.sql.functions._
   * m in `_buckets` next to `_watermark`, and reads derive touched
   * directories from the RECORDED m (a tier without `_buckets` — any
   * pre-round-16 store — reads as m = buckets, so existing state dirs
-  * resume without migration). A few-MB store compacts to one
+  * resume without migration). A sub-256KB store compacts to one
   * directory of one file; directory fan-out grows only once the tier
   * earns it (guide §6 — output sizing follows data size, never a
-  * constant tuned for one scale).
+  * constant tuned for one scale). The 256 KB default is deliberately
+  * SMALL: directory pruning needs m well above the probe's touched-key
+  * count, and a bucket file is effectively one parquet row group (all
+  * or nothing for the pushed predicates) — a 4 MB-target experiment
+  * collapsed the 10×-tier band store to ~25 dirs, every ≤64-hash probe
+  * touched all of them, and the compacted probe regressed 1.3 → 2.1 s
+  * (StoreScale). 256 KB reaches the ceiling by ~64 MB of tier while
+  * still sparing tiny stores the full fan-out's listing.
   *
   * @param dataCols      store schema field names (minus batch_id)
   * @param keyCol        the equi-join/prune key column
@@ -104,7 +111,7 @@ final class TieredStore(
     val bucketOfValueM: (Any, Int) => Int,
     val pushdownLimit: Int = 1 << 10,
     val label: String = "store",
-    val targetBucketBytes: Long = 4L << 20) extends Serializable {
+    val targetBucketBytes: Long = 256L << 10) extends Serializable {
 
   /** The bucket expression/twin at the configured CEILING — the hash
     * agreement the twin spec pins is modulus-independent, so pinning
@@ -470,7 +477,7 @@ object TieredStore {
   def longKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
       buckets: Int, pushdownLimit: Int = 1 << 10,
       label: String = "store",
-      targetBucketBytes: Long = 4L << 20): TieredStore =
+      targetBucketBytes: Long = 256L << 10): TieredStore =
     new TieredStore(storeDir, dataCols, keyCol, buckets,
       bucketExprM = (c, m) => pmod(c, lit(m.toLong)).cast("int"),
       bucketOfValueM = (v, m) =>
@@ -484,7 +491,7 @@ object TieredStore {
   def stringKeyed(storeDir: String, dataCols: Seq[String], keyCol: String,
       buckets: Int, pushdownLimit: Int = 1 << 10,
       label: String = "store",
-      targetBucketBytes: Long = 4L << 20): TieredStore =
+      targetBucketBytes: Long = 256L << 10): TieredStore =
     new TieredStore(storeDir, dataCols, keyCol, buckets,
       bucketExprM = (c, m) => pmod(xxhash64(c), lit(m.toLong)).cast("int"),
       bucketOfValueM = (v, m) => java.lang.Math
